@@ -1,13 +1,133 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.FrameOps
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every implemented operator has a `queries` entry; every
+  * SQL-expressible one also has an `oracleSql` entry (DuckDB dialect)
+  * whose column names match the Spark result exactly.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    FrameOps.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> FrameOps.pricingSummary _,
+    "q02_filter_project" -> FrameOps.filterProject _,
+    "q03_top_revenue" -> FrameOps.topRevenue _,
+    "q04_group_collect" -> FrameOps.groupCollect _,
+    "q05_one_hot" -> FrameOps.oneHot _,
+    "q06_train_test_split" -> FrameOps.trainTestSplit _,
+    "q07_window_running" -> FrameOps.windowRunning _,
+    "q08_extract_dict" -> FrameOps.extractFirstPerKey _,
+    "q09_anti_semi_join" -> FrameOps.antiJoinCustomers _,
+    "q10_sessionize" -> FrameOps.sessionize _,
+    "q11_event_rollup" -> FrameOps.eventRollup _,
+  )
+
+  /** DuckDB oracle for each SQL-expressible query. Numeric parity:
+    * float aggregates go through DECIMAL(18,4) in BOTH engines (exact,
+    * order-independent) and are cast back to DOUBLE; integer sums are
+    * cast to BIGINT (DuckDB SUM(int) is HUGEINT otherwise). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS price
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'
+        |ORDER BY part_id""".stripMargin,
+    "q03_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q04_group_collect" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  COALESCE(STRING_AGG(c_name, ',' ORDER BY c_name), '') AS names
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q05_one_hot" ->
+      """SELECT c_nationkey,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_automobile,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS seg_building,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_furniture,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS seg_household,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS seg_machinery
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q06_train_test_split" ->
+      """SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q07_window_running" ->
+      """SELECT o_custkey, o_orderkey, rn, run_total FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+        |  FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q08_extract_dict" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q09_anti_semi_join" ->
+      """SELECT n_name, COUNT(*) AS n_customers_no_orders
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q10_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM e
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q11_event_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator block — the Spark-native re-expression of the
+  * reference's DataFrame utilities (redshells/data/data_frame_utils.py:
+  * ExtractColumnAsDict, FilterByColumn, RenameColumn,
+  * GroupByColumnAsDict, ConvertToOneHot, SplitTrainTestData,
+  * SampleData) plus the grouped-aggregation / join / window / session
+  * query shapes every pipeline on top of them needs.
+  *
+  * Numeric parity convention: float aggregates go through
+  * DECIMAL(18,4) so partial aggregation order (Spark's map-side
+  * combine at scale) cannot perturb the result vs a sequential oracle;
+  * the final value is cast back to DOUBLE. This is also the right
+  * call at 100 TB: decimal sums are exact and AQE-safe.
+  */
+object FrameOps {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** TPC-H Q1-shaped pricing summary: single shuffle on the two
+    * low-cardinality grouping keys; partial aggregation does almost
+    * all the work map-side, so at 100 TB the shuffle carries only
+    * (#flags × #statuses × #partitions) rows. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2000-12-31 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** FilterByColumn + RenameColumn (data_frame_utils.py:54,73):
+    * projection + predicate, both pushed into the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "PROMO")
+      .select(
+        col("p_partkey").as("part_id"),
+        col("p_name").as("part_name"),
+        col("p_retailprice").as("price"))
+      .orderBy(col("part_id"))
+
+  /** TPC-H Q3-shaped top-k revenue: customer is the small side →
+    * broadcast; lineitem↔orders shuffles once on the order key. */
+  def topRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1999-01-01 00:00:00").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** GroupByColumnAsDict (data_frame_utils.py:93): key → list of
+    * values, rendered as a sorted joined string so the result is
+    * deterministic and oracle-comparable. collect_list combines
+    * map-side; the sort is per-group, not global. */
+  def groupCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"))
+      .orderBy(col("c_nationkey"))
+
+  /** ConvertToOneHot (data_frame_utils.py:117): conditional
+    * aggregation instead of pivot — one shuffle, fixed output schema,
+    * no driver-side distinct() pass over 100 TB to discover columns. */
+  def oneHot(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val aggs = segs.map(s =>
+      sum(when(col("c_mktsegment") === s, 1).otherwise(0)).as(s"seg_${s.toLowerCase}"))
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** SplitTrainTestData / SampleData (data_frame_utils.py:160,181):
+    * deterministic key-hash split — reproducible on any cluster size,
+    * no sklearn.shuffle nondeterminism, no driver materialization. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("split",
+        when(pmod(col("o_orderkey"), lit(10)) < 8, "train").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("split"))
+
+  /** Per-key ordered running stats: one shuffle on the partition key;
+    * the window sort is within-partition only. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_total",
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .filter(col("rn") <= 5)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("run_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** ExtractColumnAsDict (data_frame_utils.py:31): keep the FIRST row
+    * per key under a deterministic order — row_number window, dedup
+    * without a driver-side dict. */
+  def extractFirstPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("first_orderkey"),
+        col("o_orderdate").as("first_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Existence filtering as anti join (no NOT IN materialization):
+    * customers with no in-progress ('P') order, per nation. nation is
+    * broadcast. */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Event sessionization: classic lag-gap + cumulative-sum session
+    * ids. Two window passes over ONE shuffle on user_id. Timestamps
+    * are truncated to whole seconds before the gap compare so the
+    * engine's sub-second precision (ns vs µs) cannot flip a boundary. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val gap = sec - lag(sec, 1).over(byUser)
+    Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Tumbling-window rollup (batch twin of the streaming query):
+    * date_trunc + two-key groupBy, partial-agg friendly. */
+  def eventRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+}
