@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.FrameOps
+import graft.operators.{FrameOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; every
@@ -28,6 +28,13 @@ object SparkEntry {
     "q09_anti_semi_join" -> FrameOps.antiJoinCustomers _,
     "q10_sessionize" -> FrameOps.sessionize _,
     "q11_event_rollup" -> FrameOps.eventRollup _,
+    "q20_token_stats" -> TextOps.tokenStats _,
+    "q21_quality_score" -> TextOps.qualityScore _,
+    "q22_top_terms" -> TextOps.topTerms _,
+    "q23_dictionary" -> TextOps.dictionary _,
+    "q24_tfidf" -> TextOps.tfidf _,
+    "q25_langid" -> TextOps.langId _,
+    "q26_fingerprint" -> TextOps.fingerprint _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -129,5 +136,67 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q20_token_stats" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q21_quality_score" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) AS stop_ratio,
+        |  CAST(SUM(CASE WHEN n_tok < 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q22_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM t GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
+    "q23_dictionary" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT term, df,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS token_id
+        |FROM df, n WHERE df >= 5 AND df <= 0.9 * n_docs
+        |ORDER BY token_id""".stripMargin,
+    "q24_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * log2(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term, n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS "rank"
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, "rank" FROM ranked WHERE "rank" <= 3
+        |ORDER BY doc_id, "rank"""".stripMargin,
+    "q26_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |  FROM documents),
+        |c AS (SELECT fp, COUNT(*) AS cluster_size FROM f GROUP BY fp)
+        |SELECT f.doc_id, f.fp, c.cluster_size
+        |FROM f JOIN c USING (fp) ORDER BY doc_id""".stripMargin,
   )
 }

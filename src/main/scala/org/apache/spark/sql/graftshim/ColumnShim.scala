@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst Expressions and the public
+  * Column API. Spark 4 scopes Expression↔Column conversion
+  * `private[sql]`, so this one-file subpackage of
+  * `org.apache.spark.sql` is the supported-by-convention way for an
+  * extension library to lift its native expressions into Columns
+  * (same technique as spark-connectors in the wild).
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

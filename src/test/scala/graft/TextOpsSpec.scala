@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+import graft.plans.RollingHash
+
+class TextOpsSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("rolling hash matches the byte-wise reference formula") {
+    val got = Seq("hello world").toDF("t")
+      .select(RollingHash(col("t")).as("fp")).head.getLong(0)
+    var exp = 0L
+    "hello world".getBytes("UTF-8").foreach { b =>
+      exp = (exp * 31 + (b & 0xff)) % 1000000007L
+    }
+    assert(got == exp)
+    assert(got == 204910434L) // cross-checked against DuckDB list_reduce
+  }
+
+  test("rolling hash stays inside whole-stage codegen") {
+    val plan = Tables.documents(spark, sf).select(RollingHash(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("char shingles are distinct n-grams") {
+    val row = Seq("abcab").toDF("t")
+      .select(TextFns.charShingles(col("t"), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(row == Seq("abc", "bca", "cab"))
+  }
+
+  test("word shingles join consecutive tokens") {
+    val row = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(TextFns.wordShingles(col("t"), 2).as("s"))
+      .head.getSeq[String](0)
+    assert(row == Seq("a b", "b c"))
+  }
+
+  test("tfidf ranks at most 3 terms per doc, rank deterministic") {
+    val out = operators.TextOps.tfidf(spark, sf)
+    val perDoc = out.groupBy("doc_id").count().agg(max("count")).head.getLong(0)
+    assert(perDoc <= 3)
+  }
+
+  test("dictionary ids are dense from 0") {
+    val ids = operators.TextOps.dictionary(spark, sf)
+      .select("token_id").as[Long].collect().sorted
+    assert(ids.headOption.contains(0L))
+    assert(ids.sameElements(ids.indices.map(_.toLong)))
+  }
+
+  test("langid covers every document exactly once in the confusion matrix") {
+    val n = operators.TextOps.langId(spark, sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(n == Tables.documents(spark, sf).count())
+  }
+}
