@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{FrameOps, TextOps}
+import graft.operators.{Dedup, FrameOps, SimilaritySearch, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; every
@@ -35,6 +35,14 @@ object SparkEntry {
     "q24_tfidf" -> TextOps.tfidf _,
     "q25_langid" -> TextOps.langId _,
     "q26_fingerprint" -> TextOps.fingerprint _,
+    "q30_dedup_exact" -> Dedup.exact _,
+    "q31_dedup_jaccard" -> Dedup.jaccard _,
+    "q32_dedup_minhash" -> Dedup.minhash _,
+    "q33_dedup_simhash" -> Dedup.simhash _,
+    "q34_dedup_embed" -> Dedup.embedNearDup _,
+    "q40_knn_brute" -> SimilaritySearch.knnBrute _,
+    "q41_knn_ivf" -> SimilaritySearch.knnIvf _,
+    "q42_dim_reduction" -> SimilaritySearch.dimReduction _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -198,5 +206,66 @@ object SparkEntry {
         |c AS (SELECT fp, COUNT(*) AS cluster_size FROM f GROUP BY fp)
         |SELECT f.doc_id, f.fp, c.cluster_size
         |FROM f JOIN c USING (fp) ORDER BY doc_id""".stripMargin,
+    "q30_dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |  FROM documents)
+        |SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS cluster_size
+        |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+    "q31_dedup_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON pairs.doc_a = sa.doc_id
+        |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q40_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(len(embedding)),
+        |        i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+        |      (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+        |c AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(len(e.embedding)),
+        |          i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))),
+        |        (acc, v) -> acc + v) / (e.nrm * q.qnrm), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id != q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+        |  FROM c)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
+    "q42_dim_reduction" ->
+      """WITH u AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT dim, CAST(SUM(q * q) AS BIGINT) AS importance
+        |FROM u GROUP BY dim
+        |ORDER BY importance DESC, dim LIMIT 16""".stripMargin,
   )
 }

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over Array[Float] embedding columns.
+  *
+  * All folds run in element order (`aggregate` over `zip_with`), so
+  * the result is a deterministic double — bit-identical to any other
+  * engine folding the same list left-to-right (DuckDB oracle parity),
+  * and independent of Spark partitioning.
+  */
+object VecFns {
+
+  /** Dot product in double precision, element-ordered fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; null-safe for zero vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Quantized squared magnitude per dimension support: round(v·1e6)
+    * as long — integer arithmetic downstream is exact and
+    * order-independent. */
+  def quantize(v: Column): Column = round(v.cast("double") * 1e6).cast("long")
+}

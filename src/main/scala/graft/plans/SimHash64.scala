@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash over a token array (Charikar 2002, "Similarity
+  * estimation techniques from rounding algorithms"): each token is
+  * FNV-1a-64 hashed; per bit position the hashes vote ±1; the sign of
+  * each vote becomes the output bit. Near-duplicate documents land
+  * within a small Hamming distance.
+  *
+  * Native Catalyst Expression with codegen — the whole token loop
+  * stays inside WholeStageCodegen, one function call per row, which
+  * is the difference between "works" and "works on 100 TB".
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Column-level entry point: simhash64(tokens). */
+  def apply(c: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(c)))
+
+  private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Static entry shared by interpreted eval and generated code
+    * (janino resolves `graft.plans.SimHash64.compute` via this
+    * forwarder). */
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val h = fnv1a64(tokens.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}

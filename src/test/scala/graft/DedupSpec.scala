@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VecFns
+import graft.operators.{Dedup, SimilaritySearch}
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a), col(b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup partitions the corpus") {
+    val out = Dedup.exact(spark, sf)
+    val total = out.agg(sum("cluster_size")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash LSH finds most exact-jaccard pairs (recall >= 0.8)") {
+    val exact = pairSet(Dedup.jaccard(spark, sf), "doc_a", "doc_b")
+    val approx = pairSet(Dedup.minhash(spark, sf), "doc_a", "doc_b")
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} pairs")
+    // verification step guarantees precision = 1 (candidates re-checked exactly)
+    assert((approx -- exact).isEmpty)
+  }
+
+  test("simhash near-dups overlap heavily with jaccard near-dups") {
+    val jac = pairSet(Dedup.jaccard(spark, sf), "doc_a", "doc_b")
+    val sim = pairSet(Dedup.simhash(spark, sf), "doc_a", "doc_b")
+    assert(sim.nonEmpty)
+    val precision = (sim intersect jac).size.toDouble / sim.size
+    assert(precision >= 0.5, s"simhash precision vs jaccard: $precision")
+  }
+
+  test("embed LSH: every reported pair is a true pair; recall >= 0.3") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(VecFns.cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val bruteSet = pairSet(brute, "vec_a", "vec_b")
+    val lsh = pairSet(Dedup.embedNearDup(spark, sf), "vec_a", "vec_b")
+    assert((lsh -- bruteSet).isEmpty, "LSH reported a non-pair")
+    if (bruteSet.nonEmpty) {
+      val recall = (bruteSet intersect lsh).size.toDouble / bruteSet.size
+      // random near-orthogonal vectors are the worst case for
+      // hyperplane LSH; on real near-dup data (cos>=0.9) recall ≈ 1
+      assert(recall >= 0.3, s"embed LSH recall $recall over ${bruteSet.size}")
+    }
+  }
+
+  test("IVF ANN returns well-formed top-5 with decent recall vs brute") {
+    val brute = SimilaritySearch.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.knnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // probing 2/16 random cells of near-orthogonal data bounds recall;
+    // the point is the plan shape (cell-bucketed candidate pruning)
+    assert(recall >= 0.1, s"ivf recall $recall")
+    assert(ivf.size == brute.size)
+  }
+}
