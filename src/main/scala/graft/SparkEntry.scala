@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, FrameOps, SimilaritySearch, TextOps}
+import graft.ml.MlOps
+import graft.operators.{Dedup, FrameOps, Multimodal, Recommend, SimilaritySearch, TextOps}
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Every implemented operator has a `queries` entry; every
@@ -43,6 +45,18 @@ object SparkEntry {
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
     "q41_knn_ivf" -> SimilaritySearch.knnIvf _,
     "q42_dim_reduction" -> SimilaritySearch.dimReduction _,
+    "q43_pairwise_sim" -> MlOps.pairwiseSimilarity _,
+    "q44_doc_embedding" -> MlOps.docEmbedding _,
+    "q50_word2vec" -> MlOps.word2vec _,
+    "q51_lda" -> MlOps.lda _,
+    "q52_als_mf" -> MlOps.alsRecommend _,
+    "q53_fm" -> MlOps.fmRegression _,
+    "q54_classification" -> MlOps.classify _,
+    "q55_scdv" -> MlOps.scdv _,
+    "q56_mc_bias" -> Recommend.biasBaseline _,
+    "q60_multimodal_meta" -> Multimodal.assetMeta _,
+    "q61_multimodal_decode" -> Multimodal.decodeFeatures _,
+    "q70_stream_rollup" -> StreamOps.rollup10m _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -267,5 +281,45 @@ object SparkEntry {
         |SELECT dim, CAST(SUM(q * q) AS BIGINT) AS importance
         |FROM u GROUP BY dim
         |ORDER BY importance DESC, dim LIMIT 16""".stripMargin,
+    "q56_mc_bias" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS "user", l_partkey AS item,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS rating
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |train AS (SELECT * FROM r WHERE ("user" * 31 + item) % 10 < 8),
+        |g AS (
+        |  SELECT COUNT(*) AS n_global,
+        |    CAST(SUM(CAST(rating AS DECIMAL(18,4))) AS DOUBLE) AS sum_global
+        |  FROM train),
+        |by_user AS (
+        |  SELECT "user", COUNT(*) AS n_train,
+        |    CAST(SUM(CAST(rating AS DECIMAL(18,4))) AS DOUBLE) AS sum_user
+        |  FROM train GROUP BY 1)
+        |SELECT "user", n_train,
+        |  round(sum_user / n_train - sum_global / n_global, 6) AS bias
+        |FROM by_user, g
+        |ORDER BY bias DESC, "user" LIMIT 20""".stripMargin,
+    "q60_multimodal_meta" ->
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(64 + n_chars % 512 AS BIGINT) AS width,
+        |    CAST(64 + (n_chars * 7) % 512 AS BIGINT) AS height,
+        |    CAST(1 + doc_id % 30 AS BIGINT) AS frames
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_assets,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
+        |  CAST(MAX(frames) AS BIGINT) AS max_frames
+        |FROM a GROUP BY source ORDER BY source""".stripMargin,
+    "q70_stream_rollup" ->
+      """SELECT
+        |  make_timestamp(CAST(floor(epoch(date_trunc('second', ts)) / 600) * 600 * 1000000 AS BIGINT)) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,255 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.{GaussianMixture, LDA}
+import org.apache.spark.ml.feature.{CountVectorizer, Word2Vec}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.ml.regression.FMRegressor
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** MLlib-backed model operators — the Spark-native re-expression of
+  * the reference's training tasks:
+  * train_word2vec.py / train_fasttext.py → MLlib Word2Vec,
+  * train_lda_model.py → MLlib LDA,
+  * contrib/train_matrix_factorization.py → MLlib ALS,
+  * contrib/factorization_machine.py → MLlib FMRegressor,
+  * train_classification_model.py → MLlib LogisticRegression,
+  * model/scdv.py → Word2Vec + GaussianMixture + idf composite.
+  *
+  * All models are seed-fixed; outputs are compact summaries
+  * (top-k synonyms, topic terms, recommendations, eval metrics) —
+  * model training is not ANSI-SQL-expressible, so these are
+  * rows-only queries by design.
+  */
+object MlOps {
+
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tokens"))
+
+  /** TrainWord2Vec (train/train_word2vec.py:10): skip-gram embeddings
+    * over the corpus; output = top-3 synonyms for 5 probe words.
+    * numPartitions=1 + fixed seed → deterministic vectors. */
+  def word2vec(spark: SparkSession, dir: String): DataFrame = {
+    val model = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(32).setMinCount(5).setSeed(42L)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(tokenized(spark, dir))
+    val probes = Seq("spark", "table", "join", "data", "query")
+    probes.map { w =>
+      model.findSynonyms(w, 3)
+        .withColumn("probe", lit(w))
+        .withColumn("similarity", round(col("similarity"), 4))
+    }.reduce(_ unionByName _)
+      .select(col("probe"), col("word"), col("similarity"))
+      .orderBy(col("probe"), col("similarity").desc, col("word"))
+  }
+
+  /** TrainLdaModel (train/train_lda_model.py:11, model/lda_model.py):
+    * CountVectorizer → LDA(EM), k=5; output = top-5 terms per topic. */
+  def lda(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(spark, dir)
+    val cv = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setMinDF(5).setVocabSize(1000)
+      .fit(docs)
+    val ldaModel = new LDA()
+      .setK(5).setMaxIter(10).setSeed(42L).setOptimizer("em")
+      .fit(cv.transform(docs))
+    val vocab = cv.vocabulary
+    import spark.implicits._
+    ldaModel.describeTopics(5).select(col("topic"), posexplode(col("termIndices")))
+      .toDF("topic", "pos", "term_idx")
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, vocab(r.getInt(2))))
+      .toDF("topic", "pos", "term")
+      .orderBy(col("topic"), col("pos"))
+  }
+
+  /** Ratings matrix for MF-family models: customer × part implicit
+    * strength from ordered quantities (lineitem ⋈ orders shuffles once
+    * on the order key; the aggregate shuffles on the (user,item)
+    * composite — both partial-agg friendly). */
+  def ratings(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity")).cast("float").as("rating"))
+
+  /** TrainMatrixFactorization (contrib/train/train_matrix_factorization
+    * .py:12) → ALS; output = top-3 item recommendations for the first
+    * 10 users. ALS's block-partitioned factors ARE the scale design
+    * (no driver-side factor matrices, unlike the reference). */
+  def alsRecommend(spark: SparkSession, dir: String): DataFrame = {
+    val r = ratings(spark, dir)
+    val model = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(8).setMaxIter(8).setSeed(42L).setImplicitPrefs(true)
+      .setNumBlocks(4)
+      .fit(r)
+    import spark.implicits._
+    val users = r.select(col("user")).distinct().filter(col("user") < 10)
+    model.recommendForUserSubset(users, 3)
+      .select(col("user"), posexplode(col("recommendations")))
+      .toDF("user", "rank", "rec")
+      .select(col("user"), (col("rank") + 1).cast("long").as("rank"),
+        col("rec.item").as("item"), round(col("rec.rating"), 4).as("score"))
+      .orderBy(col("user"), col("rank"))
+  }
+
+  /** TrainFactorizationMachine (contrib/model/factorization_machine
+    * .py) → MLlib FMRegressor on the embeddings table (label as
+    * regression target); output = one eval-summary row. */
+  def fmRegression(spark: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddings(spark, dir)
+      .select(array_to_vector(col("embedding")).as("features"),
+        col("label").cast("double").as("label"),
+        col("vec_id"))
+    val train = data.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val test = data.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val model = new FMRegressor()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setFactorSize(4).setMaxIter(20).setSeed(42L)
+      .fit(train)
+    model.transform(test)
+      .select(((col("prediction") - col("label")) * (col("prediction") - col("label"))).as("se"))
+      .agg(count(lit(1)).as("n_test"), round(sqrt(avg(col("se"))), 4).as("rmse"))
+  }
+
+  /** TrainClassificationModel (train/train_clasification_model.py:12)
+    * → multinomial LogisticRegression on embeddings with a
+    * deterministic key-hash split; output = per-label test counts and
+    * hits. */
+  def classify(spark: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddings(spark, dir)
+      .select(array_to_vector(col("embedding")).as("features"),
+        col("label").cast("double").as("label"), col("vec_id"))
+    val train = data.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val test = data.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .fit(train)
+    model.transform(test)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy(col("label"))
+  }
+
+  /** TrainPairwiseSimilarityModel (train/train_pairwise_similarity_
+    * model.py:14): a classifier over item-pair features. Pairs are
+    * candidate-bucketed (never all-pairs), features are the
+    * element-wise product of the two embeddings (the reference's
+    * `item_embeddings * word_embedding` trick,
+    * calculate_word_item_similarity.py:52), label = same class.
+    * Output = one eval-summary row. */
+  def pairwiseSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = emb.as("a")
+      .join(emb.as("b"),
+        pmod(col("a.vec_id"), lit(25)) === pmod(col("b.vec_id"), lit(25)) &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => x.cast("double") * y.cast("double")).as("prod"),
+        when(col("a.label") === col("b.label"), 1.0).otherwise(0.0).as("label"),
+        col("a.vec_id").as("va"))
+      .select(array_to_vector(col("prod")).as("features"), col("label"), col("va"))
+    val train = pairs.filter(pmod(col("va"), lit(5)) =!= 0)
+    val test = pairs.filter(pmod(col("va"), lit(5)) === 0)
+    val model = new LogisticRegression().setMaxIter(30).setRegParam(0.01)
+      .fit(train)
+    model.transform(test)
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"),
+        round(sum(col("label")), 2).as("n_positive"))
+  }
+
+  /** CalculateDocumentEmbedding (app/word_item_similarity/
+    * calculate_document_embedding.py:12): per-doc mean of word
+    * vectors. The vocabulary-sized word-vector table is broadcast
+    * against the exploded corpus; output = per-doc summary. */
+  def docEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(spark, dir)
+    val w2v = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(5).setSeed(42L)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(docs)
+    import spark.implicits._
+    val wordVecs = w2v.getVectors.as[(String, org.apache.spark.ml.linalg.Vector)]
+      .map { case (w, v) => (w, v.toArray) }.toDF("word", "wv")
+    docs.select(col("doc_id"), explode(col("tokens")).as("word"))
+      .join(broadcast(wordVecs), Seq("word"))
+      .select(col("doc_id"), posexplode(col("wv"))).toDF("doc_id", "dim", "v")
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("doc_id"), (col("s") / col("n")).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("l2_norm"),
+        count(lit(1)).as("n_dims"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SCDV (model/scdv.py:15, arXiv:1612.06778): word2vec word
+    * embeddings → GaussianMixture soft clustering → idf-weighted
+    * word-topic-vectors → per-doc sparse composite vectors. The
+    * word-level model is vocabulary-sized (broadcast join back to the
+    * corpus); only the doc aggregation touches corpus scale. Output =
+    * per-doc vector summary (L2 norm + nnz after sparsification). */
+  def scdv(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(spark, dir)
+    val w2v = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(5).setSeed(42L)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(docs)
+    val wordVecs = w2v.getVectors // (word, vector[16])
+    val gmm = new GaussianMixture()
+      .setK(3).setSeed(42L).setFeaturesCol("vector")
+      .fit(wordVecs)
+    val probs = gmm.transform(wordVecs)
+      .select(col("word"), col("vector"), col("probability"))
+    import spark.implicits._
+    // idf over the corpus vocabulary
+    val nDocs = docs.count().toDouble
+    val idf = docs.select(explode(col("tokens")).as("word"), col("doc_id"))
+      .groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf", log2(lit(nDocs) / col("df")))
+    // word-topic-vector: idf * concat_k(p_k * wv)  (k*16 = 48 dims)
+    val wtv = probs.as[(String, org.apache.spark.ml.linalg.Vector, org.apache.spark.ml.linalg.Vector)]
+      .map { case (word, vec, prob) =>
+        val flat = Array.tabulate(prob.size * vec.size) { i =>
+          prob(i / vec.size) * vec(i % vec.size)
+        }
+        (word, flat)
+      }.toDF("word", "wcv")
+      .join(broadcast(idf), Seq("word"))
+      .select(col("word"),
+        transform(col("wcv"), v => v * col("idf")).as("wtv"))
+    // doc vector = Σ_tokens wtv (fold via explode + element-wise agg)
+    val docVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
+      .join(broadcast(wtv), Seq("word"))
+      .select(col("doc_id"), posexplode(col("wtv")))
+      .toDF("doc_id", "dim", "v")
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("v")).as("v"))
+    // sparsify at 2.5% of max |v| per doc (scdv.py sparsity threshold)
+    val norms = docVecs
+      .groupBy(col("doc_id"))
+      .agg(max(abs(col("v"))).as("vmax"))
+    docVecs.join(norms, Seq("doc_id"))
+      .withColumn("vs", when(abs(col("v")) >= col("vmax") * 0.025, col("v")).otherwise(lit(0.0)))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sqrt(sum(col("vs") * col("vs"))), 4).as("l2_norm"),
+        sum(when(col("vs") =!= 0.0, 1L).otherwise(0L)).as("nnz"))
+      .orderBy(col("doc_id"))
+  }
+}

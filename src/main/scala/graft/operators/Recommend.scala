@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Recommendation-adjacent relational operators.
+  *
+  * `biasBaseline` is the deterministic bias model of the MF/GCMC
+  * family (global mean + user bias) — the reference's matrix-
+  * completion stack (contrib/graph_convolutional_matrix_completion
+  * .py) learns exactly these biases plus a low-rank interaction; the
+  * low-rank part lives in MlOps.alsRecommend (rows-only), while the
+  * bias part is closed-form aggregation and therefore oracle-exact.
+  */
+object Recommend {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** customer × part rating matrix (decimal-exact strengths). */
+  def ratingsExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("rating"))
+
+  /** Bias-baseline matrix completion: μ (global train mean) and the
+    * top-20 user biases b_u = Σr/n − μ, computed in the algebraic
+    * form (exact decimal sums, one double division) so the result is
+    * partition-order-independent. Deterministic key-hash train split. */
+  def biasBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val r = ratingsExact(spark, dir)
+      .withColumn("is_train", pmod(col("user") * 31 + col("item"), lit(10)) < 8)
+    val train = r.filter(col("is_train"))
+    val glob = train.agg(
+      count(lit(1)).as("n_global"),
+      sum(dec(col("rating"))).cast("double").as("sum_global"))
+    val byUser = train.groupBy(col("user"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(dec(col("rating"))).cast("double").as("sum_user"))
+    byUser.crossJoin(broadcast(glob))
+      .withColumn("mu", col("sum_global") / col("n_global"))
+      .withColumn("bias", round(col("sum_user") / col("n_train") - col("mu"), 6))
+      .select(col("user"), col("n_train"), col("bias"))
+      .orderBy(col("bias").desc, col("user"))
+      .limit(20)
+  }
+}

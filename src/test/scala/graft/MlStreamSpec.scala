@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.MlOps
+import graft.operators.Multimodal
+import graft.streaming.StreamOps
+
+class MlStreamSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("word2vec returns 3 synonyms per probe word") {
+    val out = MlOps.word2vec(spark, sf)
+    val counts = out.groupBy("probe").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach(r => assert(r.getLong(1) == 3))
+  }
+
+  test("als recommends 3 items per requested user") {
+    val out = MlOps.alsRecommend(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ALS casts ids to int internally; read generically
+    val byUser = out.groupBy(_.getAs[Number]("user").longValue())
+    byUser.foreach { case (_, rows) => assert(rows.length == 3) }
+  }
+
+  test("classification covers the full test split") {
+    val out = MlOps.classify(spark, sf)
+    val n = out.agg(sum("n_test")).head.getLong(0)
+    val expected = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) === 0).count()
+    assert(n == expected)
+  }
+
+  test("scdv emits one sparse vector summary per doc") {
+    val out = MlOps.scdv(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // sparsification must actually zero something but not everything
+    val nnz = out.agg(min("nnz"), max("nnz")).head
+    assert(nnz.getLong(0) > 0 && nnz.getLong(1) <= 48)
+  }
+
+  test("multimodal decode plumbing produces per-source features") {
+    val out = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf)
+      .select("source").distinct().count())
+    out.foreach(r => assert(r.getAs[Double]("avg_feat") > 0.0)) // from real bytes
+  }
+
+  test("streaming rollup matches its batch twin exactly") {
+    val batch = StreamOps.rollup10m(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 10000)))
+      .toSet
+    // FileStreamSource needs a directory: stage the single parquet file
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.rollupStream(spark, staged.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_rollup_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_rollup_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 10000)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
