@@ -38,13 +38,12 @@ object TextFns {
       i => substring(t, lit(1) + i, lit(n))))
   }
 
-  /** Word n-gram shingles, joined by a space. */
+  /** Word n-gram shingles, joined by a space. Native Expression —
+    * the higher-order formulation (transform+slice+concat_ws) runs
+    * interpreted and dominated dedup profiles; see
+    * graft.plans.WordNGrams. */
   def wordShingles(toks: Column, n: Int): Column =
-    array_distinct(filter(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => size(split(s, " ")) === n))
+    graft.plans.WordNGrams(toks, n)
 
   /** English-ish stopwords present in the synthetic corpus. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -12,16 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object VecFns {
 
-  /** Dot product in double precision, element-ordered fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Dot product in double precision, element-ordered accumulation
+    * (native codegen Expression — see graft.plans.VecExprs). */
+  def dot(a: Column, b: Column): Column = graft.plans.VecExprs.dot(a, b)
 
-  def normSq(a: Column): Column = dot(a, a)
-
-  def norm(a: Column): Column = sqrt(normSq(a))
+  def norm(a: Column): Column = graft.plans.VecExprs.norm(a)
 
   /** Cosine similarity; null-safe for zero vectors. */
   def cosine(a: Column, b: Column): Column =

@@ -234,22 +234,26 @@ object MlOps {
       .join(broadcast(idf), Seq("word"))
       .select(col("word"),
         transform(col("wcv"), v => v * col("idf")).as("wtv"))
-    // doc vector = Σ_tokens wtv (fold via explode + element-wise agg)
+    // doc vector = Σ_tokens wtv: element-wise vector sum via ML
+    // Summarizer — ONE shuffle on doc_id, no |dims|-fold row blowup.
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
     val docVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
       .join(broadcast(wtv), Seq("word"))
-      .select(col("doc_id"), posexplode(col("wtv")))
-      .toDF("doc_id", "dim", "v")
-      .groupBy(col("doc_id"), col("dim")).agg(sum(col("v")).as("v"))
-    // sparsify at 2.5% of max |v| per doc (scdv.py sparsity threshold)
-    val norms = docVecs
+      .select(col("doc_id"), array_to_vector(col("wtv")).as("wv"))
       .groupBy(col("doc_id"))
-      .agg(max(abs(col("v"))).as("vmax"))
-    docVecs.join(norms, Seq("doc_id"))
-      .withColumn("vs", when(abs(col("v")) >= col("vmax") * 0.025, col("v")).otherwise(lit(0.0)))
-      .groupBy(col("doc_id"))
-      .agg(
-        round(sqrt(sum(col("vs") * col("vs"))), 4).as("l2_norm"),
-        sum(when(col("vs") =!= 0.0, 1L).otherwise(0L)).as("nnz"))
+      .agg(vector_to_array(Summarizer.sum(col("wv"))).as("dv"))
+    // sparsify at 2.5% of max |v| per doc (scdv.py sparsity
+    // threshold), then summarize — all row-local array ops.
+    docVecs
+      .withColumn("vmax", array_max(transform(col("dv"), v => abs(v))))
+      .withColumn("vs", transform(col("dv"),
+        v => when(abs(v) >= col("vmax") * 0.025, v).otherwise(lit(0.0))))
+      .select(
+        col("doc_id"),
+        round(sqrt(aggregate(col("vs"), lit(0.0), (acc, v) => acc + v * v)), 4)
+          .as("l2_norm"),
+        size(filter(col("vs"), v => v =!= 0.0)).cast("long").as("nnz"))
       .orderBy(col("doc_id"))
   }
 }

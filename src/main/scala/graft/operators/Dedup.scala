@@ -41,27 +41,36 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.wordShingles(toks, 3).as("shingles"))
 
-  /** n-gram Jaccard near-dup via shingle inverted index: explode
-    * shingles → self-join on the shingle (equi-join, shuffles on the
-    * shingle key) → per-pair intersection counts → Jaccard from
-    * |A|+|B|−|A∩B|. The candidate set is only pairs sharing ≥1
-    * shingle. At 100 TB you'd additionally cap hot shingles (drop
-    * shingles occurring in >p% of docs) — same plan shape. */
+  /** Emit all ordered (i<j) pairs from an array of (doc_id, n_sh)
+    * structs — the inverted-index "posting list → candidate pairs"
+    * step done with array ops instead of a self-join, so the corpus
+    * is scanned ONCE and nothing is recomputed per join side. */
+  private def postingPairs(docsArr: Column): Column =
+    flatten(transform(docsArr, (a, i) =>
+      transform(slice(docsArr, i + 2, size(docsArr)),
+        b => struct(
+          a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("na"),
+          b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("nb")))))
+
+  /** n-gram Jaccard near-dup via shingle inverted index: one scan →
+    * explode shingles (n_sh carried along) → group postings per
+    * shingle → pair generation from the posting array (no self-join,
+    * no recomputation) → per-pair intersection counts → Jaccard from
+    * |A|+|B|−|A∩B|. Two shuffles total. At 100 TB you'd additionally
+    * cap hot-shingle posting lists — same plan shape. */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh"))
+    val postings = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
+    postings
+      .select(explode(postingPairs(col("docs"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
       .withColumn("jaccard", round(
-        col("inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter")), 6))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -81,32 +90,35 @@ object Dedup {
     // base hash reduced mod p so the affine family (2i+1)·x + i·c
     // stays within long range under ANSI arithmetic (no overflow).
     val p = 1000000007L
+    // K wide min-aggregates: fully codegen'd hash aggregation with
+    // map-side partials — one shuffle on doc_id carrying 64 longs per
+    // partial group, NO K-fold row blowup, no object aggregation.
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("x", pmod(xxhash64(col("sh")), lit(p)))
-    val hashes = sh.select(
-      col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(K - 1)),
-        i => pmod(
-          col("x") * (i.cast("long") * 2 + 1) + i.cast("long") * lit(2654435761L),
-          lit(p)))))
-      .toDF("doc_id", "i", "h")
-    val sig = hashes.groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-    val bands = sig
-      .withColumn("band", (col("i") / r).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh").cast("string")))).as("band_key"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val minCols = (0 until K).map(i =>
+      min(pmod(col("x") * (2L * i + 1L) + i.toLong * 2654435761L, lit(p))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+    // 16 band keys per doc, row-local from the signature array
+    val bandCols = array((0 until K / r).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("key"))
+    }: _*)
+    val buckets = sig
+      .select(col("doc_id"), explode(bandCols).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    val cand = buckets
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+    // exact re-verification: the 5k-row shingle-set table broadcasts
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))), "doc_a")
+      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))), 6))
@@ -166,17 +178,22 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucket.as("bucket"))
     }: _*)
-    val bucketed = emb
-      .select(col("vec_id"), col("embedding"), explode(tableCols).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-      .dropDuplicates("vec_a", "vec_b")
+    // candidate generation shuffles ONLY (table, bucket, id) — the
+    // 64-float embeddings never ride through the pair explosion; they
+    // are joined back per candidate (broadcast at this scale, shuffle
+    // join at 100 TB — the pair set is near-dup-sized either way).
+    val cand = emb
+      .select(col("vec_id"), explode(tableCols).as("tb"))
+      .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("vec_a"), b.as("vec_b")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+    cand
+      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
+      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), "vec_b")
       .withColumn("cos", round(VecFns.cosine(col("ea"), col("eb")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
