@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlOps
-import graft.operators.{Dedup, FrameOps, Multimodal, Recommend, SimilaritySearch, TextOps}
+import graft.operators.{Dedup, FrameOps, Multimodal, Recommend, SimilaritySearch, TextOps, WordItemApp}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -47,6 +47,10 @@ object SparkEntry {
     "q42_dim_reduction" -> SimilaritySearch.dimReduction _,
     "q43_pairwise_sim" -> MlOps.pairwiseSimilarity _,
     "q44_doc_embedding" -> MlOps.docEmbedding _,
+    "q45_word_item" -> MlOps.wordItemSearch _,
+    "q46_keyword_match" -> WordItemApp.keywordMatch _,
+    "q47_click_train" -> WordItemApp.clickTrainData _,
+    "q48_similarity_data" -> WordItemApp.similarityData _,
     "q50_word2vec" -> MlOps.word2vec _,
     "q51_lda" -> MlOps.lda _,
     "q52_als_mf" -> MlOps.alsRecommend _,
@@ -54,6 +58,7 @@ object SparkEntry {
     "q54_classification" -> MlOps.classify _,
     "q55_scdv" -> MlOps.scdv _,
     "q56_mc_bias" -> Recommend.biasBaseline _,
+    "q57_cv_tuning" -> MlOps.cvTuning _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> Multimodal.decodeFeatures _,
     "q70_stream_rollup" -> StreamOps.rollup10m _,
@@ -281,6 +286,49 @@ object SparkEntry {
         |SELECT dim, CAST(SUM(q * q) AS BIGINT) AS importance
         |FROM u GROUP BY dim
         |ORDER BY importance DESC, dim LIMIT 16""".stripMargin,
+    "q46_keyword_match" ->
+      """WITH kw(keyword) AS (VALUES ('widget'),('bolt'),('anvil'),('gear'),('red'),('blue')),
+        |it AS (SELECT p_partkey, p_retailprice, unnest(string_split(p_name, ' ')) AS tok FROM part)
+        |SELECT keyword, COUNT(*) AS n_items, MIN(p_partkey) AS first_part,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM it JOIN kw ON tok = keyword
+        |GROUP BY keyword ORDER BY keyword""".stripMargin,
+    "q47_click_train" ->
+      """WITH clicks AS (
+        |  SELECT user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |pos AS (
+        |  SELECT user_id, item, COUNT(*) AS n_clicks FROM clicks
+        |  WHERE item IS NOT NULL GROUP BY 1, 2),
+        |neg AS (
+        |  SELECT u.user_id, i.item
+        |  FROM (SELECT DISTINCT user_id FROM clicks WHERE item IS NOT NULL) u
+        |  CROSS JOIN (SELECT DISTINCT item FROM clicks WHERE item IS NOT NULL) i
+        |  WHERE (u.user_id * 31 + i.item) % 20 = 0
+        |    AND NOT EXISTS (SELECT 1 FROM pos
+        |      WHERE pos.user_id = u.user_id AND pos.item = i.item))
+        |SELECT * FROM (
+        |  SELECT 'pos' AS split, COUNT(*) AS n_examples,
+        |    COUNT(DISTINCT user_id) AS n_users, COUNT(DISTINCT item) AS n_items,
+        |    CAST(SUM(n_clicks) AS BIGINT) AS total_clicks
+        |  FROM pos
+        |  UNION ALL
+        |  SELECT 'neg', COUNT(*), COUNT(DISTINCT user_id), COUNT(DISTINCT item), 0
+        |  FROM neg)
+        |ORDER BY split""".stripMargin,
+    "q48_similarity_data" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b
+        |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        |  WHERE a.item IS NOT NULL AND b.item IS NOT NULL)
+        |SELECT item_a, item_b, COUNT(*) AS support
+        |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
     "q56_mc_bias" ->
       """WITH r AS (
         |  SELECT o_custkey AS "user", l_partkey AS item,

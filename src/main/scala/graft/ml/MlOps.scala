@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.{GaussianMixture, LDA}
 import org.apache.spark.ml.feature.{CountVectorizer, Word2Vec}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.ml.regression.FMRegressor
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -196,6 +196,85 @@ object MlOps {
       .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("l2_norm"),
         count(lit(1)).as("n_dims"))
       .orderBy(col("doc_id"))
+  }
+
+  /** CalculateWordItemSimilarity (app/word_item_similarity/
+    * calculate_word_item_similarity.py:14): the two-stage search —
+    * dot-product PREQUERY (top-20 per word, `_filter` at :56) then
+    * model re-rank (`_predict` at :52, prob of class 1 over
+    * word⊙item features) keeping top-5. Words = probe vocabulary
+    * vectors from word2vec; items = mean-token doc embeddings. The
+    * word set broadcasts; the corpus streams once per stage. */
+  def wordItemSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tokenized(spark, dir)
+    val w2v = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(5).setSeed(42L)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(docs)
+    val wordVecs = w2v.getVectors.as[(String, org.apache.spark.ml.linalg.Vector)]
+      .map { case (w, v) => (w, v.toArray) }.toDF("word", "wv")
+    val itemVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
+      .join(broadcast(wordVecs), Seq("word"))
+      .select(col("doc_id"), posexplode(col("wv"))).toDF("doc_id", "dim", "v")
+      .groupBy(col("doc_id"), col("dim")).agg(avg(col("v")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        s => s.getField("v")).as("iv"))
+    val probes = wordVecs.filter(col("word").isin("spark", "table", "join", "data", "query"))
+    // stage 1: dot-product prequery, top-20 per word
+    val pre = itemVecs.crossJoin(broadcast(probes))
+      .withColumn("dot", graft.plans.VecExprs.dot(col("iv"), col("wv")))
+      .withColumn("prerank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+          .orderBy(col("dot").desc, col("doc_id"))))
+      .filter(col("prerank") <= 20)
+    // stage 2: model re-rank on word⊙item features (label: does the
+    // word occur in the doc), keep top-5
+    val feats = pre.select(col("word"), col("doc_id"), col("dot"),
+      array_to_vector(zip_with(col("iv"), col("wv"), (x, y) => x * y)).as("features"))
+    val labels = docs.select(col("doc_id"), col("tokens"))
+    val training = feats.join(labels, Seq("doc_id"))
+      .withColumn("label", when(array_contains(col("tokens"), col("word")), 1.0).otherwise(0.0))
+      .drop("tokens")
+    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      .fit(training)
+    model.transform(training)
+      .withColumn("score", round(element_at(vector_to_array(col("probability")), 2), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("word"), col("doc_id").as("item"), col("score"), col("rank"))
+      .orderBy(col("word"), col("rank"))
+  }
+
+  /** Optuna-style model selection (factory/optuna_param_factory.py →
+    * grid search over the same hyperparameter space): MLlib
+    * TrainValidationSplit over LR regParam; output one row per
+    * candidate with its validation metric. */
+  def cvTuning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import spark.implicits._
+    val data = Tables.embeddings(spark, dir)
+      .select(array_to_vector(col("embedding")).as("features"),
+        col("label").cast("double").as("label"))
+    val lr = new LogisticRegression().setMaxIter(25)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.001, 0.01, 0.1))
+      .build()
+    val tvs = new TrainValidationSplit()
+      .setEstimator(lr)
+      .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setTrainRatio(0.8).setSeed(42L)
+      .fit(data)
+    tvs.getEstimatorParamMaps.zip(tvs.validationMetrics).toSeq
+      .map { case (pm, m) => (pm.get(lr.regParam).get, math.rint(m * 10000) / 10000) }
+      .toDF("reg_param", "accuracy")
+      .orderBy(col("reg_param"))
   }
 
   /** SCDV (model/scdv.py:15, arXiv:1612.06778): word2vec word

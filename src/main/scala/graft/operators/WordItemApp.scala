@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The reference's word_item_similarity application surface
+  * (/root/reference/redshells/app/word_item_similarity/), re-expressed
+  * as distributed plans:
+  * - FindItemKeywordByMatching (find_item_keyword_by_matching.py:12)
+  * - MakeClickTrainData (make_click_train_data.py:14)
+  * - MakeSimilarityData (make_similarity_data.py:13)
+  * (CalculateWordItemSimilarity two-stage search lives in
+  * MlOps.wordItemSearch — it needs trained embeddings.)
+  */
+object WordItemApp {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Keyword→item matching: a small keyword list (a task parameter in
+    * the reference) broadcast against tokenized item names; per
+    * keyword: match count + price stats. */
+  def keywordMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kws = Seq("widget", "bolt", "anvil", "gear", "red", "blue").toDF("keyword")
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        explode(split(col("p_name"), " ")).as("tok"))
+      .join(broadcast(kws), col("tok") === col("keyword"))
+      .groupBy(col("keyword"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("p_partkey")).as("first_part"),
+        (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1))).as("avg_price"))
+      .orderBy(col("keyword"))
+  }
+
+  /** Clicked item id from the event props payload. */
+  private def itemFromProps: Column =
+    regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+
+  /** MakeClickTrainData: positives = observed (user, item) clicks;
+    * negatives = deterministic hash-sample of the unclicked
+    * (user, item) cross space (reproducible at any cluster size — the
+    * reference samples with numpy on the driver). The cross join is
+    * over the DISTINCT key spaces (small), never over raw events. */
+  def clickTrainData(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), itemFromProps.as("item"))
+      .filter(col("item").isNotNull)
+    val pos = clicks.groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val users = clicks.select(col("user_id")).distinct()
+    val items = clicks.select(col("item")).distinct()
+    val neg = users.crossJoin(items)
+      .filter(pmod(col("user_id") * 31 + col("item"), lit(20)) === 0)
+      .join(pos, Seq("user_id", "item"), "left_anti")
+    val posStats = pos.agg(
+      count(lit(1)).as("n_examples"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("item")).as("n_items"),
+      sum(col("n_clicks")).as("total_clicks")).withColumn("split", lit("pos"))
+    val negStats = neg.agg(
+      count(lit(1)).as("n_examples"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("item")).as("n_items"),
+      lit(0L).as("total_clicks")).withColumn("split", lit("neg"))
+    posStats.unionByName(negStats)
+      .select(col("split"), col("n_examples"), col("n_users"),
+        col("n_items"), col("total_clicks"))
+      .orderBy(col("split"))
+  }
+
+  /** MakeSimilarityData: co-click item pairs with support, via
+    * per-user posting arrays (one shuffle on user, pair explosion
+    * from the sorted item array — no self-join). */
+  def similarityData(spark: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), itemFromProps.as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    ui.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          b => struct(a.as("item_a"), b.as("item_b")))))).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("item_a"), col("item_b"))
+  }
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -48,5 +49,41 @@ object StreamOps {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+  }
+
+  case class SessionState(lastSec: Long, nSessions: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via mapGroupsWithState — the
+    * custom-state path (KeyValueGroupedDataset) for semantics window
+    * functions can't express incrementally. Same 30-minute gap rule
+    * as the batch FrameOps.sessionize; StreamingSpec asserts parity.
+    * State per user is O(1) (last timestamp + counters), so the state
+    * store stays tiny no matter the stream length. */
+  def sessionizeStream(spark: SparkSession, eventsDir: String): Dataset[UserSessions] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val events = spark.readStream.schema(schema)
+      .parquet(eventsDir)
+      .select(col("user_id"), col("event_id"),
+        (expr("ts div 1000000000")).as("sec"))
+      .as[(Long, Long, Long)]
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, _, sec) =>
+            val newSession = s.lastSec == Long.MinValue || sec - s.lastSec > 1800
+            s = SessionState(sec,
+              s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          UserSessions(user, s.nSessions, s.nEvents)
+      }
   }
 }

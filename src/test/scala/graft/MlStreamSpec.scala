@@ -48,6 +48,38 @@ class MlStreamSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Double]("avg_feat") > 0.0)) // from real bytes
   }
 
+  test("stateful streaming sessionization matches batch sessionize") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.sessionizeStream(spark, staged.toString)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sessionize_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      // last emission per user = final state (single microbatch here)
+      val streamed = spark.table("sessionize_test")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.last("n_sessions").as("n_sessions"),
+          org.apache.spark.sql.functions.last("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = operators.FrameOps.sessionize(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("word-item two-stage search returns ranked top-5 per word") {
+    val out = ml.MlOps.wordItemSearch(spark, sf).collect()
+    val byWord = out.groupBy(_.getString(0))
+    assert(byWord.size == 5)
+    byWord.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length))
+    }
+  }
+
   test("streaming rollup matches its batch twin exactly") {
     val batch = StreamOps.rollup10m(spark, sf).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
