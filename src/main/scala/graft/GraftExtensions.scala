@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.{RollingHash, SimHash64, WordNGrams, VecExprs}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so the engine is usable from pure
+  * SQL (`spark.sql("SELECT rolling_hash(text) ...")`) and from
+  * spark.sql.extensions config:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * Functions: rolling_hash(str), simhash64(array<string>),
+  * word_ngrams(array<string>, n), vec_dot(a, b), vec_norm(a).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - polynomial fingerprint mod 1e9+7"),
+      (args: Seq[Expression]) => RollingHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(tokens, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => WordNGrams(args.head,
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - double dot product of two arrays"),
+      (args: Seq[Expression]) => VecExprs.DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of an array"),
+      (args: Seq[Expression]) => VecExprs.L2Norm(args.head)))
+  }
+}

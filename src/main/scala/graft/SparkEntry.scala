@@ -30,6 +30,7 @@ object SparkEntry {
     "q09_anti_semi_join" -> FrameOps.antiJoinCustomers _,
     "q10_sessionize" -> FrameOps.sessionize _,
     "q11_event_rollup" -> FrameOps.eventRollup _,
+    "q12_source_roundtrip" -> graft.sources.Sources.roundTrip _,
     "q20_token_stats" -> TextOps.tokenStats _,
     "q21_quality_score" -> TextOps.qualityScore _,
     "q22_top_terms" -> TextOps.topTerms _,
@@ -59,6 +60,7 @@ object SparkEntry {
     "q55_scdv" -> MlOps.scdv _,
     "q56_mc_bias" -> Recommend.biasBaseline _,
     "q57_cv_tuning" -> MlOps.cvTuning _,
+    "q58_binary_classification" -> MlOps.binaryClassify _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> Multimodal.decodeFeatures _,
     "q70_stream_rollup" -> StreamOps.rollup10m _,
@@ -163,6 +165,10 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q12_source_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_token_stats" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

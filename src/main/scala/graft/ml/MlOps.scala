@@ -122,6 +122,26 @@ object MlOps {
       .agg(count(lit(1)).as("n_test"), round(sqrt(avg(col("se"))), 4).as("rmse"))
   }
 
+  /** TrainBinaryClassificationModel (train/train_binary_clasification_
+    * model.py:12) through the ModelFactory (factory/
+    * prediction_model_factory.py): factory-built estimator, binary
+    * target, deterministic split, eval summary. */
+  def binaryClassify(spark: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddings(spark, dir)
+      .select(array_to_vector(col("embedding")).as("features"),
+        pmod(col("label"), lit(2)).cast("double").as("label"), col("vec_id"))
+    val train = data.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val test = data.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val model = ModelFactory.create("logistic_regression")
+      .asInstanceOf[LogisticRegression]
+      .fit(train)
+    model.transform(test)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy(col("label"))
+  }
+
   /** TrainClassificationModel (train/train_clasification_model.py:12)
     * → multinomial LogisticRegression on embeddings with a
     * deterministic key-hash split; output = per-label test counts and

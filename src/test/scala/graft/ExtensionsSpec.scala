@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  // separate session: extensions are wired at session build time
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("native expressions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  rolling_hash('hello world') AS rh,
+        |  simhash64(array('a', 'b')) AS sh,
+        |  word_ngrams(array('a', 'b', 'c'), 2) AS ng,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  vec_norm(array(3.0D, 4.0D)) AS n
+        |""".stripMargin).head
+    assert(r.getAs[Long]("rh") == 204910434L)
+    assert(r.getAs[scala.collection.Seq[String]]("ng").toSeq == Seq("a b", "b c"))
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("n") == 5.0)
+  }
+
+  test("model factory builds every registered estimator") {
+    ml.ModelFactory.names.foreach { n =>
+      assert(ml.ModelFactory.create(n) != null)
+    }
+    intercept[IllegalArgumentException](ml.ModelFactory.create("nope"))
+    val lr = ml.ModelFactory.withParams(
+      ml.ModelFactory.create("logistic_regression"), Map("maxIter" -> 7))
+    assert(lr.asInstanceOf[org.apache.spark.ml.classification.LogisticRegression]
+      .getMaxIter == 7)
+  }
+}
