@@ -204,17 +204,16 @@ object MlOps {
       .setNumPartitions(1).setMaxIter(1)
       .fit(docs)
     import spark.implicits._
-    val wordVecs = w2v.getVectors.as[(String, org.apache.spark.ml.linalg.Vector)]
-      .map { case (w, v) => (w, v.toArray) }.toDF("word", "wv")
+    import org.apache.spark.ml.stat.Summarizer
+    val wordVecs = w2v.getVectors.withColumnRenamed("word", "word")
     docs.select(col("doc_id"), explode(col("tokens")).as("word"))
       .join(broadcast(wordVecs), Seq("word"))
-      .select(col("doc_id"), posexplode(col("wv"))).toDF("doc_id", "dim", "v")
-      .groupBy(col("doc_id"), col("dim"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .select(col("doc_id"), (col("s") / col("n")).as("m"))
       .groupBy(col("doc_id"))
-      .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("l2_norm"),
-        count(lit(1)).as("n_dims"))
+      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("m"))
+      .select(col("doc_id"),
+        round(sqrt(aggregate(col("m"), lit(0.0), (acc, v) => acc + v * v)), 4)
+          .as("l2_norm"),
+        size(col("m")).cast("long").as("n_dims"))
       .orderBy(col("doc_id"))
   }
 
@@ -233,15 +232,13 @@ object MlOps {
       .setVectorSize(16).setMinCount(5).setSeed(42L)
       .setNumPartitions(1).setMaxIter(1)
       .fit(docs)
-    val wordVecs = w2v.getVectors.as[(String, org.apache.spark.ml.linalg.Vector)]
-      .map { case (w, v) => (w, v.toArray) }.toDF("word", "wv")
+    import org.apache.spark.ml.stat.Summarizer
+    val wordVecs = w2v.getVectors
+      .select(col("word"), vector_to_array(col("vector")).as("wv"))
     val itemVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
-      .join(broadcast(wordVecs), Seq("word"))
-      .select(col("doc_id"), posexplode(col("wv"))).toDF("doc_id", "dim", "v")
-      .groupBy(col("doc_id"), col("dim")).agg(avg(col("v")).as("v"))
+      .join(broadcast(w2v.getVectors), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
-        s => s.getField("v")).as("iv"))
+      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("iv"))
     val probes = wordVecs.filter(col("word").isin("spark", "table", "join", "data", "query"))
     // stage 1: dot-product prequery, top-20 per word
     val pre = itemVecs.crossJoin(broadcast(probes))
