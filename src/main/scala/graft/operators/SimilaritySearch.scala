@@ -18,10 +18,13 @@ object SimilaritySearch {
 
   /** Brute-force cosine top-k: the small query set is broadcast
     * against the corpus (map-side nested loop — the corpus is
-    * streamed once, never shuffled), then one shuffle on query_id for
-    * the top-k window. Norms are computed once per side, not per
-    * pair. This is the exact baseline ANN variants are measured
-    * against. */
+    * streamed once, never shuffled). Top-k selection uses the bounded
+    * TopKByKey aggregator (graft.plans.TopKByKey): map-side partial
+    * top-k heaps mean the shuffle carries ≤ k rows per partition per
+    * query and nothing is globally sorted — the window-row_number
+    * formulation would shuffle and sort EVERY candidate row per
+    * query. Norms are computed once per side, not per pair. This is
+    * the exact baseline ANN variants are measured against. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -29,18 +32,22 @@ object SimilaritySearch {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
-    emb.crossJoin(broadcast(queries))
+    val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(
         VecFns.dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    topKSelect(scored, 5)
   }
+
+  /** Shared bounded top-k selection + rank materialization. */
+  private[operators] def topKSelect(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKByKey.topK(k)(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .toDF("query_id", "pos", "e")
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
 
   /** IVF-style ANN: coarse quantization to the nearest of 16 seed
     * centroids (broadcast), probing the 2 nearest cells per query.
@@ -70,17 +77,11 @@ object SimilaritySearch {
     val queryCells = nearestCells(emb.filter(col("vec_id") < 10), keep = 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cent_id"))
-    corpusCells.join(queryCells, Seq("cent_id"))
+    val scored = corpusCells.join(queryCells, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(
         VecFns.dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    topKSelect(scored, 5)
   }
 
   /** DimensionReductionModel.fit (dimension_reduction_model.py:21):

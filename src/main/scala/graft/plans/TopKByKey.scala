@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k aggregator: keeps the k best (score desc, id asc)
+  * entries per group with partial merge.
+  *
+  * This is the scale-correct physical shape for "top-k neighbors per
+  * query": a window `row_number` materializes and SORTS every
+  * candidate row per key after the shuffle, whereas a bounded
+  * aggregation buffer does map-side partial top-k, so the shuffle
+  * carries at most k rows per (partition × key) and nothing is ever
+  * globally sorted. At 100 TB with millions of candidates per query
+  * vector this is the difference between a bounded-memory single
+  * pass and a spill-heavy sort.
+  *
+  * Mirrors the reference's per-word top-k selection
+  * (/root/reference/redshells/app/word_item_similarity/
+  * calculate_word_item_similarity.py:48 argsort[-size:]) as a
+  * distributed aggregate.
+  */
+object TopKByKey {
+
+  case class Entry(id: Long, score: Double)
+
+  /** Buffer: fixed-capacity list kept sorted worst-first for O(k)
+    * bounded insert; tiny k makes the linear ops cheap and the
+    * Encoder-friendly representation keeps partial buffers columnar.
+    */
+  case class TopKAgg(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
+    private def better(a: Entry, b: Entry): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    override def zero: List[Entry] = Nil
+
+    override def reduce(buf: List[Entry], e: Entry): List[Entry] = {
+      if (buf.sizeIs >= k) {
+        if (better(e, buf.head)) (e :: buf.tail).sortWith((a, b) => better(b, a))
+        else buf
+      } else (e :: buf).sortWith((a, b) => better(b, a))
+    }
+
+    override def merge(a: List[Entry], b: List[Entry]): List[Entry] =
+      b.foldLeft(a)(reduce)
+
+    override def finish(buf: List[Entry]): Seq[Entry] =
+      buf.sortWith(better)
+
+    override def bufferEncoder: Encoder[List[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Entry]]()
+
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+  }
+
+  /** Column form: top_k(struct(id, score)) → array<struct<id,score>>
+    * ordered best-first. */
+  def topK(k: Int)(id: Column, score: Column): Column = {
+    val agg = udaf(TopKAgg(k), Encoders.product[Entry])
+    agg(id, score)
+  }
+}

@@ -54,6 +54,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKByKey bounded aggregator: k best, score desc, id tie-break asc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 20L, 0.3)).toDF("query_id", "vec_id", "cosine")
+    val out = df.groupBy(col("query_id"))
+      .agg(plans.TopKByKey.topK(2)(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).getLong(0)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 0, 11L), (1L, 1, 12L), (2L, 0, 20L)))
+  }
+
   test("IVF ANN returns well-formed top-5 with decent recall vs brute") {
     val brute = SimilaritySearch.knnBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
