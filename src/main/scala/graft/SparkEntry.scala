@@ -31,6 +31,8 @@ object SparkEntry {
     "q10_sessionize" -> FrameOps.sessionize _,
     "q11_event_rollup" -> FrameOps.eventRollup _,
     "q12_source_roundtrip" -> graft.sources.Sources.roundTrip _,
+    "q13_categorize" -> FrameOps.categorize _,
+    "q14_median_by_group" -> FrameOps.medianByGroup _,
     "q20_token_stats" -> TextOps.tokenStats _,
     "q21_quality_score" -> TextOps.qualityScore _,
     "q22_top_terms" -> TextOps.topTerms _,
@@ -169,6 +171,27 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_categorize" ->
+      """WITH cats AS (
+        |  SELECT category, CAST(ROW_NUMBER() OVER (ORDER BY category) - 1 AS BIGINT) AS category_id
+        |  FROM (SELECT DISTINCT c_mktsegment AS category FROM customer))
+        |SELECT category, category_id, COUNT(*) AS n_rows
+        |FROM customer JOIN cats ON c_mktsegment = category
+        |GROUP BY category, category_id
+        |ORDER BY category_id""".stripMargin,
+    "q14_median_by_group" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS median_price,
+        |  CAST(MIN(cnt) AS BIGINT) AS n_orders
+        |FROM ranked
+        |WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q20_token_stats" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -175,6 +175,42 @@ object FrameOps {
       .orderBy(col("user_id"))
   }
 
+  /** ConvertTypeToCategory (data_frame_utils.py:141): dictionary-
+    * encode a string column to dense ids. The category table is the
+    * DISTINCT set (tiny) ranked deterministically; at scale it
+    * broadcasts back onto the fact rows. Output: the encoding table +
+    * per-category counts. */
+  def categorize(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val cats = cust.select(col("c_mktsegment").as("category")).distinct()
+      .withColumn("category_id",
+        (row_number().over(Window.orderBy(col("category"))) - 1).cast("long"))
+    cust.join(broadcast(cats), col("c_mktsegment") === col("category"))
+      .groupBy(col("category"), col("category_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("category_id"))
+  }
+
+  /** Exact per-group median without percentile-function dialect
+    * drift: rank rows per group, pick the middle one(s), average them
+    * with exact decimal math. One shuffle on the group key. */
+  def medianByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    ranked
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor(col("cnt") / 2) + 1)
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("median_price"),
+        first(col("cnt")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Tumbling-window rollup (batch twin of the streaming query):
     * date_trunc + two-key groupBy, partial-agg friendly. */
   def eventRollup(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, FrameOps, SimilaritySearch, TextOps}
+
+/** Plan-shape assertions: these encode the scale design — if a
+  * refactor silently turns a broadcast into a shuffle join, or widens
+  * a pruned scan, these fail before the bench does.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("top-revenue join broadcasts the filtered customer side") {
+    val p = plan(FrameOps.topRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tfidf broadcasts the vocabulary-sized df table") {
+    val p = plan(TextOps.tfidf(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("knn scans only the columns it needs") {
+    val p = plan(SimilaritySearch.knnBrute(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the embeddings scan must not read the label column
+    assert(!p.contains("label"), p)
+  }
+
+  test("pricing summary pushes the shipdate filter into the scan") {
+    val p = plan(FrameOps.pricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("minhash verification joins broadcast the shingle tables") {
+    val p = plan(Dedup.minhash(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("exact dedup shuffles digests, not text") {
+    val p = plan(Dedup.exact(spark, sf))
+    // after the first aggregate the exchange carries the md5 + partials
+    assert(p.contains("md5"), p)
+    assert(p.contains("Exchange hashpartitioning(content_hash"), p)
+  }
+}
