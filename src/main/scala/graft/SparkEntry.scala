@@ -63,6 +63,7 @@ object SparkEntry {
     "q56_mc_bias" -> Recommend.biasBaseline _,
     "q57_cv_tuning" -> MlOps.cvTuning _,
     "q58_binary_classification" -> MlOps.binaryClassify _,
+    "q59_lda_doc_topics" -> MlOps.ldaDocTopics _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> Multimodal.decodeFeatures _,
     "q70_stream_rollup" -> StreamOps.rollup10m _,

@@ -71,6 +71,32 @@ object MlOps {
       .orderBy(col("topic"), col("pos"))
   }
 
+  /** LdaModel.get_document_topics + log_perplexity
+    * (model/lda_model.py:37,34): per-document dominant topic with its
+    * weight, plus the corpus perplexity attached to every row (the
+    * reference logs it per fit). */
+  def ldaDocTopics(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(spark, dir)
+    val cv = new CountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setMinDF(5).setVocabSize(1000)
+      .fit(docs)
+    val vectorized = cv.transform(docs)
+    val ldaModel = new LDA()
+      .setK(5).setMaxIter(10).setSeed(42L).setOptimizer("em")
+      .fit(vectorized)
+    val perplexity = math.rint(
+      ldaModel.asInstanceOf[org.apache.spark.ml.clustering.DistributedLDAModel]
+        .toLocal.logPerplexity(vectorized) * 1000) / 1000
+    ldaModel.transform(vectorized)
+      .select(col("doc_id"), vector_to_array(col("topicDistribution")).as("td"))
+      .select(col("doc_id"),
+        expr("array_position(td, array_max(td)) - 1").cast("long").as("topic"),
+        round(array_max(col("td")), 4).as("weight"),
+        lit(perplexity).as("log_perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Ratings matrix for MF-family models: customer × part implicit
     * strength from ordered quantities (lineitem ⋈ orders shuffles once
     * on the order key; the aggregate shuffles on the (user,item)
@@ -308,8 +334,12 @@ object MlOps {
       .setNumPartitions(1).setMaxIter(1)
       .fit(docs)
     val wordVecs = w2v.getVectors // (word, vector[16])
+    // vocab is tiny but each EM iteration is a distributed job:
+    // bound iterations + loosen tol or per-iteration scheduling
+    // overhead dominates (measured 9s at maxIter=100 on 31 vectors)
     val gmm = new GaussianMixture()
       .setK(3).setSeed(42L).setFeaturesCol("vector")
+      .setMaxIter(15).setTol(0.01)
       .fit(wordVecs)
     val probs = gmm.transform(wordVecs)
       .select(col("word"), col("vector"), col("probability"))
