@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{RollingHash, SimHash64, WordNGrams}
+
+/** Property-style checks of the native Expressions against
+  * straightforward reference implementations (scalacheck generators,
+  * fixed seeds — no scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("RollingHash == byte-wise modular polynomial for arbitrary strings") {
+    val asciiText = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)
+    val texts = samples(asciiText, 200)
+    val got = texts.toDF("t").select(RollingHash(col("t"))).as[Long].collect()
+    val exp = texts.map { t =>
+      t.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    }
+    assert(got.toSeq == exp)
+  }
+
+  test("WordNGrams == naive sliding-window distinct n-grams") {
+    val tokensGen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee"))
+    for (n <- 1 to 4) {
+      val docs = samples(tokensGen, 100)
+      val got = docs.toDF("toks")
+        .select(WordNGrams(col("toks"), n)).as[Seq[String]].collect()
+      val exp = docs.map(ts => ts.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.distinct)
+      assert(got.map(_.toSeq).toSeq == exp, s"n=$n")
+    }
+  }
+
+  test("SimHash64: deterministic, and near-identical docs are close in hamming") {
+    val tokensGen = Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w", "qq", "rr"))
+    val docs = samples(tokensGen, 50)
+    val twice = (docs ++ docs).toDF("t").select(SimHash64(col("t"))).as[Long].collect()
+    assert(twice.take(docs.size).toSeq == twice.drop(docs.size).toSeq)
+    // flipping one token of a long doc moves few bits
+    val base = List.fill(200)("x") ++ List("y", "z", "w")
+    val mut = base.updated(0, "qq")
+    val sigs = Seq(base, mut).toDF("t").select(SimHash64(col("t"))).as[Long].collect()
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 16)
+  }
+}
