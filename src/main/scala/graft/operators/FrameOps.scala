@@ -211,6 +211,58 @@ object FrameOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** As-of (temporal) join: for each event, whether the user had an
+    * order on or before the event time, via the union+window
+    * composition — tag both sides, sort within user once, carry the
+    * latest order key forward with last_value(ignoreNulls). This is
+    * the scale-correct as-of: ONE shuffle on the join key and a
+    * per-key sort, versus the naive range-join cross product. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("t"), lit(0).as("side"),
+        col("o_orderkey").as("ref"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("t"),
+        lit(1).as("side"), col("event_id").as("ref"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"), col("ref"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord.unionByName(ev)
+      .withColumn("last_order",
+        last(when(col("side") === 0, col("ref")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("last_order").isNotNull, 1L).otherwise(0L)).as("n_with_prior_order"),
+        max(col("last_order")).as("latest_order_seen"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact distinct cardinalities (oracle twin of the HLL sketch
+    * query q16): two-level distinct aggregation. */
+  def distinctExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch cardinalities — the 100 TB path where exact distinct
+    * is a full shuffle of the key space but a sketch is a few KB per
+    * group. Approximate → rows-only; FrameOpsSpec bounds the relative
+    * error against distinctExact. */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n_orders_approx"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("n_parts_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** Tumbling-window rollup (batch twin of the streaming query):
     * date_trunc + two-key groupBy, partial-agg friendly. */
   def eventRollup(spark: SparkSession, dir: String): DataFrame =

@@ -41,4 +41,33 @@ object Sources {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .orderBy(col("event_type"))
   }
+
+  /** Bucketed tables: write lineitem and orders bucketed by the join
+    * key, then join the bucketed tables — with matching bucket
+    * specs Spark plans a shuffle-FREE sort-merge join. This is the
+    * "pre-partition the 100 TB fact table once, join it many times"
+    * pattern. Returns the joined aggregate; SourcesSpec asserts the
+    * plan has no Exchange. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val db = s"graft_buckets_${math.abs(dir.hashCode)}"
+    if (!spark.catalog.tableExists(s"${db}_li")) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"${db}_li")
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"${db}_ord")
+    }
+    val li = spark.table(s"${db}_li")
+    val ord = spark.table(s"${db}_ord")
+    li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
 }
