@@ -51,18 +51,29 @@ object Sources {
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val db = s"graft_buckets_${math.abs(dir.hashCode)}"
-    if (!spark.catalog.tableExists(s"${db}_li")) {
+    // the catalog is per-JVM but the warehouse dir persists: drop the
+    // table AND clear any stale location before (re)writing
+    def freshWrite(name: String, writeIt: String => Unit): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        writeIt(name)
+      }
+    freshWrite(s"${db}_li", n =>
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(s"${db}_li")
+        .saveAsTable(n))
+    freshWrite(s"${db}_ord", n =>
       Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderstatus"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(s"${db}_ord")
-    }
+        .saveAsTable(n))
     val li = spark.table(s"${db}_li")
     val ord = spark.table(s"${db}_ord")
     li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
