@@ -43,6 +43,7 @@ object SparkEntry {
     "q24_tfidf" -> TextOps.tfidf _,
     "q25_langid" -> TextOps.langId _,
     "q26_fingerprint" -> TextOps.fingerprint _,
+    "q27_bpe_tokens" -> TextOps.bpeTokens _,
     "q30_dedup_exact" -> Dedup.exact _,
     "q31_dedup_jaccard" -> Dedup.jaccard _,
     "q32_dedup_minhash" -> Dedup.minhash _,
@@ -282,6 +283,17 @@ object SparkEntry {
         |c AS (SELECT fp, COUNT(*) AS cluster_size FROM f GROUP BY fp)
         |SELECT f.doc_id, f.fp, c.cluster_size
         |FROM f JOIN c USING (fp) ORDER BY doc_id""".stripMargin,
+    "q27_bpe_tokens" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+        |  CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_word
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q30_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -104,6 +104,24 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BPE-ish token counting: the subword-style regex pass (runs of
+    * letters, runs of digits, single punctuation) a training pipeline
+    * uses for budget accounting. regexp_count is codegen'd — one scan,
+    * no explode; per-source totals only shuffle the tiny group keys. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+          .as("n_bpe"),
+        TextFns.tokenCount(col("text")).as("n_ws"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        (sum(col("n_bpe")).cast("double") / sum(col("n_ws"))).as("bpe_per_word"))
+      .orderBy(col("source"))
+
   /** Language-ID by stopword-profile vote: profile table is broadcast
     * against exploded tokens; prediction = argmax hits per doc;
     * output is the lang × predicted confusion matrix. Rows-only check

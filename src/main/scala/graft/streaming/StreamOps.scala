@@ -51,6 +51,27 @@ object StreamOps {
         col("n"), col("total_value"))
   }
 
+  /** Streaming dedup: dropDuplicatesWithinWatermark on the event key —
+    * the training-pipeline "ingest exactly once" building block. The
+    * watermark bounds the dedup state store (keys older than the
+    * watermark are evicted), which is what makes dedup feasible on an
+    * unbounded stream. StreamingSpec asserts parity with batch
+    * distinct on a replayed batch. */
+  def dedupStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   case class SessionState(lastSec: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 

@@ -48,6 +48,30 @@ class MlStreamSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Double]("avg_feat") > 0.0)) // from real bytes
   }
 
+  test("streaming dedup counts match batch distinct after a duplicated replay") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_dedup")
+    // stage the file TWICE: the stream sees every event duplicated
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events_b.parquet"))
+    val q = StreamOps.dedupStream(spark, staged.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_stream_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val batch = Tables.events(spark, sf)
+        .groupBy("event_type").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamed == batch) // duplicates fully removed
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch sessionize") {
     val staged = java.nio.file.Files.createTempDirectory("graft_sess")
     java.nio.file.Files.copy(
