@@ -58,6 +58,7 @@ object SparkEntry {
     "q46_keyword_match" -> WordItemApp.keywordMatch _,
     "q47_click_train" -> WordItemApp.clickTrainData _,
     "q48_similarity_data" -> WordItemApp.similarityData _,
+    "q49_filter_by_similarity" -> MlOps.filterBySimilarity _,
     "q50_word2vec" -> MlOps.word2vec _,
     "q51_lda" -> MlOps.lda _,
     "q52_als_mf" -> MlOps.alsRecommend _,

@@ -293,6 +293,39 @@ object MlOps {
       .orderBy(col("word"), col("rank"))
   }
 
+  /** FilterItemByWordSimilarity (app/word_item_similarity/
+    * filter_item_by_word_similarity.py:12): keep only items whose
+    * embedding is similar enough to ANY keyword embedding. Keyword
+    * vectors broadcast; one pass over the items, greatest-of-dots
+    * filter, no shuffle until the output ordering. */
+  def filterBySimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    val docs = tokenized(spark, dir)
+    val w2v = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(16).setMinCount(5).setSeed(42L)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(docs)
+    val wordVecs = w2v.getVectors
+      .select(col("word"), vector_to_array(col("vector")).as("wv"))
+    val itemVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
+      .join(broadcast(w2v.getVectors), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("iv"))
+    val kws = wordVecs.filter(col("word").isin("spark", "join"))
+      .select(col("word").as("kw"), col("wv"))
+    // synthetic doc means are all near the word-vector centroid, so
+    // the discriminating threshold sits high (median best_sim ≈ .994)
+    val threshold = 0.994
+    itemVecs.crossJoin(broadcast(kws))
+      .withColumn("cos", graft.plans.VecExprs.dot(col("iv"), col("wv")) /
+        (graft.plans.VecExprs.norm(col("iv")) * graft.plans.VecExprs.norm(col("wv"))))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("cos")), 4).as("best_sim"))
+      .filter(col("best_sim") >= threshold)
+      .orderBy(col("doc_id"))
+  }
+
   /** Optuna-style model selection (factory/optuna_param_factory.py →
     * grid search over the same hyperparameter space): MLlib
     * TrainValidationSplit over LR regParam; output one row per
