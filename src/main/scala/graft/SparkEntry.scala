@@ -36,6 +36,7 @@ object SparkEntry {
     "q15_asof_join" -> FrameOps.asofJoin _,
     "q16_distinct_exact" -> FrameOps.distinctExact _,
     "q17_distinct_sketch" -> FrameOps.distinctSketch _,
+    "q18_asof_custom" -> FrameOps.asofJoinCustom _,
     "q20_token_stats" -> TextOps.tokenStats _,
     "q21_quality_score" -> TextOps.qualityScore _,
     "q22_top_terms" -> TextOps.topTerms _,
@@ -222,6 +223,24 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // q18 = same semantics/oracle as q15, through the custom
+    // AsOfJoinExec physical operator instead of union+window
+    "q18_asof_custom" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS side, o_orderkey AS ref FROM orders
+        |  UNION ALL
+        |  SELECT user_id, date_trunc('second', ts), 1, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, side,
+        |    LAST_VALUE(CASE WHEN side = 0 THEN ref END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY t, side, ref
+        |      ROWS UNBOUNDED PRECEDING) AS last_order
+        |  FROM u)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN last_order IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prior_order,
+        |  MAX(last_order) AS latest_order_seen
+        |FROM m WHERE side = 1
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q20_token_stats" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

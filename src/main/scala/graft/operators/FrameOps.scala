@@ -240,6 +240,33 @@ object FrameOps {
       .orderBy(col("user_id"))
   }
 
+  /** Same as-of semantics as [[asofJoin]] but through the CUSTOM
+    * physical operator (graft.plans.AsOfJoinExec: logical node →
+    * strategy → streaming sort-merge exec). Shares q15's oracle SQL —
+    * two implementations, one answer. The strategy is attached via
+    * experimental.extraStrategies so it works on any session (the
+    * GraftExtensions path registers it at session build). */
+  def asofJoinCustom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("ot"))
+    AsOfJoin(spark, ev, ord, "user_id", "o_custkey", "t", "ot",
+      rightTie = "o_orderkey")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("o_orderkey").isNotNull, 1L).otherwise(0L)).as("n_with_prior_order"),
+        max(col("o_orderkey")).as("latest_order_seen"))
+      .orderBy(col("user_id"))
+  }
+
   /** Exact distinct cardinalities (oracle twin of the HLL sketch
     * query q16): two-level distinct aggregation. */
   def distinctExact(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** As-of join as a first-class operator: for every left row, attach
+  * the LATEST right row with the same key and time ≤ the left time
+  * (or nulls if none) — the temporal-join primitive (market data,
+  * "state as of event time").
+  *
+  * Why a custom operator instead of composition: the union+window
+  * form (FrameOps.asofJoin, kept as the oracle) must null-pad BOTH
+  * schemas into one relation before the window pass — at 100 TB with
+  * wide tables that doubles the shuffled bytes. This exec declares
+  * `ClusteredDistribution` + per-partition `(key, time)` ordering, so
+  * Catalyst plans ONE hash shuffle + sort per side, and the merge is
+  * a streaming per-partition pass holding exactly one retained right
+  * row — no padding, no buffering.
+  *
+  * Wired through the full extension stack: logical node → planner
+  * Strategy (GraftExtensions) → physical exec; user API is
+  * `AsOfJoin(leftDf, rightDf, ...)`.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    // rightTie makes equal-(key,time) resolution deterministic: the
+    // retained row is the max-tie row, matching the window oracle
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTie, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = leftKey
+    val rKey = rightKey
+    val lTime = leftTime
+    val rTime = rightTime
+    val lSchema = left.output
+    val rSchema = right.output
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lKey), lSchema)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lSchema)
+      val rKeyProj = UnsafeProjection.create(Seq(rKey), rSchema)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rSchema)
+      val result = UnsafeProjection.create(out, out)
+      val nullRight = new GenericInternalRow(rSchema.length)
+      val joined = new JoinedRow
+
+      // streaming merge: both sides sorted by (key, time)
+      val rBuf = rIt.buffered
+      var heldKey: Long = 0L
+      var heldHasKey = false
+      var held: InternalRow = null // latest right row for heldKey so far
+
+      def rightKeyOf(r: InternalRow): Long = rKeyProj(r).getLong(0)
+      def rightTimeOf(r: InternalRow): Long = rTimeProj(r).getLong(0)
+
+      lIt.map { lRow =>
+        val k = lKeyProj(lRow).getLong(0)
+        val t = lTimeProj(lRow).getLong(0)
+        // drop right rows for keys before k
+        while (rBuf.hasNext && rightKeyOf(rBuf.head) < k) {
+          rBuf.next(); heldHasKey = false
+        }
+        if (!heldHasKey || heldKey != k) { held = null; heldKey = k; heldHasKey = true }
+        // advance through right rows of key k with time <= t
+        while (rBuf.hasNext && rightKeyOf(rBuf.head) == k && rightTimeOf(rBuf.head) <= t) {
+          held = rBuf.next().copy()
+        }
+        result(joined(lRow, if (held != null) held else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoin {
+  /** User API: asOfJoin(left, right) ON left[keyCol] == right[keyCol]
+    * taking the latest right row with right[timeCol] <= left[timeCol].
+    * Key and time columns must be LongType (epoch style) on both
+    * sides. Requires AsOfJoinStrategy (GraftExtensions) on the
+    * session. */
+  def apply(spark: SparkSession, left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTie: String = null): DataFrame = {
+    val lPlan = ColumnShim.analyzed(left)
+    val rPlan = ColumnShim.analyzed(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    val tie = attr(rPlan, if (rightTie == null) rightTime else rightTie)
+    ColumnShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), tie))
+  }
+}
