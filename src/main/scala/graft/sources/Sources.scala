@@ -12,10 +12,10 @@ import graft.Tables
   * sources with explicit schemas.
   *
   * `roundTrip` proves fidelity end-to-end: the events table is
-  * written out as CSV AND JSON, read back through both sources with
+  * written out as CSV, JSON AND ORC, read back through all three sources with
   * explicit schemas, joined 1:1 on the key, and aggregated — the
   * result hash-matches the DuckDB oracle computed on the original
-  * parquet, so both text sources are byte-faithful for this schema.
+  * parquet, so every source is byte-faithful for this schema.
   */
 object Sources {
 
@@ -30,11 +30,15 @@ object Sources {
     val base = s"/tmp/graft_sources_${math.abs(dir.hashCode)}"
     src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     src.write.mode("overwrite").json(s"$base/json")
+    src.write.mode("overwrite").orc(s"$base/orc")
     val fromCsv = spark.read.option("header", "true").schema(schema).csv(s"$base/csv")
     val fromJson = spark.read.schema(schema).json(s"$base/json")
       .select(col("event_id").as("jid"), col("value").as("jvalue"))
+    val fromOrc = spark.read.schema(schema).orc(s"$base/orc")
+      .select(col("event_id").as("oid"), col("value").as("ovalue"))
     fromCsv.join(fromJson, col("event_id") === col("jid"))
-      .filter(col("value") === col("jvalue")) // fidelity cross-check
+      .join(fromOrc, col("event_id") === col("oid"))
+      .filter(col("value") === col("jvalue") && col("value") === col("ovalue")) // fidelity
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
