@@ -281,7 +281,9 @@ object MlOps {
     val training = feats.join(labels, Seq("doc_id"))
       .withColumn("label", when(array_contains(col("tokens"), col("word")), 1.0).otherwise(0.0))
       .drop("tokens")
-    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+    // the re-rank set is prequery-sized (|words|×20): iteration count
+    // is pure scheduler overhead beyond convergence on data this small
+    val model = new LogisticRegression().setMaxIter(10).setRegParam(0.01)
       .fit(training)
     model.transform(training)
       .withColumn("score", round(element_at(vector_to_array(col("probability")), 2), 4))
