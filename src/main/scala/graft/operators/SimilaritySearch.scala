@@ -49,19 +49,28 @@ object SimilaritySearch {
         col("e.score").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** IVF-style ANN: coarse quantization to the nearest of 16 seed
-    * centroids (broadcast), probing the 2 nearest cells per query.
-    * Only in-cell candidates get the exact cosine — at 100 TB the
-    * cell id becomes the shuffle/bucket key and each query touches
-    * 2/16 of the corpus. Approximate → rows-only; recall vs knnBrute
-    * asserted in SimilaritySpec. */
+  /** IVF ANN with TRAINED coarse quantizer: MLlib KMeans (k=16,
+    * seed-fixed) learns the cell centroids; every corpus vector is
+    * assigned to its nearest cell, queries probe their 2 nearest
+    * cells, and only in-cell candidates get the exact cosine. At
+    * 100 TB the cell id becomes the shuffle/bucket key and each query
+    * touches ~2/16 of the corpus; the centroid table is broadcast.
+    * Approximate → rows-only; recall vs knnBrute asserted in
+    * DedupSpec. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VecFns.norm(col("embedding")).as("nrm"))
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
-        col("nrm").as("cnrm"))
+    val km = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("feat")
+      .fit(emb.select(array_to_vector(col("embedding")).as("feat")))
+    val cents = km.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cent_id", "cv")
+      .withColumn("cnrm", VecFns.norm(col("cv")))
 
     def nearestCells(df: DataFrame, keep: Int): DataFrame =
       df.crossJoin(broadcast(cents))
