@@ -37,6 +37,7 @@ object SparkEntry {
     "q16_distinct_exact" -> FrameOps.distinctExact _,
     "q17_distinct_sketch" -> FrameOps.distinctSketch _,
     "q18_asof_custom" -> FrameOps.asofJoinCustom _,
+    "q19_partitioned_sink" -> graft.sources.Sources.partitionedSink _,
     "q20_token_stats" -> TextOps.tokenStats _,
     "q21_quality_score" -> TextOps.qualityScore _,
     "q22_top_terms" -> TextOps.topTerms _,
@@ -241,6 +242,14 @@ object SparkEntry {
         |  MAX(last_order) AS latest_order_seen
         |FROM m WHERE side = 1
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_partitioned_sink" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q20_token_stats" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -46,6 +46,31 @@ object Sources {
       .orderBy(col("event_type"))
   }
 
+  /** Partitioned sink + partition-pruned read: events written
+    * hive-style partitioned by event_type; the filtered read-back
+    * must scan ONLY the matching partition directories (the plan's
+    * PartitionFilters — asserted in SourcesSkewSpec). This is the
+    * layout that turns "scan 100 TB" into "scan the 6 TB partition".
+    * The aggregate over the partitioned copy hash-matches the DuckDB
+    * oracle on the original parquet. */
+  def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_part_${math.abs(dir.hashCode)}"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    partitionedRead(spark, base)
+  }
+
+  private[graft] def partitionedRead(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(base)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+
   /** Bucketed tables: write lineitem and orders bucketed by the join
     * key, then join the bucketed tables — with matching bucket
     * specs Spark plans a shuffle-FREE sort-merge join. This is the

@@ -72,6 +72,36 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Stream-stream join: clicks joined to the purchases that follow
+    * within 30 minutes for the same user. The time-range condition +
+    * watermarks bound the join state on both sides (Spark evicts
+    * rows once they can no longer match) — the unbounded-stream
+    * version of "attribute purchases to clicks". Spec asserts parity
+    * with the identical batch join. */
+  def clickPurchaseJoin(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def src = spark.readStream.schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   case class SessionState(lastSec: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 

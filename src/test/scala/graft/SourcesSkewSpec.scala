@@ -26,6 +26,50 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(df.collect().toSeq == expected)
   }
 
+  test("partitioned sink: filtered read prunes to matching partitions") {
+    import org.apache.spark.sql.functions._
+    Sources.partitionedSink(spark, sf).collect() // ensure written
+    val base = s"/tmp/graft_part_${math.abs(sf.hashCode)}"
+    val filtered = spark.read.parquet(base)
+      .filter(col("event_type") === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the filter lands in PartitionFilters (directory pruning), not a
+    // row-level data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(plan.contains("= click"), plan)
+    assert(plan.contains("PushedFilters: []"), plan)
+  }
+
+  test("stream-stream click->purchase join matches the batch join") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = graft.streaming.StreamOps.clickPurchaseJoin(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ev = Tables.events(spark, sf)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("salted join matches the plain join result") {
     val fact = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
