@@ -24,10 +24,14 @@ object Sources {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Collision-free /tmp staging dir per (purpose, input dir). */
+  private[graft] def stagingDir(purpose: String, dir: String): String =
+    s"/tmp/graft_${purpose}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-    val base = s"/tmp/graft_sources_${math.abs(dir.hashCode)}"
+    val base = stagingDir("sources", dir)
     src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     src.write.mode("overwrite").json(s"$base/json")
     src.write.mode("overwrite").orc(s"$base/orc")
@@ -54,7 +58,7 @@ object Sources {
     * The aggregate over the partitioned copy hash-matches the DuckDB
     * oracle on the original parquet. */
   def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_part_${math.abs(dir.hashCode)}"
+    val base = stagingDir("part", dir)
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
       .write.mode("overwrite").partitionBy("event_type").parquet(base)

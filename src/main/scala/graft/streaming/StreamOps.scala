@@ -27,13 +27,10 @@ object StreamOps {
         col("n"), col("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
-  /** The real streaming pipeline: readStream over a DIRECTORY of
-    * event parquet files (FileStreamSource requires a directory;
-    * nanos read as long, converted in-stream), 30-min watermark,
-    * same 10-min tumbling aggregation. Used by StreamingSpec via a
-    * memory sink; in production the source/sink become Kafka/Delta
-    * and the watermark bounds state size. */
-  def rollupStream(spark: SparkSession, eventsDir: String): DataFrame = {
+  /** Shared events stream source: explicit schema (FileStreamSource
+    * can't infer), nanos read as long, converted to µs timestamps.
+    * Every streaming op derives from this one definition. */
+  private def streamEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -42,6 +39,16 @@ object StreamOps {
     spark.readStream.schema(schema)
       .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The real streaming pipeline: readStream over a DIRECTORY of
+    * event parquet files (FileStreamSource requires a directory;
+    * nanos read as long, converted in-stream), 30-min watermark,
+    * same 10-min tumbling aggregation. Used by StreamingSpec via a
+    * memory sink; in production the source/sink become Kafka/Delta
+    * and the watermark bounds state size. */
+  def rollupStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    streamEvents(spark, eventsDir)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(
@@ -58,14 +65,7 @@ object StreamOps {
     * unbounded stream. StreamingSpec asserts parity with batch
     * distinct on a replayed batch. */
   def dedupStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    streamEvents(spark, eventsDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
@@ -79,14 +79,7 @@ object StreamOps {
     * version of "attribute purchases to clicks". Spec asserts parity
     * with the identical batch join. */
   def clickPurchaseJoin(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    def src = spark.readStream.schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = streamEvents(spark, eventsDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -113,15 +106,9 @@ object StreamOps {
     * store stays tiny no matter the stream length. */
   def sessionizeStream(spark: SparkSession, eventsDir: String): Dataset[UserSessions] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val events = spark.readStream.schema(schema)
-      .parquet(eventsDir)
+    val events = streamEvents(spark, eventsDir)
       .select(col("user_id"), col("event_id"),
-        (expr("ts div 1000000000")).as("sec"))
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
       .as[(Long, Long, Long)]
     events.groupByKey(_._1)
       .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
