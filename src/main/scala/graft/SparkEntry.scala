@@ -38,6 +38,8 @@ object SparkEntry {
     "q17_distinct_sketch" -> FrameOps.distinctSketch _,
     "q18_asof_custom" -> FrameOps.asofJoinCustom _,
     "q19_partitioned_sink" -> graft.sources.Sources.partitionedSink _,
+    "q28_json_extract" -> FrameOps.jsonExtract _,
+    "q29_sql_api" -> FrameOps.sqlApi _,
     "q20_token_stats" -> TextOps.tokenStats _,
     "q21_quality_score" -> TextOps.qualityScore _,
     "q22_top_terms" -> TextOps.topTerms _,
@@ -323,6 +325,25 @@ object SparkEntry {
         |  CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
         |  CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_word
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q28_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT k) AS n_distinct_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM e WHERE k IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_sql_api" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "q30_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id,

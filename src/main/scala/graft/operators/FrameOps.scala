@@ -290,6 +290,41 @@ object FrameOps {
         approx_count_distinct(col("l_partkey"), rsd = 0.02).as("n_parts_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Semi-structured column extraction: the event props JSON parsed
+    * in-plan (get_json_object is codegen'd; no UDF, no driver-side
+    * parsing) and aggregated per event type. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** The SQL entry path: the same engine driven by SQL text over
+    * registered views (what a reference user migrating SQL workloads
+    * would write). Catalyst plans it identically to the DataFrame
+    * form. */
+  def sqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    spark.sql(
+      """SELECT n_name,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM v_customer
+        |JOIN v_orders ON o_custkey = c_custkey
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
   /** Tumbling-window rollup (batch twin of the streaming query):
     * date_trunc + two-key groupBy, partial-agg friendly. */
   def eventRollup(spark: SparkSession, dir: String): DataFrame =
