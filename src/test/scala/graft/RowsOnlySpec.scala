@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.MlOps
+
+/** Invariant checks for the rows-only (non-oracle) queries not
+  * already covered by a dedicated spec — the driver only smoke-checks
+  * rows>0 for these, so the semantic guarantees live here.
+  */
+class RowsOnlySpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("pairwise similarity eval is a consistent single summary row") {
+    val r = MlOps.pairwiseSimilarity(spark, sf).head
+    assert(r.getAs[Long]("n_test") > 0)
+    assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_test"))
+  }
+
+  test("doc embeddings: one summary per doc, norms non-negative") {
+    val out = MlOps.docEmbedding(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("l2_norm") < 0).count() == 0)
+    assert(out.select("n_dims").distinct().head.getLong(0) == 16L)
+  }
+
+  test("similarity filter keeps a strict non-empty subset with bounded cosine") {
+    val out = MlOps.filterBySimilarity(spark, sf)
+    val n = out.count()
+    assert(n > 0 && n < Tables.documents(spark, sf).count())
+    assert(out.filter(col("best_sim") > 1.000001 || col("best_sim") < -1.000001).count() == 0)
+  }
+
+  test("fm regression emits a positive rmse over the full test split") {
+    val r = MlOps.fmRegression(spark, sf).head
+    val expected = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) === 0).count()
+    assert(r.getAs[Long]("n_test") == expected)
+    assert(r.getAs[Double]("rmse") > 0.0)
+  }
+
+  test("cv tuning reports one accuracy in [0,1] per grid candidate") {
+    val rows = MlOps.cvTuning(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  test("binary classification covers the split with binary labels") {
+    val rows = MlOps.binaryClassify(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("label")).toSet.subsetOf(Set(0L, 1L)))
+    val expected = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) === 0).count()
+    assert(rows.map(_.getAs[Long]("n_test")).sum == expected)
+  }
+
+  test("lda doc topics: one dominant topic per doc with weight in (0,1]") {
+    val out = MlOps.ldaDocTopics(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("topic") < 0 || col("topic") > 4).count() == 0)
+    assert(out.filter(col("weight") <= 0 || col("weight") > 1).count() == 0)
+  }
+}
