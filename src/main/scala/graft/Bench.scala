@@ -15,10 +15,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     // stable order + inter-query hygiene: ML queries leave broadcast
     // blocks and model state behind; clearing between queries keeps
-    // later timings honest. Best-of-2 per query damps single-JVM
-    // GC/JIT noise (observed >5x swings on identical plans).
+    // later timings honest. Best-of-2 damps single-JVM GC/JIT noise
+    // (observed >5x swings on identical plans) — but only for cheap
+    // queries, so the expensive ML fits don't double total wall time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -26,7 +27,8 @@ object Bench {
         System.gc()
         dt
       }
-      name -> times.min
+      val first = once()
+      name -> (if (first < 5.0) math.min(first, once()) else first)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
