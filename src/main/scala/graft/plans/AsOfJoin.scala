@@ -47,8 +47,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  /** Pinned partition count: zipPartitions needs BOTH sides at the
+    * same parallelism, and AQE's partition coalescing could otherwise
+    * shrink the two shuffles differently. */
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
