@@ -35,8 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(tokens, n) - distinct word n-gram shingles"),
-      (args: Seq[Expression]) => WordNGrams(args.head,
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).foldable,
+          "word_ngrams(tokens, n): n must be a literal")
+        val n = args(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams: n must be an integral literal, got $other")
+        }
+        WordNGrams(args.head, n)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of two arrays"),

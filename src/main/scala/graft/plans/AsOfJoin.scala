@@ -67,6 +67,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  /** Rows stay hash-partitioned by the left key — advertising it lets
+    * Catalyst skip a re-shuffle for downstream groupBy/join on that
+    * key. */
+  override def outputPartitioning = left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKey = leftKey
     val rKey = rightKey
@@ -135,9 +140,15 @@ object AsOfJoin {
       rightTie: String = null): DataFrame = {
     val lPlan = ColumnShim.analyzed(left)
     val rPlan = ColumnShim.analyzed(right)
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def attr(p: LogicalPlan, name: String): Attribute = {
+      val a = p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name"))
+      // the exec reads keys/times as raw longs; narrower types would
+      // be read with the wrong byte stride (silently wrong joins)
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of join column $name must be LongType, got ${a.dataType}")
+      a
+    }
     val tie = attr(rPlan, if (rightTie == null) rightTime else rightTie)
     ColumnShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),

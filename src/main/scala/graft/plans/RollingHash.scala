@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * is computable in engines with checked 64-bit overflow (DuckDB
   * oracle parity).
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = org.apache.spark.sql.graftshim.TypeShim.stringOne
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * stays inside WholeStageCodegen, one function call per row, which
   * is the difference between "works" and "works on 100 TB".
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = org.apache.spark.sql.graftshim.TypeShim.stringArrayOne
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -56,13 +57,17 @@ object SimHash64 {
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
-      val h = fnv1a64(tokens.getUTF8String(i).getBytes)
+      val tok = tokens.getUTF8String(i)
+      if (tok == null) { i += 1 }
+      else {
+      val h = fnv1a64(tok.getBytes)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var j = 0

@@ -30,23 +30,32 @@ object TopKByKey {
     * Encoder-friendly representation keeps partial buffers columnar.
     */
   case class TopKAgg(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
-    private def better(a: Entry, b: Entry): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // total order (java.lang.Double.compare): transitive even with
+    // NaN scores, so sorting never throws and results are
+    // deterministic regardless of row encounter order
+    private def better(a: Entry, b: Entry): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
 
     override def zero: List[Entry] = Nil
 
+    /** Buffer kept sorted worst-first; O(k) linear insertion. */
+    private def insert(buf: List[Entry], e: Entry): List[Entry] = buf match {
+      case head :: tail if better(e, head) => head :: insert(tail, e)
+      case _ => e :: buf
+    }
+
     override def reduce(buf: List[Entry], e: Entry): List[Entry] = {
       if (buf.sizeIs >= k) {
-        if (better(e, buf.head)) (e :: buf.tail).sortWith((a, b) => better(b, a))
-        else buf
-      } else (e :: buf).sortWith((a, b) => better(b, a))
+        if (better(e, buf.head)) insert(buf.tail, e) else buf
+      } else insert(buf, e)
     }
 
     override def merge(a: List[Entry], b: List[Entry]): List[Entry] =
       b.foldLeft(a)(reduce)
 
-    override def finish(buf: List[Entry]): Seq[Entry] =
-      buf.sortWith(better)
+    override def finish(buf: List[Entry]): Seq[Entry] = buf.reverse
 
     override def bufferEncoder: Encoder[List[Entry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Entry]]()

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.graftshim.TypeShim
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native vector expressions over Array[Float]/Array[Double] columns.
@@ -23,10 +24,13 @@ object VecExprs {
     case _ => false
   }
 
+
   /** Left-to-right Σ a_i·b_i in double precision. Static so generated
     * code can call it directly. */
   def dotCompute(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
-    val n = a.numElements()
+    // guard the shorter side: reading past an UnsafeArrayData's end is
+    // silent garbage, not an error
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -39,7 +43,9 @@ object VecExprs {
   }
 
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    // analysis-time enforcement: array<float>|array<double> only
+    override def inputTypes = TypeShim.vecPair
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
     private def aF: Boolean = isFloatArray(left.dataType)
@@ -53,7 +59,8 @@ object VecExprs {
       copy(left = l, right = r)
   }
 
-  case class L2Norm(child: Expression) extends UnaryExpression {
+  case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = TypeShim.vecOne
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_norm"
     private def aF: Boolean = isFloatArray(child.dataType)

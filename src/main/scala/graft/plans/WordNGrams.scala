@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * compatible via a static `compute` forwarder, cutting shingle
   * construction cost ~5× (see SURVEY.md §5).
   */
-case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
+  override def inputTypes = org.apache.spark.sql.graftshim.TypeShim.stringArrayOne
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
@@ -52,12 +54,17 @@ object WordNGrams {
     while (i <= len - n) {
       val parts = new Array[UTF8String](2 * n - 1)
       var j = 0
+      var hasNull = false
       while (j < n) {
         if (j > 0) parts(2 * j - 1) = Space
-        parts(2 * j) = tokens.getUTF8String(i + j)
+        val tok = tokens.getUTF8String(i + j)
+        if (tok == null) hasNull = true
+        parts(2 * j) = tok
         j += 1
       }
-      seen += UTF8String.concat(parts: _*)
+      // windows containing null tokens are skipped (the declared
+      // element type is non-null)
+      if (!hasNull) seen += UTF8String.concat(parts: _*)
       i += 1
     }
     new GenericArrayData(seen.toArray[Any])
