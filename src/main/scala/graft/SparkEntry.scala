@@ -75,6 +75,7 @@ object SparkEntry {
     "q59_lda_doc_topics" -> MlOps.ldaDocTopics _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> Multimodal.decodeFeatures _,
+    "q62_frame_sample" -> Multimodal.frameSample _,
     "q70_stream_rollup" -> StreamOps.rollup10m _,
   )
 

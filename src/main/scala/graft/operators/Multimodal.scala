@@ -67,6 +67,44 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  /** Per-frame record emitted by the frame sampler. */
+  case class Frame(doc_id: Long, frame_idx: Long, offset: Long,
+      frame_bytes: Long, luma: Double)
+
+  /** Frame sampling / resize plumbing: treat the payload as a fake
+    * video (fixed-size "frames" over the byte stream), sample every
+    * k-th frame, and emit per-frame features. flatMapPartitions shape:
+    * one decoder per partition, 0..n output rows per input row — the
+    * real pattern for video corpora where frames explode row counts.
+    * STUB: frame boundaries/features are deterministic fakes; the
+    * schema, partition-batch shape, and explode semantics are real. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val every = 4
+    val frameSize = 32
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    assets.mapPartitions { it =>
+      it.flatMap { case (id, payload) =>
+        val nFrames = payload.length / frameSize
+        (0 until nFrames by every).iterator.map { f =>
+          val off = f * frameSize
+          var sum = 0L
+          var i = off
+          while (i < off + frameSize) { sum += (payload(i) & 0xff); i += 1 }
+          Frame(id, f.toLong, off.toLong, frameSize.toLong,
+            math.rint(sum.toDouble / frameSize * 100) / 100)
+        }
+      }
+    }.toDF()
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sampled_frames"),
+        round(avg(col("luma")), 2).as("avg_luma"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stand-in for an image/audio decode (???-grade stub:
     * replace with a real codec when the runtime has one). */
   private def fakeDecode(payload: Array[Byte]): (Long, Long, Double) = {

@@ -48,6 +48,18 @@ class MlStreamSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Double]("avg_feat") > 0.0)) // from real bytes
   }
 
+  test("frame sampling emits every 4th frame of each sufficiently long doc") {
+    val out = Multimodal.frameSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nChars = Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("doc_id") === r.getLong(0))
+        .head.getAs[Long]("n_chars")
+      val expected = (0 until (nChars / 32).toInt by 4).size
+      assert(r.getAs[Long]("n_sampled_frames") == expected)
+    }
+  }
+
   test("streaming dedup counts match batch distinct after a duplicated replay") {
     val staged = java.nio.file.Files.createTempDirectory("graft_dedup")
     // stage the file TWICE: the stream sees every event duplicated
