@@ -53,6 +53,7 @@ object SparkEntry {
     "q32_dedup_minhash" -> Dedup.minhash _,
     "q33_dedup_simhash" -> Dedup.simhash _,
     "q34_dedup_embed" -> Dedup.embedNearDup _,
+    "q35_dedup_clusters" -> Dedup.clusters _,
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
     "q41_knn_ivf" -> SimilaritySearch.knnIvf _,
     "q42_dim_reduction" -> SimilaritySearch.dimReduction _,

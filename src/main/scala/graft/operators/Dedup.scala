@@ -200,6 +200,48 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Near-dup CLUSTERS from the Jaccard pair list: connected
+    * components by iterative min-label propagation (the standard
+    * large-graph CC — each round is one shuffle join edges⋈labels +
+    * one min-aggregate; rounds ≈ component diameter, with
+    * convergence checked on the driver via a scalar count). Output:
+    * every doc in a non-singleton component with its cluster id
+    * (= min doc_id in the component) and the cluster size — the
+    * "keep one per cluster" step that completes near-dedup. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = jaccard(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val propagated = sym
+        .join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+        .persist()
+      changed = propagated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = propagated
+      rounds += 1
+    }
+    val out = labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("cluster_id"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy(col("cluster_id"))
+    sym.unpersist()
+    out
+  }
+
   /** Seed-fixed pseudo-random unit-free hyperplanes (deterministic
     * across JVMs: scala.util.Random is a fixed LCG). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -54,6 +54,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clusters match a union-find over the jaccard pairs") {
+    val pairs = Dedup.jaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (_, ms) => (ms.min, ms.sorted.mkString(",")) }.toSet
+    val got = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == expected)
+  }
+
   test("TopKByKey bounded aggregator: k best, score desc, id tie-break asc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
