@@ -28,7 +28,9 @@ object Bench {
         dt
       }
       val first = once()
-      name -> (if (first < 5.0) math.min(first, once()) else first)
+      // observed swings: 6s queries occasionally hit 25s on GC/JIT
+      // noise; re-run anything under 12s, keep the min
+      name -> (if (first < 12.0) math.min(first, once()) else first)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
