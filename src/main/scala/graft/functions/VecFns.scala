@@ -18,9 +18,15 @@ object VecFns {
 
   def norm(a: Column): Column = graft.plans.VecExprs.norm(a)
 
-  /** Cosine similarity; null-safe for zero vectors. */
+  /** Cosine similarity; null (not an ANSI divide-by-zero error) for
+    * zero vectors. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    ratio(dot(a, b), norm(a) * norm(b))
+
+  /** num/denom, null when denom is 0 — Spark 4 runs ANSI mode by
+    * default, where double division by zero throws. */
+  def ratio(num: Column, denom: Column): Column =
+    when(denom =!= 0.0, num / denom)
 
   /** Quantized squared magnitude per dimension support: round(v·1e6)
     * as long — integer arithmetic downstream is exact and

@@ -50,12 +50,47 @@ object MlOps {
         .setNumPartitions(1).setMaxIter(1)
         .fit(tokenized(spark, dir)))
 
+  /** Shared CountVectorizer+LDA fit (q51 topics and q59 doc-topics
+    * use the same seed-fixed model — same registry idea as w2vCache). */
+  private val ldaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.ml.feature.CountVectorizerModel,
+      org.apache.spark.ml.clustering.LDAModel)]
+
+  private def ldaModels(spark: SparkSession, dir: String) =
+    ldaCache.getOrElseUpdate(dir, {
+      val docs = tokenized(spark, dir)
+      val cv = new CountVectorizer()
+        .setInputCol("tokens").setOutputCol("features")
+        .setMinDF(5).setVocabSize(1000)
+        .fit(docs)
+      val lda = new LDA()
+        .setK(5).setMaxIter(10).setSeed(42L).setOptimizer("em")
+        .fit(cv.transform(docs))
+      (cv, lda)
+    })
+
+  /** Per-doc mean word vector (shared by docEmbedding, wordItemSearch
+    * and filterBySimilarity — the document-embedding base table). */
+  private def itemVecs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    val w2v = word2vecModel(spark, dir, 16)
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("tokens")).as("word"))
+      .join(broadcast(w2v.getVectors), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("iv"))
+  }
+
   /** TrainWord2Vec (train/train_word2vec.py:10): skip-gram embeddings
     * over the corpus; output = top-3 synonyms for 5 probe words.
     * numPartitions=1 + fixed seed → deterministic vectors. */
   def word2vec(spark: SparkSession, dir: String): DataFrame = {
     val model = word2vecModel(spark, dir, 32)
-    val probes = Seq("spark", "table", "join", "data", "query")
+    // findSynonyms throws on out-of-vocabulary words: probe only the
+    // words the corpus actually trained
+    val vocab = model.getVectors.select("word").collect().map(_.getString(0)).toSet
+    val probes = Seq("spark", "table", "join", "data", "query").filter(vocab)
+    require(probes.nonEmpty, "no probe word in the trained vocabulary")
     probes.map { w =>
       model.findSynonyms(w, 3)
         .withColumn("probe", lit(w))
@@ -68,14 +103,7 @@ object MlOps {
   /** TrainLdaModel (train/train_lda_model.py:11, model/lda_model.py):
     * CountVectorizer → LDA(EM), k=5; output = top-5 terms per topic. */
   def lda(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tokenized(spark, dir)
-    val cv = new CountVectorizer()
-      .setInputCol("tokens").setOutputCol("features")
-      .setMinDF(5).setVocabSize(1000)
-      .fit(docs)
-    val ldaModel = new LDA()
-      .setK(5).setMaxIter(10).setSeed(42L).setOptimizer("em")
-      .fit(cv.transform(docs))
+    val (cv, ldaModel) = ldaModels(spark, dir)
     val vocab = cv.vocabulary
     import spark.implicits._
     ldaModel.describeTopics(5).select(col("topic"), posexplode(col("termIndices")))
@@ -90,15 +118,8 @@ object MlOps {
     * weight, plus the corpus perplexity attached to every row (the
     * reference logs it per fit). */
   def ldaDocTopics(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tokenized(spark, dir)
-    val cv = new CountVectorizer()
-      .setInputCol("tokens").setOutputCol("features")
-      .setMinDF(5).setVocabSize(1000)
-      .fit(docs)
-    val vectorized = cv.transform(docs)
-    val ldaModel = new LDA()
-      .setK(5).setMaxIter(10).setSeed(42L).setOptimizer("em")
-      .fit(vectorized)
+    val (cv, ldaModel) = ldaModels(spark, dir)
+    val vectorized = cv.transform(tokenized(spark, dir))
     val perplexity = math.rint(
       ldaModel.asInstanceOf[org.apache.spark.ml.clustering.DistributedLDAModel]
         .toLocal.logPerplexity(vectorized) * 1000) / 1000
@@ -240,16 +261,11 @@ object MlOps {
     val docs = tokenized(spark, dir)
     val w2v = word2vecModel(spark, dir, 16)
     import spark.implicits._
-    import org.apache.spark.ml.stat.Summarizer
-    val wordVecs = w2v.getVectors.withColumnRenamed("word", "word")
-    docs.select(col("doc_id"), explode(col("tokens")).as("word"))
-      .join(broadcast(wordVecs), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("m"))
+    itemVecs(spark, dir)
       .select(col("doc_id"),
-        round(sqrt(aggregate(col("m"), lit(0.0), (acc, v) => acc + v * v)), 4)
+        round(sqrt(aggregate(col("iv"), lit(0.0), (acc, v) => acc + v * v)), 4)
           .as("l2_norm"),
-        size(col("m")).cast("long").as("n_dims"))
+        size(col("iv")).cast("long").as("n_dims"))
       .orderBy(col("doc_id"))
   }
 
@@ -264,16 +280,12 @@ object MlOps {
     import spark.implicits._
     val docs = tokenized(spark, dir)
     val w2v = word2vecModel(spark, dir, 16)
-    import org.apache.spark.ml.stat.Summarizer
     val wordVecs = w2v.getVectors
       .select(col("word"), vector_to_array(col("vector")).as("wv"))
-    val itemVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
-      .join(broadcast(w2v.getVectors), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("iv"))
+    val items = itemVecs(spark, dir)
     val probes = wordVecs.filter(col("word").isin("spark", "table", "join", "data", "query"))
     // stage 1: dot-product prequery, top-20 per word
-    val pre = itemVecs.crossJoin(broadcast(probes))
+    val pre = items.crossJoin(broadcast(probes))
       .withColumn("dot", graft.plans.VecExprs.dot(col("iv"), col("wv")))
       .withColumn("prerank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
@@ -307,23 +319,16 @@ object MlOps {
     * vectors broadcast; one pass over the items, greatest-of-dots
     * filter, no shuffle until the output ordering. */
   def filterBySimilarity(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.stat.Summarizer
-    val docs = tokenized(spark, dir)
     val w2v = word2vecModel(spark, dir, 16)
     val wordVecs = w2v.getVectors
       .select(col("word"), vector_to_array(col("vector")).as("wv"))
-    val itemVecs = docs.select(col("doc_id"), explode(col("tokens")).as("word"))
-      .join(broadcast(w2v.getVectors), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("iv"))
     val kws = wordVecs.filter(col("word").isin("spark", "join"))
       .select(col("word").as("kw"), col("wv"))
     // synthetic doc means are all near the word-vector centroid, so
     // the discriminating threshold sits high (median best_sim ≈ .994)
     val threshold = 0.994
-    itemVecs.crossJoin(broadcast(kws))
-      .withColumn("cos", graft.plans.VecExprs.dot(col("iv"), col("wv")) /
-        (graft.plans.VecExprs.norm(col("iv")) * graft.plans.VecExprs.norm(col("wv"))))
+    itemVecs(spark, dir).crossJoin(broadcast(kws))
+      .withColumn("cos", graft.functions.VecFns.cosine(col("iv"), col("wv")))
       .groupBy(col("doc_id"))
       .agg(round(max(col("cos")), 4).as("best_sim"))
       .filter(col("best_sim") >= threshold)

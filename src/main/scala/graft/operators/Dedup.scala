@@ -217,7 +217,8 @@ object Dedup {
       .withColumn("label", col("id")).persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 30 // >= diameter of any plausible near-dup chain
+    while (changed > 0 && rounds < maxRounds) {
       val propagated = sym
         .join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
@@ -231,6 +232,9 @@ object Dedup {
       labels = propagated
       rounds += 1
     }
+    // fail loudly rather than emit silently-split components
+    require(changed == 0,
+      s"connected components did not converge in $maxRounds rounds")
     val out = labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -238,8 +242,13 @@ object Dedup {
       .select(col("cluster_id"), col("cluster_size"),
         concat_ws(",", col("members")).as("members"))
       .orderBy(col("cluster_id"))
+    // materialize before dropping the lineage caches (the cluster
+    // table is near-dup-sized — small by construction)
+    val materialized = out.persist()
+    materialized.count()
+    labels.unpersist()
     sym.unpersist()
-    out
+    materialized
   }
 
   /** Seed-fixed pseudo-random unit-free hyperplanes (deterministic

@@ -35,7 +35,8 @@ object SimilaritySearch {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(
-        VecFns.dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
     topKSelect(scored, 5)
   }
 
@@ -75,7 +76,8 @@ object SimilaritySearch {
     def nearestCells(df: DataFrame, keep: Int): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("csim",
-          VecFns.dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          VecFns.ratio(VecFns.dot(col("embedding"), col("cv")),
+            col("nrm") * col("cnrm")))
         .withColumn("crank", row_number().over(
           Window.partitionBy(col("vec_id"))
             .orderBy(col("csim").desc, col("cent_id"))))
@@ -89,7 +91,8 @@ object SimilaritySearch {
     val scored = corpusCells.join(queryCells, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(
-        VecFns.dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
     topKSelect(scored, 5)
   }
 

@@ -17,6 +17,7 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"saltedJoin: buckets must be >= 1, got $buckets")
     val salted = fact.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
     val expanded = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -37,9 +37,11 @@ object WordItemApp {
       .orderBy(col("keyword"))
   }
 
-  /** Clicked item id from the event props payload. */
+  /** Clicked item id from the event props payload — get_json_object
+    * is null on a missing key (an empty-string regexp_extract would
+    * THROW on the long cast under Spark 4's default ANSI mode). */
   private def itemFromProps: Column =
-    regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+    get_json_object(col("props"), "$.k").cast("long")
 
   /** MakeClickTrainData: positives = observed (user, item) clicks;
     * negatives = deterministic hash-sample of the unclicked
