@@ -49,7 +49,7 @@ object SparkEntry {
     "q26_fingerprint" -> TextOps.fingerprint _,
     "q27_bpe_tokens" -> TextOps.bpeTokens _,
     "q30_dedup_exact" -> Dedup.exact _,
-    "q31_dedup_jaccard" -> Dedup.jaccard _,
+    "q31_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q32_dedup_minhash" -> Dedup.minhash _,
     "q33_dedup_simhash" -> Dedup.simhash _,
     "q34_dedup_embed" -> Dedup.embedNearDup _,

@@ -52,18 +52,30 @@ object Dedup {
           a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("na"),
           b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("nb")))))
 
+  /** Stop-shingle posting cap: shingles shared by more than this many
+    * docs are dropped from the inverted index before pair generation.
+    * Non-binding at test SFs (max df = 25 at sf0.1) so the q31 oracle
+    * is exact; at web scale it bounds the worst posting array — one
+    * boilerplate phrase otherwise yields an O(df²) pair explosion.
+    * Dropping a shingle only LOWERS a pair's computed intersection,
+    * so capped output is always a subset of the uncapped output
+    * (precision stays 1; the recall cost is asserted in DedupSpec). */
+  val defaultMaxDf = 256
+
   /** n-gram Jaccard near-dup via shingle inverted index: one scan →
     * explode shingles (n_sh carried along) → group postings per
-    * shingle → pair generation from the posting array (no self-join,
-    * no recomputation) → per-pair intersection counts → Jaccard from
-    * |A|+|B|−|A∩B|. Two shuffles total. At 100 TB you'd additionally
-    * cap hot-shingle posting lists — same plan shape. */
-  def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    * shingle → drop hot postings (df > maxDf) → pair generation from
+    * the posting array (no self-join, no recomputation) → per-pair
+    * intersection counts → Jaccard from |A|+|B|−|A∩B|. Two shuffles
+    * total. */
+  def jaccard(spark: SparkSession, dir: String,
+      maxDf: Int = defaultMaxDf): DataFrame = {
     val sh = shingled(spark, dir)
       .select(col("doc_id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("sh"))
     val postings = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
     postings
       .select(explode(postingPairs(col("docs"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -105,20 +117,31 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("key"))
     }: _*)
+    // Band-bucket cap (same rationale as the shingle posting cap): a
+    // bucket of B docs yields B²/2 candidates; at 100 TB a boilerplate-
+    // heavy corpus can put millions of near-identical docs in one
+    // bucket. Dropped pairs there are overwhelmingly exact dups, which
+    // the exact pass (Dedup.exact) already collapses. Non-binding at
+    // test SFs, so DedupSpec recall/precision asserts are unaffected.
     val buckets = sig
       .select(col("doc_id"), explode(bandCols).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= defaultMaxDf)
     val cand = buckets
       .select(explode(flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    // exact re-verification: the 5k-row shingle-set table broadcasts
+    // exact re-verification: plain equi-joins against the corpus
+    // shingle table. NO broadcast hint — at test SF Catalyst/AQE pick
+    // broadcast from stats; at 100 TB the shingle table is tens of GB
+    // and the same plan degrades gracefully to a shuffle join keyed on
+    // doc id (the candidate side is near-dup-sized either way).
     cand
-      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha"))), "doc_a")
-      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb"))), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))), 6))
@@ -180,8 +203,10 @@ object Dedup {
     }: _*)
     // candidate generation shuffles ONLY (table, bucket, id) — the
     // 64-float embeddings never ride through the pair explosion; they
-    // are joined back per candidate (broadcast at this scale, shuffle
-    // join at 100 TB — the pair set is near-dup-sized either way).
+    // are joined back per candidate with UNHINTED equi-joins (AQE
+    // broadcasts at this scale from stats; at 100 TB the embedding
+    // table is too big to broadcast and the same plan shuffle-joins
+    // on vec id — the pair set is near-dup-sized either way).
     val cand = emb
       .select(col("vec_id"), explode(tableCols).as("tb"))
       .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
@@ -192,8 +217,8 @@ object Dedup {
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
       .distinct()
     cand
-      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
-      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("cos", round(VecFns.cosine(col("ea"), col("eb")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos"))
@@ -202,34 +227,45 @@ object Dedup {
 
   /** Near-dup CLUSTERS from the Jaccard pair list: connected
     * components by iterative min-label propagation (the standard
-    * large-graph CC — each round is one shuffle join edges⋈labels +
-    * one min-aggregate; rounds ≈ component diameter, with
-    * convergence checked on the driver via a scalar count). Output:
-    * every doc in a non-singleton component with its cluster id
-    * (= min doc_id in the component) and the cluster size — the
-    * "keep one per cluster" step that completes near-dedup. */
+    * large-graph CC — rounds ≈ component diameter). Each round is ONE
+    * job over the cached graph: the neighbor-min join and the
+    * converged? flag are computed in the same cached frame, so there
+    * is no separate driver-side comparison join per round. The pair
+    * graph is near-dup-sized (bounded by the dup rate, orders of
+    * magnitude smaller than the corpus), so it is materialized once
+    * and collapsed to a few partitions — per-round work then costs
+    * scheduler time, not shuffle time; at a 100 TB dup-heavy corpus
+    * the same plan simply keeps more partitions. */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = jaccard(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // materialize the symmetric edge list ONCE (the jaccard scan never
+    // re-runs) and shrink it: the graph is tiny relative to the corpus
     val sym = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(4).persist()
+    sym.count()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id"))
+    var cached = labels.persist() // persisted frame currently backing `labels`
     var changed = 1L
     var rounds = 0
     val maxRounds = 30 // >= diameter of any plausible near-dup chain
     while (changed > 0 && rounds < maxRounds) {
-      val propagated = sym
-        .join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-        .unionByName(labels)
-        .groupBy(col("id"))
-        .agg(min(col("label")).as("label"))
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        .withColumnRenamed("src", "id")
+      // new label + per-row changed flag in one frame; `least` skips
+      // the null nbr of rows with no lower-labeled neighbor
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), col("nbr")).as("label"),
+          (col("nbr") < col("label")).as("ch"))
         .persist()
-      changed = propagated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = propagated
+      changed = prop.filter(col("ch")).count() // the round's only action
+      cached.unpersist()
+      cached = prop
+      labels = prop.select(col("id"), col("label"))
       rounds += 1
     }
     // fail loudly rather than emit silently-split components
@@ -246,7 +282,7 @@ object Dedup {
     // table is near-dup-sized — small by construction)
     val materialized = out.persist()
     materialized.count()
-    labels.unpersist()
+    cached.unpersist()
     sym.unpersist()
     materialized
   }

@@ -29,6 +29,19 @@ class DedupSpec extends AnyFunSuite {
     assert((approx -- exact).isEmpty)
   }
 
+  test("stop-shingle cap: capped pairs ⊆ uncapped, recall stays high") {
+    val uncapped = pairSet(Dedup.jaccard(spark, sf, maxDf = Int.MaxValue), "doc_a", "doc_b")
+    // default cap (256) must be non-binding at test SF: identical output
+    assert(pairSet(Dedup.jaccard(spark, sf), "doc_a", "doc_b") == uncapped)
+    // an aggressively binding cap may only LOSE pairs (never invent):
+    // dropping a shingle lowers the computed intersection, so capped
+    // jaccard <= true jaccard and the >=0.5 filter admits a subset
+    val capped = pairSet(Dedup.jaccard(spark, sf, maxDf = 6), "doc_a", "doc_b")
+    assert((capped -- uncapped).isEmpty)
+    val recall = (uncapped intersect capped).size.toDouble / uncapped.size
+    assert(recall >= 0.8, s"capped recall $recall over ${uncapped.size} pairs")
+  }
+
   test("simhash near-dups overlap heavily with jaccard near-dups") {
     val jac = pairSet(Dedup.jaccard(spark, sf), "doc_a", "doc_b")
     val sim = pairSet(Dedup.simhash(spark, sf), "doc_a", "doc_b")

@@ -36,9 +36,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
   }
 
-  test("minhash verification joins broadcast the shingle tables") {
-    val p = plan(Dedup.minhash(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("dedup verify joins carry no mandatory broadcast hint") {
+    // a hardcoded broadcast() of the corpus-sized shingle/embedding
+    // table would OOM at 100×; the verify joins must be plain
+    // equi-joins whose strategy Catalyst/AQE picks from stats
+    for (df <- Seq(Dedup.minhash(spark, sf), Dedup.embedNearDup(spark, sf))) {
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), analyzed)
+    }
+    // and the plan still verifies: minhash output is non-empty at sf
+    assert(Dedup.minhash(spark, sf).limit(1).count() == 1)
   }
 
   test("exact dedup shuffles digests, not text") {
