@@ -72,21 +72,28 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     * key. */
   override def outputPartitioning = left.outputPartitioning
 
+  /** Ordinal of an attribute expression in a schema. The user API
+    * only ever passes Attributes, so the merge loop can read key/time
+    * as raw getLong(ordinal) — no per-row projection allocation. */
+  private def ordinalOf(e: Expression, schema: Seq[Attribute]): Int = e match {
+    case a: Attribute =>
+      val i = schema.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"attribute $a not found in child output")
+      i
+    case other =>
+      throw new IllegalStateException(s"as-of join key/time must be a column, got $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = leftKey
-    val rKey = rightKey
-    val lTime = leftTime
-    val rTime = rightTime
-    val lSchema = left.output
-    val rSchema = right.output
+    val lKeyOrd = ordinalOf(leftKey, left.output)
+    val lTimeOrd = ordinalOf(leftTime, left.output)
+    val rKeyOrd = ordinalOf(rightKey, right.output)
+    val rTimeOrd = ordinalOf(rightTime, right.output)
+    val rSchemaLen = right.output.length
     val out = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lKey), lSchema)
-      val lTimeProj = UnsafeProjection.create(Seq(lTime), lSchema)
-      val rKeyProj = UnsafeProjection.create(Seq(rKey), rSchema)
-      val rTimeProj = UnsafeProjection.create(Seq(rTime), rSchema)
       val result = UnsafeProjection.create(out, out)
-      val nullRight = new GenericInternalRow(rSchema.length)
+      val nullRight = new GenericInternalRow(rSchemaLen)
       val joined = new JoinedRow
 
       // streaming merge: both sides sorted by (key, time)
@@ -95,12 +102,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var heldHasKey = false
       var held: InternalRow = null // latest right row for heldKey so far
 
-      def rightKeyOf(r: InternalRow): Long = rKeyProj(r).getLong(0)
-      def rightTimeOf(r: InternalRow): Long = rTimeProj(r).getLong(0)
+      def rightKeyOf(r: InternalRow): Long = r.getLong(rKeyOrd)
+      def rightTimeOf(r: InternalRow): Long = r.getLong(rTimeOrd)
 
       lIt.map { lRow =>
-        val k = lKeyProj(lRow).getLong(0)
-        val t = lTimeProj(lRow).getLong(0)
+        val k = lRow.getLong(lKeyOrd)
+        val t = lRow.getLong(lTimeOrd)
         // drop right rows for keys before k
         while (rBuf.hasNext && rightKeyOf(rBuf.head) < k) {
           rBuf.next(); heldHasKey = false
