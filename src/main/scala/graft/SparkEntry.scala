@@ -74,6 +74,10 @@ object SparkEntry {
     "q57_cv_tuning" -> MlOps.cvTuning _,
     "q58_binary_classification" -> MlOps.binaryClassify _,
     "q59_lda_doc_topics" -> MlOps.ldaDocTopics _,
+    "q63_mf_item_sim" -> ((s: SparkSession, d: String) => MlOps.mfItemSimilarity(s, d)),
+    "q64_feature_agg_sim" -> MlOps.featureAggSimilarity _,
+    "q65_gcmc_conv" -> MlOps.gcmcConv _,
+    "q66_early_stopping" -> MlOps.earlyStopTrain _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> Multimodal.decodeFeatures _,
     "q62_frame_sample" -> Multimodal.frameSample _,

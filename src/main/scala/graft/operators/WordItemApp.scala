@@ -46,8 +46,12 @@ object WordItemApp {
   /** MakeClickTrainData: positives = observed (user, item) clicks;
     * negatives = deterministic hash-sample of the unclicked
     * (user, item) cross space (reproducible at any cluster size — the
-    * reference samples with numpy on the driver). The cross join is
-    * over the DISTINCT key spaces (small), never over raw events. */
+    * reference samples with numpy on the driver). The sampling rule
+    * (user·31 + item) % 20 == 0 is solved for the item residue, so
+    * negatives come from an EQUI-join of users to the matching item
+    * residue class: the work is exactly the output size (1/20 of the
+    * cross space), never the O(|users|×|items|) cross join a
+    * post-join filter would scan. */
   def clickTrainData(spark: SparkSession, dir: String): DataFrame = {
     val clicks = Tables.events(spark, dir)
       .filter(col("event_type") === "click")
@@ -57,8 +61,11 @@ object WordItemApp {
       .agg(count(lit(1)).as("n_clicks"))
     val users = clicks.select(col("user_id")).distinct()
     val items = clicks.select(col("item")).distinct()
-    val neg = users.crossJoin(items)
-      .filter(pmod(col("user_id") * 31 + col("item"), lit(20)) === 0)
+    // (u·31 + i) % 20 == 0  ⟺  i % 20 == (20 − (u·31 % 20)) % 20
+    val neg = users
+      .withColumn("resid", pmod(lit(20) - pmod(col("user_id") * 31, lit(20)), lit(20)))
+      .join(items.withColumn("resid", pmod(col("item"), lit(20))), Seq("resid"))
+      .drop("resid")
       .join(pos, Seq("user_id", "item"), "left_anti")
     val posStats = pos.agg(
       count(lit(1)).as("n_examples"),

@@ -88,6 +88,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  /** Planted-near-dup fixture: the synthetic embeddings are
+    * near-orthogonal (worst case for LSH/IVF — max cos ≈ 0.5), so
+    * recall floors against them are weak. This dir clones the
+    * embeddings table and plants a high-cosine twin (deterministic
+    * ±3% per-dim perturbation, cos ≈ 0.999) for each vec_id < 50;
+    * recall over the planted pairs is asserted ≥ 0.8 — the regime the
+    * operators actually target. */
+  private lazy val plantedDir: String = {
+    val dir = "/tmp/graft_planted_fixture"
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          (v.cast("double") * (lit(1.0) + lit(0.03) * cos(i.cast("double"))))
+            .cast("float")).as("embedding"),
+        col("label"))
+    emb.unionByName(planted)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("embed LSH recovers planted high-cosine twins (recall >= 0.8)") {
+    val expected = (0L until 50L).map(id => (id, id + 100000L)).toSet
+    val got = pairSet(Dedup.embedNearDup(spark, plantedDir), "vec_a", "vec_b")
+    val recall = (expected intersect got).size.toDouble / expected.size
+    assert(recall >= 0.8, s"planted-twin recall $recall")
+    // every planted pair that IS reported must carry cos ≈ 1
+    val cosById = Dedup.embedNearDup(spark, plantedDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    (expected intersect got).foreach { p =>
+      assert(cosById(p) >= 0.99, s"pair $p cos ${cosById(p)} not near-dup grade")
+    }
+  }
+
+  test("IVF ANN surfaces planted twins in top-5 (recall >= 0.8)") {
+    val ivf = SimilaritySearch.knnIvf(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // queries are vec_id < 10; each has a planted twin at id+100000
+    val hits = (0L until 10L).count(id => ivf.contains((id, id + 100000L)))
+    assert(hits >= 8, s"planted twin found for only $hits/10 queries")
+  }
+
   test("TopKByKey bounded aggregator: k best, score desc, id tie-break asc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.MlOps
+
+/** Specs for the round-2 recommendation-model operators:
+  * MF-factor item similarity, feature-aggregation similarity and the
+  * GCMC per-rating-class graph convolution.
+  */
+class RecModelsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-recmodels-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+
+  test("mf item similarity: top-k shape, cosine bounds, matches re-scored factors") {
+    val rows = MlOps.mfItemSimilarity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-probe: ranks are 1..n, similarity non-increasing, self excluded
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1L to byRank.length).toSeq)
+      val sims = byRank.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"probe $q not sorted desc")
+      assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001),
+        s"probe $q cosine out of bounds")
+      assert(byRank.forall(_.getLong(1) != q), s"probe $q returned itself")
+    }
+    // cross-check one probe against a driver-side cosine over the
+    // same trained factors
+    val factors = MlOps.mfItemSimilarityFactors(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val probe = rows.map(_.getLong(0)).min
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    val exp = factors.filter(_._1 != probe)
+      .map { case (id, v) => (id, math.rint(cos(factors(probe), v) * 1e6) / 1e6) }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(5)
+    val got = rows.filter(_.getLong(0) == probe).sortBy(_.getLong(3))
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp)
+  }
+
+  test("feature-agg similarity: clipped to [-1,1] and bias step lowers MSE vs cosine alone") {
+    val scored = MlOps.featureAggScored(spark, sf).cache()
+    try {
+      val rows = scored.collect()
+      assert(rows.nonEmpty)
+      val mse = scored.agg(
+        avg(pow(col("score") - col("cos"), 2)).as("mse_cos"),
+        avg(pow(col("score") - col("sim"), 2)).as("mse_sim"),
+        max(abs(col("sim"))).as("max_abs")).head()
+      assert(mse.getDouble(2) <= 1.0 + 1e-9, "similarity not clipped to [-1,1]")
+      assert(mse.getDouble(1) <= mse.getDouble(0) + 1e-9,
+        s"bias step should not raise MSE: cos=${mse.getDouble(0)} sim=${mse.getDouble(1)}")
+      // output query: deterministic shape over the same pipeline
+      val out = MlOps.featureAggSimilarity(spark, sf).collect()
+      assert(out.length <= 25 && out.nonEmpty)
+    } finally scored.unpersist()
+  }
+
+  test("early stopping: checkpoints best round, restores it, reference contract") {
+    val rows = MlOps.earlyStopTrain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDecision = rows.groupBy(_.getString(4))
+    // exactly one restored row, whose loss equals the best checkpointed
+    // (improving) round's loss
+    val restored = byDecision("restored")
+    assert(restored.length == 1)
+    val roundLosses = rows.filter(_.getString(4) != "restored").map(_.getDouble(3))
+    assert(restored.head.getDouble(3) == roundLosses.min,
+      s"restored loss ${restored.head.getDouble(3)} != best ${roundLosses.min}")
+    // contract sanity on a driver-side replay: stop only fires after
+    // tryCount plateau rounds
+    val stopRows = byDecision.getOrElse("stop", Array.empty)
+    assert(stopRows.length <= 1)
+    // first round always checkpoints (lastValue starts at +inf)
+    assert(rows.head.getString(4) == "continue" || rows.length == 2)
+  }
+
+  test("early stopping helper: plateau decays rate and stop fires after patience") {
+    import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = Tables.embeddings(spark, sf)
+      .select(array_to_vector(col("embedding")).as("features"),
+        pmod(col("label"), lit(2)).cast("double").as("label"))
+    val m = new LogisticRegression().setMaxIter(2).fit(data)
+    val es = new graft.ml.EarlyStopping[LogisticRegressionModel](
+      tryCount = 2, initialLearningRate = 1.0, decaySpeed = 2.0,
+      threshold = 0.001, savePath = Some("/tmp/graft_es_unit"),
+      reader = LogisticRegressionModel.load)
+    assert(!es.doesStop(10.0, m))          // improve: checkpoint
+    assert(!es.doesStop(10.0, m))          // plateau 1: decay, keep going
+    assert(es.learningRate == 0.5)
+    assert(!es.doesStop(9.0, m))           // improve again: checkpoint
+    assert(es.doesStop(9.5, m))            // plateau 2: tries never reset → stop
+    assert(es.restore().uid == m.uid)
+  }
+
+  test("gcmc conv: per (user, class) mean of neighbor item factors matches driver compute") {
+    val out = MlOps.gcmcConv(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) > 0))
+    // driver-side oracle: rebuild the same aggregation naively
+    val edges = MlOps.ratings(spark, sf)
+      .select(col("user"), col("item"),
+        when(col("rating") < 20, 0).when(col("rating") < 45, 1).otherwise(2)
+          .cast("long").as("rc"))
+      .filter(col("user") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val factors = MlOps.mfItemSimilarityFactors(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val exp = edges.filter(e => factors.contains(e._2))
+      .groupBy(e => (e._1, e._3))
+      .map { case ((u, rc), es) =>
+        val vecs = es.map(e => factors(e._2))
+        val mean = vecs.transpose.map(xs => xs.sum / xs.length)
+        ((u, rc), (es.length.toLong,
+          math.rint(math.sqrt(mean.map(x => x * x).sum) * 1e6) / 1e6))
+      }
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (deg, l2) = exp(key)
+      assert(r.getLong(2) == deg, s"degree mismatch at $key")
+      assert(math.abs(r.getDouble(3) - l2) <= 2e-6, s"conv_l2 mismatch at $key: ${r.getDouble(3)} vs $l2")
+    }
+    assert(out.length == exp.size)
+  }
+}
