@@ -87,9 +87,14 @@ object MlOps {
   def word2vec(spark: SparkSession, dir: String): DataFrame = {
     val model = word2vecModel(spark, dir, 32)
     // findSynonyms throws on out-of-vocabulary words: probe only the
-    // words the corpus actually trained
-    val vocab = model.getVectors.select("word").collect().map(_.getString(0)).toSet
-    val probes = Seq("spark", "table", "join", "data", "query").filter(vocab)
+    // words the corpus actually trained. The membership check filters
+    // the DISTRIBUTED vector table down to the 5 probe words before
+    // collecting (never the whole vocabulary — web-corpus vocab is
+    // 10⁷+ rows).
+    val candidates = Seq("spark", "table", "join", "data", "query")
+    val probes = model.getVectors
+      .filter(col("word").isInCollection(candidates))
+      .select(col("word")).collect().map(_.getString(0)).toSeq.sorted
     require(probes.nonEmpty, "no probe word in the trained vocabulary")
     probes.map { w =>
       model.findSynonyms(w, 3)

@@ -48,6 +48,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(Dedup.minhash(spark, sf).limit(1).count() == 1)
   }
 
+  test("click-train negatives are an equi-join, never a cross product") {
+    val p = plan(graft.operators.WordItemApp.clickTrainData(spark, sf))
+    // the pmod sampling rule is solved for the item residue, so the
+    // negative space comes from a residue-class hash join: a cross
+    // join + post-filter would scan O(|users|×|items|)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mf item similarity broadcasts only the probe set") {
+    val df = graft.ml.MlOps.mfItemSimilarity(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    // exactly the probe-side hint — the full factor table must never
+    // carry a mandatory broadcast
+    assert(analyzed.contains("ResolvedHint"), analyzed)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("exact dedup shuffles digests, not text") {
     val p = plan(Dedup.exact(spark, sf))
     // after the first aggregate the exchange carries the md5 + partials
