@@ -202,8 +202,11 @@ object MlOps {
   /** TrainBinaryClassificationModel (train/train_binary_clasification_
     * model.py:12) through the ModelFactory (factory/
     * prediction_model_factory.py): factory-built estimator, binary
-    * target, deterministic split, eval summary. */
+    * target, deterministic split, eval summary. The `auc` column is
+    * the reference's calculate_auc (model/utils.py:9, sklearn
+    * roc_curve+auc) as MLlib's distributed areaUnderROC. */
   def binaryClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
     val data = Tables.embeddings(spark, dir)
       .select(array_to_vector(col("embedding")).as("features"),
         pmod(col("label"), lit(2)).cast("double").as("label"), col("vec_id"))
@@ -212,10 +215,14 @@ object MlOps {
     val model = ModelFactory.create("logistic_regression")
       .asInstanceOf[LogisticRegression]
       .fit(train)
-    model.transform(test)
+    val scored = model.transform(test)
+    val auc = math.rint(new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").evaluate(scored) * 10000) / 10000
+    scored
       .groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("auc", lit(auc))
       .orderBy(col("label"))
   }
 

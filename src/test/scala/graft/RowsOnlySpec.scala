@@ -49,12 +49,15 @@ class RowsOnlySpec extends AnyFunSuite {
     }
   }
 
-  test("binary classification covers the split with binary labels") {
+  test("binary classification covers the split with binary labels and a valid AUC") {
     val rows = MlOps.binaryClassify(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("label")).toSet.subsetOf(Set(0L, 1L)))
     val expected = Tables.embeddings(spark, sf)
       .filter(pmod(col("vec_id"), lit(5)) === 0).count()
     assert(rows.map(_.getAs[Long]("n_test")).sum == expected)
+    // calculate_auc counterpart: one AUC for the test split, in [0,1]
+    val aucs = rows.map(_.getAs[Double]("auc")).distinct
+    assert(aucs.length == 1 && aucs.head >= 0.0 && aucs.head <= 1.0)
   }
 
   test("lda doc topics: one dominant topic per doc with weight in (0,1]") {
