@@ -319,11 +319,17 @@ object MlOps {
     val feats = pre.select(col("word"), col("doc_id"), col("dot"),
       array_to_vector(zip_with(col("iv"), col("wv"), (x, y) => x * y)).as("features"))
     val labels = docs.select(col("doc_id"), col("tokens"))
+    // the re-rank set is prequery-sized (|words|×20 rows by design,
+    // at any corpus scale): persist it so the corpus prequery runs
+    // ONCE (fit + transform would otherwise each recompute it), and
+    // repartition(1) — a shuffle barrier, so the prequery above it
+    // stays parallel — makes each LBFGS iteration a single task
+    // instead of one per shuffle partition.
     val training = feats.join(labels, Seq("doc_id"))
       .withColumn("label", when(array_contains(col("tokens"), col("word")), 1.0).otherwise(0.0))
       .drop("tokens")
-    // the re-rank set is prequery-sized (|words|×20): iteration count
-    // is pure scheduler overhead beyond convergence on data this small
+      .repartition(1)
+      .persist()
     val model = new LogisticRegression().setMaxIter(10).setRegParam(0.01)
       .fit(training)
     model.transform(training)
@@ -548,8 +554,10 @@ object MlOps {
     val data = Tables.embeddings(spark, dir)
       .select(array_to_vector(col("embedding")).as("features"),
         pmod(col("label"), lit(2)).cast("double").as("label"), col("vec_id"))
-    val train = data.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-    val valid = data.filter(pmod(col("vec_id"), lit(5)) === 0)
+    // one parquet scan each for the whole training loop (6 fits + a
+    // validation aggregation per round would otherwise re-read)
+    val train = data.filter(pmod(col("vec_id"), lit(5)) =!= 0).persist()
+    val valid = data.filter(pmod(col("vec_id"), lit(5)) === 0).persist()
     val ckpt = "/tmp/graft_earlystop_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     val stopper = new EarlyStopping[LogisticRegressionModel](
