@@ -309,6 +309,27 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tfidf, "rank" FROM ranked WHERE "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
+    "q25_langid" ->
+      """WITH prof(word, plang) AS (VALUES
+        |  ('the','en'),('a','en'),('of','en'),('and','en'),('is','en'),
+        |  ('le','fr'),('la','fr'),('et','fr'),('les','fr'),('des','fr'),
+        |  ('el','es'),('la','es'),('de','es'),('y','es'),('los','es'),
+        |  ('der','de'),('die','de'),('und','de'),('das','de'),('ist','de')),
+        |t AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, plang, COUNT(*) AS hits
+        |  FROM t JOIN prof USING (word) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, plang AS predicted FROM (
+        |    SELECT doc_id, plang,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+        |    FROM hits) WHERE rn = 1)
+        |SELECT d.lang, COALESCE(b.predicted, 'unknown') AS predicted, COUNT(*) AS n_docs
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q26_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -380,6 +401,45 @@ object SparkEntry {
         |JOIN sizes sb ON pairs.doc_b = sb.doc_id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q35 = connected components over the q31 pair graph; the
+    // min-label-propagation fixpoint is expressed as a recursive CTE
+    // (label set per node = labels reachable via any path; component
+    // id = MIN) — exact, so the cluster table is hash-checkable
+    "q35_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM jac
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM jac),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
+        |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id)
+        |SELECT cluster_id, COUNT(*) AS cluster_size,
+        |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM lab GROUP BY cluster_id
+        |ORDER BY cluster_id""".stripMargin,
     "q40_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
