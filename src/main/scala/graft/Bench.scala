@@ -17,8 +17,8 @@ object Bench {
     // blocks and model state behind; clearing between queries keeps
     // later timings honest. Single-JVM local mode shows >5x GC/JIT
     // swings on identical plans, so each query reports the MEDIAN of
-    // up to 3 runs; a query whose run exceeds 12s stops re-running
-    // (bounds total wall time) and reports the median of what ran.
+    // 3 runs; a query whose FIRST run reaches 12s runs only once
+    // (bounds total wall time for the known-heavy queries).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

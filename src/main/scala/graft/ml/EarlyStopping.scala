@@ -30,14 +30,26 @@ class EarlyStopping[M <: Model[M] with MLWritable](
   private var lastValue = Double.MaxValue
   private var tries = tryCount
   private var rate = initialLearningRate
+  private var best: Option[M] = None
 
   def learningRate: Double = rate
 
-  /** true → stop training. Mirrors early_stopping.py:26-40 exactly,
-    * including NOT advancing lastValue on a failed round. */
+  /** The model to continue training from after the last doesStop
+    * call: on a plateau round this is the checkpoint re-read from
+    * storage (the reference's mid-training `saver.restore`,
+    * early_stopping.py:31); on an improving round it is the model
+    * just checkpointed. MLlib estimators fit from scratch each
+    * round, so a caller that warm-starts must do so explicitly from
+    * this model. */
+  def bestModel: Option[M] = best
+
+  /** true → stop training. Mirrors early_stopping.py:26-40,
+    * including NOT advancing lastValue on a failed round and
+    * restoring the best checkpoint on every failed round. */
   def doesStop(value: Double, model: M): Boolean = {
     if (savePath.isEmpty) return false
     if (lastValue * (1.0 - threshold) < value) {
+      best = Some(reader(savePath.get)) // saver.restore on plateau
       tries -= 1
       if (tries <= 0) return true
       rate /= decaySpeed
@@ -45,11 +57,12 @@ class EarlyStopping[M <: Model[M] with MLWritable](
     } else {
       lastValue = value
       model.write.overwrite().save(savePath.get)
+      best = Some(model)
       false
     }
   }
 
-  /** Restore the checkpointed best model (saver.restore). */
-  def restore(): M = reader(savePath.getOrElse(
-    throw new IllegalStateException("early stopping has no save path")))
+  /** The checkpointed best model (terminal saver.restore). */
+  def restore(): M = best.getOrElse(reader(savePath.getOrElse(
+    throw new IllegalStateException("early stopping has no save path"))))
 }

@@ -38,12 +38,16 @@ object MlOps {
     * trained artifact through gokart task outputs; here the registry
     * plays that role). Seed-fixed, so a cache hit is byte-identical
     * to a retrain. */
+  // Registry keys include the SparkSession: a cached model's factor/
+  // vector DataFrames are bound to the session that fit it, so a
+  // restarted session in the same JVM must never see another
+  // session's (possibly dead) model.
   private val w2vCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), org.apache.spark.ml.feature.Word2VecModel]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), org.apache.spark.ml.feature.Word2VecModel]
 
   private def word2vecModel(spark: SparkSession, dir: String,
       vectorSize: Int): org.apache.spark.ml.feature.Word2VecModel =
-    w2vCache.getOrElseUpdate((dir, vectorSize),
+    w2vCache.getOrElseUpdate((spark, dir, vectorSize),
       new Word2Vec()
         .setInputCol("tokens").setOutputCol("vec")
         .setVectorSize(vectorSize).setMinCount(5).setSeed(42L)
@@ -53,11 +57,11 @@ object MlOps {
   /** Shared CountVectorizer+LDA fit (q51 topics and q59 doc-topics
     * use the same seed-fixed model — same registry idea as w2vCache). */
   private val ldaCache = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.ml.feature.CountVectorizerModel,
+    .empty[(SparkSession, String), (org.apache.spark.ml.feature.CountVectorizerModel,
       org.apache.spark.ml.clustering.LDAModel)]
 
   private def ldaModels(spark: SparkSession, dir: String) =
-    ldaCache.getOrElseUpdate(dir, {
+    ldaCache.getOrElseUpdate((spark, dir), {
       val docs = tokenized(spark, dir)
       val cv = new CountVectorizer()
         .setInputCol("tokens").setOutputCol("features")
@@ -153,10 +157,10 @@ object MlOps {
     * factors — the reference shares the TrainMatrixFactorization
     * artifact through gokart task outputs). */
   private val alsCache = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.ml.recommendation.ALSModel]
+    .empty[(SparkSession, String), org.apache.spark.ml.recommendation.ALSModel]
 
   private def alsModel(spark: SparkSession, dir: String) =
-    alsCache.getOrElseUpdate(dir,
+    alsCache.getOrElseUpdate((spark, dir),
       new ALS()
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
         .setRank(8).setMaxIter(8).setSeed(42L).setImplicitPrefs(true)
@@ -324,7 +328,9 @@ object MlOps {
     // ONCE (fit + transform would otherwise each recompute it), and
     // repartition(1) — a shuffle barrier, so the prequery above it
     // stays parallel — makes each LBFGS iteration a single task
-    // instead of one per shuffle partition.
+    // instead of one per shuffle partition. The cache is NOT
+    // unpersisted: the returned plan still reads it lazily, and its
+    // size is k·|words| rows — bounded and scale-independent.
     val training = feats.join(labels, Seq("doc_id"))
       .withColumn("label", when(array_contains(col("tokens"), col("word")), 1.0).otherwise(0.0))
       .drop("tokens")
@@ -589,6 +595,10 @@ object MlOps {
     val best = stopper.restore()
     rows += ((round.toLong, best.getMaxIter.toLong, best.getRegParam,
       logLoss(best), "restored"))
+    // the loop is fully eager (every consumer of the cached splits has
+    // run), so the table-sized caches are released before returning
+    train.unpersist(blocking = false)
+    valid.unpersist(blocking = false)
     rows.toSeq
       .toDF("round", "max_iter", "reg_param", "val_logloss", "decision")
       .orderBy(col("round"))
@@ -624,8 +634,7 @@ object MlOps {
         vector_to_array(Summarizer.mean(col("fv"))).as("conv"))
       .filter(col("user") < 10)
       .select(col("user"), col("rating_class"), col("degree"),
-        round(sqrt(aggregate(col("conv"), lit(0.0), (acc, v) => acc + v * v)), 6)
-          .as("conv_l2"))
+        round(graft.plans.VecExprs.norm(col("conv")), 6).as("conv_l2"))
       .orderBy(col("user"), col("rating_class"))
   }
 }

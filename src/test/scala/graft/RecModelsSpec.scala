@@ -81,8 +81,11 @@ class RecModelsSpec extends AnyFunSuite {
     val restored = byDecision("restored")
     assert(restored.length == 1)
     val roundLosses = rows.filter(_.getString(4) != "restored").map(_.getDouble(3))
-    assert(restored.head.getDouble(3) == roundLosses.min,
-      s"restored loss ${restored.head.getDouble(3)} != best ${roundLosses.min}")
+    // the stopper only checkpoints rounds improving by >threshold
+    // (1e-4 relative), so a sub-threshold better round may exist: the
+    // restored loss can exceed the global min by at most that factor
+    assert(restored.head.getDouble(3) <= roundLosses.min * (1 + 1e-4) + 1e-9,
+      s"restored loss ${restored.head.getDouble(3)} not within threshold of best ${roundLosses.min}")
     // contract sanity on a driver-side replay: stop only fires after
     // tryCount plateau rounds
     val stopRows = byDecision.getOrElse("stop", Array.empty)
