@@ -57,6 +57,7 @@ object SparkEntry {
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
     "q41_knn_ivf" -> SimilaritySearch.knnIvf _,
     "q42_dim_reduction" -> SimilaritySearch.dimReduction _,
+    "q67_knn_pq" -> SimilaritySearch.knnPq _,
     "q43_pairwise_sim" -> MlOps.pairwiseSimilarity _,
     "q44_doc_embedding" -> MlOps.docEmbedding _,
     "q45_word_item" -> MlOps.wordItemSearch _,

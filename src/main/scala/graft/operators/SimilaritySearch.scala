@@ -96,6 +96,104 @@ object SimilaritySearch {
     topKSelect(scored, 5)
   }
 
+  /** Product-quantization ANN (the Faiss-style scale path beyond IVF,
+    * and the deeper-ANN item from SURVEY §7): the 64-dim space is
+    * split into 8 subspaces of 8 dims; a seed-fixed KMeans codebook
+    * (k=16) is trained per subspace and every corpus vector is
+    * encoded as 8 small codes — at 100 TB the corpus scan reads
+    * 8 bytes + id per vector instead of 256 bytes of floats
+    * (32× less I/O), and the codebooks (8×16×8 doubles) broadcast
+    * anywhere. Queries score candidates by ADC (asymmetric distance:
+    * per-query 8×16 lookup table, codes never decoded), keep a
+    * bounded candidate set per query via TopKByKey, then re-rank just
+    * those candidates with the exact cosine. Composes with IVF
+    * (knnIvf) by scanning only the probed cells' codes; kept flat
+    * here so the PQ recall is measured on its own.
+    * Approximate → rows-only; planted-twin recall asserted in
+    * DedupSpec. */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val m = 8          // subspaces
+    val subDim = 8     // dims per subspace
+    val k = 16         // codebook size per subspace
+    val nCandidates = 50
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.norm(col("embedding")).as("nrm"))
+    // per-subspace codebooks (seed-fixed), trained on a deterministic
+    // 1/4 sample (standard PQ practice — codebooks need a sample, not
+    // the corpus) collapsed to 2 partitions so each of the 8
+    // sequential fits costs iterations, not task scheduling
+    val trainSample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select((0 until m).map(j => array_to_vector(
+        slice(col("embedding"), j * subDim + 1, subDim)).as(s"sub_$j")): _*)
+      .repartition(2).persist()
+    // random init (kmeans|| costs ~5 extra distributed rounds per fit
+    // and the exact re-rank absorbs codebook quality), bounded iters.
+    // The 8 fits are independent seed-fixed jobs dominated by per-job
+    // scheduling on the tiny sample — submit them CONCURRENTLY (the
+    // same trick as MLlib tuning's `parallelism`): deterministic
+    // result, ~m× less wall time.
+    val codebooks = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence((0 until m).map { j =>
+        Future(new KMeans().setK(k).setSeed(42L + j).setMaxIter(6)
+          .setInitMode("random")
+          .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
+          .fit(trainSample))
+      }), Duration.Inf)
+      finally pool.shutdown()
+    }
+    trainSample.unpersist(blocking = false)
+    // encode the corpus: 8 chained narrow transforms, no shuffle
+    val encoded = codebooks.zipWithIndex.foldLeft(
+        emb.withColumns((0 until m).map(j => s"sub_$j" ->
+          array_to_vector(slice(col("embedding"), j * subDim + 1, subDim))).toMap)) {
+      case (df, (km, _)) => km.transform(df)
+    }.select(col("vec_id") +: (0 until m).map(j => col(s"code_$j")): _*)
+    // per-query ADC tables: ||q_j - c||² for each subspace × centroid.
+    // The query set is the small side by contract (probes); the table
+    // column is m×k doubles per query — broadcast with the queries.
+    val centroids: Array[Array[Array[Double]]] =
+      codebooks.map(_.clusterCenters.map(_.toArray)).toArray
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    val adcTable = array((0 until m).map { j =>
+      array((0 until k).map { c =>
+        val cent = centroids(j)(c)
+        // Σ_d (q_d − cent_d)²  — left-to-right fold over the subspace
+        (0 until subDim).map { d =>
+          val q = element_at(col("qv"), j * subDim + d + 1).cast("double")
+          (q - lit(cent(d))) * (q - lit(cent(d)))
+        }.reduce(_ + _)
+      }: _*)
+    }: _*)
+    val q = queries.withColumn("adc", adcTable)
+    // ADC scan: approx dist = Σ_j table[j][code_j]; bounded top-N per
+    // query (negated: TopKByKey keeps the BEST=highest score)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neg_adc", -(0 until m).map(j =>
+        element_at(element_at(col("adc"), j + 1), col(s"code_$j") + 1))
+        .reduce(_ + _))
+    val cand = scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKByKey.topK(nCandidates)(col("vec_id"), col("neg_adc")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    // exact re-rank of the bounded candidate set only
+    val exact = cand
+      .join(emb, Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .withColumn("cosine", round(
+        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
+    topKSelect(exact, 5)
+  }
+
   /** DimensionReductionModel.fit (dimension_reduction_model.py:21):
     * per-dimension importance = Σ v². Values are quantized to 1e-6 so
     * the aggregation is exact integer math — order-independent under

@@ -123,6 +123,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN surfaces planted twins in top-5 (recall >= 0.8) with well-formed output") {
+    val pq = SimilaritySearch.knnPq(spark, plantedDir).collect()
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0L until 10L).count(id => pqSet.contains((id, id + 100000L)))
+    assert(hits >= 8, s"planted twin found for only $hits/10 queries")
+    // exact re-rank: reported cosines are true cosines, sorted desc
+    pq.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"query $q not sorted")
+      assert(rs.length <= 5)
+    }
+  }
+
   test("IVF ANN surfaces planted twins in top-5 (recall >= 0.8)") {
     val ivf = SimilaritySearch.knnIvf(spark, plantedDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
