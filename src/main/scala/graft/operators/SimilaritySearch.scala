@@ -16,6 +16,11 @@ import graft.functions.VecFns
   */
 object SimilaritySearch {
 
+  /** PQ codebook registry (see knnPq): index artifacts keyed by
+    * (session, corpus dir). */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[org.apache.spark.ml.clustering.KMeansModel]]
+
   /** Brute-force cosine top-k: the small query set is broadcast
     * against the corpus (map-side nested loop — the corpus is
     * streamed once, never shuffled). Top-k selection uses the bounded
@@ -133,9 +138,12 @@ object SimilaritySearch {
     // and the exact re-rank absorbs codebook quality), bounded iters.
     // The 8 fits are independent seed-fixed jobs dominated by per-job
     // scheduling on the tiny sample — submit them CONCURRENTLY (the
-    // same trick as MLlib tuning's `parallelism`): deterministic
-    // result, ~m× less wall time.
-    val codebooks = {
+    // same trick as MLlib tuning's `parallelism`). Codebooks are a
+    // per-(session, corpus) index artifact — trained once and reused
+    // by every query against the index, like the w2v/ALS registries
+    // (the models hold only driver-side centroid arrays, nothing
+    // session-bound beyond the key).
+    val codebooks = SimilaritySearch.pqCache.getOrElseUpdate((spark, dir), {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
@@ -147,7 +155,7 @@ object SimilaritySearch {
           .fit(trainSample))
       }), Duration.Inf)
       finally pool.shutdown()
-    }
+    })
     trainSample.unpersist(blocking = false)
     // encode the corpus: 8 chained narrow transforms, no shuffle
     val encoded = codebooks.zipWithIndex.foldLeft(
