@@ -73,17 +73,27 @@ object MlOps {
       (cv, lda)
     })
 
-  /** Per-doc mean word vector (shared by docEmbedding, wordItemSearch
-    * and filterBySimilarity — the document-embedding base table). */
-  private def itemVecs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.stat.Summarizer
-    val w2v = word2vecModel(spark, dir, 16)
-    tokenized(spark, dir)
-      .select(col("doc_id"), explode(col("tokens")).as("word"))
-      .join(broadcast(w2v.getVectors), Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(vector_to_array(Summarizer.mean(col("vector"))).as("iv"))
-  }
+  /** Per-doc mean word vector (shared by docEmbedding, wordItemSearch,
+    * filterBySimilarity and featureAggSimilarity — the
+    * document-embedding base table, the reference's shared
+    * CalculateDocumentEmbedding task output). Registry-cached as a
+    * PERSISTED frame per (session, corpus): q64 alone references it
+    * from four join branches, which would otherwise each re-derive
+    * the corpus explode+join+agg. */
+  private val itemVecsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def itemVecs(spark: SparkSession, dir: String): DataFrame =
+    itemVecsCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.ml.stat.Summarizer
+      val w2v = word2vecModel(spark, dir, 16)
+      tokenized(spark, dir)
+        .select(col("doc_id"), explode(col("tokens")).as("word"))
+        .join(broadcast(w2v.getVectors), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(vector_to_array(Summarizer.mean(col("vector"))).as("iv"))
+        .persist()
+    })
 
   /** TrainWord2Vec (train/train_word2vec.py:10): skip-gram embeddings
     * over the corpus; output = top-3 synonyms for 5 probe words.
