@@ -95,6 +95,75 @@ object StreamOps {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Stateless streaming transform feeding the FILE sink spec: the
+    * writeStream→parquet path (exactly-once via the checkpointed file
+    * sink log) is the production landing pattern for a training-data
+    * ingest — StreamingSpec round-trips it and compares with the
+    * batch filter. */
+  def clickStream(spark: SparkSession, eventsDir: String): DataFrame =
+    streamEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"))
+
+  case class MilestoneState(cum: Double)
+  case class Milestone(user_id: Long, milestone: Long, event_id: Long)
+
+  /** Per-user milestone alerts via flatMapGroupsWithState — the
+    * zero-or-more-outputs stateful path (mapGroupsWithState must emit
+    * exactly one row per group per batch; alert emission needs 0..n).
+    * State = one running double per user (O(1)); an alert row fires
+    * each time the user's cumulative event value crosses a multiple
+    * of `step`. Batch twin below; StreamingSpec asserts parity. */
+  def milestoneStream(spark: SparkSession, eventsDir: String,
+      step: Double = 500.0): Dataset[Milestone] = {
+    import spark.implicits._
+    val events = streamEvents(spark, eventsDir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[MilestoneState, Milestone](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[MilestoneState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var cum = state.getOption.map(_.cum).getOrElse(0.0)
+          val out = scala.collection.mutable.ArrayBuffer[Milestone]()
+          sorted.foreach { case (_, eventId, _, v) =>
+            val before = math.floor(cum / step).toLong
+            cum += v
+            val after = math.floor(cum / step).toLong
+            if (after > before) out += Milestone(user, after, eventId)
+          }
+          state.update(MilestoneState(cum))
+          out.iterator
+      }
+  }
+
+  /** Batch twin of milestoneStream: running per-user sum in
+    * (sec, event_id) order, alert where the threshold multiple
+    * steps up. */
+  def milestoneBatch(spark: SparkSession, dir: String,
+      step: Double = 500.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val running = order.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        col("value"))
+      .withColumn("cum", sum(col("value")).over(running))
+      // lag(cum) is the stream state's exact previous double —
+      // (cum − value) would re-round and could flip a floor at a
+      // threshold boundary
+      .withColumn("milestone", floor((col("cum") / step)))
+      .withColumn("prev_milestone",
+        floor((coalesce(lag(col("cum"), 1).over(order), lit(0.0)) / step)))
+      .filter(col("milestone") > col("prev_milestone"))
+      .select(col("user_id"), col("milestone"), col("event_id"))
+  }
+
   case class SessionState(lastSec: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 

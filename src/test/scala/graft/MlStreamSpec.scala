@@ -107,6 +107,49 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState milestone alerts match the batch running-sum twin") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_milestone")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.milestoneStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("milestone_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("milestone_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamOps.milestoneBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("writeStream parquet file sink: exactly-once roundtrip equals the batch filter") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_sink_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = StreamOps.clickStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(written == batch)
+  }
+
   test("word-item two-stage search returns ranked top-5 per word") {
     val out = ml.MlOps.wordItemSearch(spark, sf).collect()
     val byWord = out.groupBy(_.getString(0))
