@@ -31,8 +31,12 @@ object Bench {
         dt
       }
       val first = once()
-      name -> (if (first >= 30.0) first
-               else Seq(first, once(), once()).sorted.apply(1))
+      val runs = if (first >= 30.0) Seq(first) else Seq(first, once(), once())
+      // per-rep times to stderr so cold artifact builds stay visible
+      // next to the reported median
+      System.err.println(
+        f"[bench] $name runs=${runs.map(t => f"$t%.2f").mkString(",")}")
+      name -> runs.sorted.apply(runs.length / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
