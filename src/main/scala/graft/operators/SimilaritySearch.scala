@@ -126,26 +126,24 @@ object SimilaritySearch {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VecFns.norm(col("embedding")).as("nrm"))
-    // per-subspace codebooks (seed-fixed), trained on a deterministic
-    // 1/4 sample (standard PQ practice — codebooks need a sample, not
-    // the corpus) collapsed to 2 partitions so each of the 8
-    // sequential fits costs iterations, not task scheduling
-    val trainSample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
-      .select((0 until m).map(j => array_to_vector(
-        slice(col("embedding"), j * subDim + 1, subDim)).as(s"sub_$j")): _*)
-      .repartition(2).persist()
-    // random init (kmeans|| costs ~5 extra distributed rounds per fit
-    // and the exact re-rank absorbs codebook quality), bounded iters.
-    // The 8 fits are independent seed-fixed jobs dominated by per-job
-    // scheduling on the tiny sample — submit them CONCURRENTLY (the
-    // same trick as MLlib tuning's `parallelism`). Codebooks are a
-    // per-(session, corpus) index artifact — trained once and reused
-    // by every query against the index, like the w2v/ALS registries
-    // (the models hold only driver-side centroid arrays, nothing
-    // session-bound beyond the key).
+    // Per-subspace codebooks: a per-(session, corpus) index artifact —
+    // trained once and reused by every query against the index, like
+    // the w2v/ALS registries (the models hold only driver-side
+    // centroid arrays). Trained on a deterministic 1/4 sample
+    // (standard PQ practice — codebooks need a sample, not the
+    // corpus) collapsed to 2 partitions, with random init (kmeans||
+    // costs ~5 extra distributed rounds per fit; the exact re-rank
+    // absorbs codebook quality) and bounded iters. The 8 fits are
+    // independent seed-fixed jobs dominated by per-job scheduling on
+    // the tiny sample, so they are submitted CONCURRENTLY (the same
+    // trick as MLlib tuning's `parallelism`).
     val codebooks = SimilaritySearch.pqCache.getOrElseUpdate((spark, dir), {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      val trainSample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select((0 until m).map(j => array_to_vector(
+          slice(col("embedding"), j * subDim + 1, subDim)).as(s"sub_$j")): _*)
+        .repartition(2).persist()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try Await.result(Future.sequence((0 until m).map { j =>
@@ -154,9 +152,8 @@ object SimilaritySearch {
           .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
           .fit(trainSample))
       }), Duration.Inf)
-      finally pool.shutdown()
+      finally { pool.shutdown(); trainSample.unpersist(blocking = false) }
     })
-    trainSample.unpersist(blocking = false)
     // encode the corpus: 8 chained narrow transforms, no shuffle
     val encoded = codebooks.zipWithIndex.foldLeft(
         emb.withColumns((0 until m).map(j => s"sub_$j" ->
