@@ -55,7 +55,7 @@ object SparkEntry {
     "q34_dedup_embed" -> Dedup.embedNearDup _,
     "q35_dedup_clusters" -> Dedup.clusters _,
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
-    "q41_knn_ivf" -> SimilaritySearch.knnIvf _,
+    "q41_knn_ivf" -> ((s: SparkSession, d: String) => SimilaritySearch.knnIvf(s, d)),
     "q42_dim_reduction" -> SimilaritySearch.dimReduction _,
     "q67_knn_pq" -> SimilaritySearch.knnPq _,
     "q43_pairwise_sim" -> MlOps.pairwiseSimilarity _,

@@ -57,13 +57,17 @@ object SimilaritySearch {
 
   /** IVF ANN with TRAINED coarse quantizer: MLlib KMeans (k=16,
     * seed-fixed) learns the cell centroids; every corpus vector is
-    * assigned to its nearest cell, queries probe their 2 nearest
-    * cells, and only in-cell candidates get the exact cosine. At
-    * 100 TB the cell id becomes the shuffle/bucket key and each query
-    * touches ~2/16 of the corpus; the centroid table is broadcast.
+    * assigned to its nearest cell, queries probe their `nprobe`
+    * nearest cells, and only in-cell candidates get the exact cosine.
+    * At 100 TB the cell id becomes the shuffle/bucket key and each
+    * query touches ~nprobe/16 of the corpus; the centroid table is
+    * broadcast. nprobe is the recall/cost knob: probing more cells
+    * only ADDS candidates, and a brute-top-k member in the candidate
+    * set always survives the exact re-rank, so recall vs brute is
+    * provably non-decreasing in nprobe (asserted in DedupSpec).
     * Approximate → rows-only; recall vs knnBrute asserted in
     * DedupSpec. */
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvf(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -90,7 +94,7 @@ object SimilaritySearch {
         .drop("cv", "cnrm", "csim", "crank")
 
     val corpusCells = nearestCells(emb, keep = 1)
-    val queryCells = nearestCells(emb.filter(col("vec_id") < 10), keep = 2)
+    val queryCells = nearestCells(emb.filter(col("vec_id") < 10), keep = nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cent_id"))
     val scored = corpusCells.join(queryCells, Seq("cent_id"))

@@ -144,6 +144,22 @@ class DedupSpec extends AnyFunSuite {
     assert(hits >= 8, s"planted twin found for only $hits/10 queries")
   }
 
+  test("IVF nprobe knob: recall vs brute is non-decreasing in probed cells") {
+    val brute = SimilaritySearch.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact property: more probed cells ⇒ superset of candidates, and
+    // a brute-top-5 member among candidates always survives the exact
+    // re-rank (only the other 4 can outrank it)
+    val recalls = Seq(1, 2, 4, 16).map { nprobe =>
+      val ivf = SimilaritySearch.knnIvf(spark, sf, nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect ivf).size.toDouble / brute.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nprobe: $recalls")
+    // probing ALL cells = brute force exactly
+    assert(recalls.last == 1.0, s"nprobe=16 recall ${recalls.last} != 1")
+  }
+
   test("TopKByKey bounded aggregator: k best, score desc, id tie-break asc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
