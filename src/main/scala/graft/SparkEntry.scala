@@ -33,6 +33,7 @@ object SparkEntry {
     "q12_source_roundtrip" -> graft.sources.Sources.roundTrip _,
     "q13_categorize" -> FrameOps.categorize _,
     "q14_median_by_group" -> FrameOps.medianByGroup _,
+    "q68_median_sketch" -> FrameOps.medianSketch _,
     "q15_asof_join" -> FrameOps.asofJoin _,
     "q16_distinct_exact" -> FrameOps.distinctExact _,
     "q17_distinct_sketch" -> FrameOps.distinctSketch _,

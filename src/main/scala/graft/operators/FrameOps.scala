@@ -194,6 +194,23 @@ object FrameOps {
   /** Exact per-group median without percentile-function dialect
     * drift: rank rows per group, pick the middle one(s), average them
     * with exact decimal math. One shuffle on the group key. */
+  /** Sketch twin of q14 (the q16/q17 pairing for order statistics):
+    * per-group median via `percentile_approx` (Greenwald-Khanna
+    * sketch) — the 100 TB path where an exact per-group sort is a
+    * full shuffle of the fact table while the sketch is a bounded
+    * mergeable state per group. Accuracy 10000 ⇒ rank error ≤ 1/10⁴;
+    * FrameOpsSpec bounds the value error vs the exact q14 median.
+    * Approximate → rows-only. */
+  def medianSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
   def medianByGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))

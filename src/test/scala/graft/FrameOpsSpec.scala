@@ -52,6 +52,20 @@ class FrameOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("median sketch tracks the exact per-group median within 1%") {
+    val exact = operators.FrameOps.medianByGroup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val approx = operators.FrameOps.medianSketch(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (exactMedian, n) = exact(r.getString(0))
+      assert(r.getLong(2) == n)
+      val relErr = math.abs(r.getDouble(1) - exactMedian) / exactMedian
+      assert(relErr <= 0.01,
+        s"${r.getString(0)}: approx ${r.getDouble(1)} vs exact $exactMedian (err $relErr)")
+    }
+  }
+
   test("filter+project plan pushes filters into the parquet scan") {
     val plan = operators.FrameOps.filterProject(spark, sf)
       .queryExecution.executedPlan.toString
