@@ -574,8 +574,11 @@ object MlOps {
     // validation aggregation per round would otherwise re-read)
     val train = data.filter(pmod(col("vec_id"), lit(5)) =!= 0).persist()
     val valid = data.filter(pmod(col("vec_id"), lit(5)) === 0).persist()
-    val ckpt = "/tmp/graft_earlystop_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // applicationId-scoped: two concurrent JVMs on the same dir (e.g.
+    // Bench alongside sbt test) must not overwrite each other's best
+    // checkpoint — a plateau restore would load the other run's model
+    val ckpt = "/tmp/graft_earlystop_" + spark.sparkContext.applicationId +
+      "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val stopper = new EarlyStopping[LogisticRegressionModel](
       tryCount = 2, initialLearningRate = 0.1, decaySpeed = 2.0,
       threshold = 1e-4, savePath = Some(ckpt),

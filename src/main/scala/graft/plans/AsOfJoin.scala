@@ -47,14 +47,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  /** Pinned partition count: zipPartitions needs BOTH sides at the
-    * same parallelism, and AQE's partition coalescing could otherwise
-    * shrink the two shuffles differently. */
-  override def requiredChildDistribution: Seq[Distribution] = {
-    val n = Some(conf.numShufflePartitions)
-    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
-      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
-  }
+  /** Both sides clustered on the key, UNPINNED partition count —
+    * exactly what SortMergeJoinExec declares. zipPartitions needs the
+    * two sides at the same parallelism with identical partition
+    * boundaries; that co-partitioning is the planner's job
+    * (EnsureRequirements shuffles both sides to a common
+    * HashPartitioning, and AQE's coalescing either rewrites the
+    * joint group with shared boundaries or is rejected by
+    * ValidateRequirements), not this exec's. Round 1 pinned
+    * `requiredNumPartitions = numShufflePartitions` out of caution;
+    * that blocked AQE from coalescing tiny post-shuffle partitions
+    * and forced 32 sort tasks on KB-sized data. doExecute still
+    * hard-asserts equal partition counts, so a planner regression
+    * fails loudly instead of zipping mismatched partitions. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
@@ -91,7 +99,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rTimeOrd = ordinalOf(rightTime, right.output)
     val rSchemaLen = right.output.length
     val out = output
-    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      "as-of join children must be co-partitioned, got " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions}")
+    lRdd.zipPartitions(rRdd) { (lIt, rIt) =>
       val result = UnsafeProjection.create(out, out)
       val nullRight = new GenericInternalRow(rSchemaLen)
       val joined = new JoinedRow

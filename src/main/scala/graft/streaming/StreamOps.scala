@@ -113,7 +113,19 @@ object StreamOps {
     * exactly one row per group per batch; alert emission needs 0..n).
     * State = one running double per user (O(1)); an alert row fires
     * each time the user's cumulative event value crosses a multiple
-    * of `step`. Batch twin below; StreamingSpec asserts parity. */
+    * of `step`. Batch twin below; StreamingSpec asserts parity.
+    *
+    * Ordering contract: events are sorted by (sec, event_id) only
+    * WITHIN each micro-batch; across batches the cumulative sum
+    * follows arrival order. Exact parity with milestoneBatch
+    * therefore requires the source to deliver each user's events in
+    * event-time order across batches (trivially true for a single
+    * staged file = one batch, which is what MlStreamSpec does). For
+    * out-of-order sources the alert *set* converges but an alert may
+    * attach to a different event_id than the batch twin's; a strict
+    * source would need watermarked buffering (hold events until
+    * watermark passes, emit in event-time order) at O(lateness)
+    * state per user instead of O(1). */
   def milestoneStream(spark: SparkSession, eventsDir: String,
       step: Double = 500.0): Dataset[Milestone] = {
     import spark.implicits._

@@ -96,7 +96,10 @@ class DedupSpec extends AnyFunSuite {
     * recall over the planted pairs is asserted ≥ 0.8 — the regime the
     * operators actually target. */
   private lazy val plantedDir: String = {
-    val dir = "/tmp/graft_planted_fixture"
+    // per-run temp dir (as the streaming specs do): concurrent suite
+    // invocations must not race on one fixed fixture path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_planted_fixture").toString
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), col("label"))
     val planted = emb.filter(col("vec_id") < 50)

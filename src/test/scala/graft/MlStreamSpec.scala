@@ -107,6 +107,11 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // NOTE: exact event_id-level parity relies on staging ONE file →
+  // one micro-batch, so each user's events arrive in event-time order
+  // (milestoneStream sorts only within a batch — see its ordering
+  // contract). A multi-batch out-of-order source converges on the
+  // same alert set but may attach alerts to different event_ids.
   test("flatMapGroupsWithState milestone alerts match the batch running-sum twin") {
     val staged = java.nio.file.Files.createTempDirectory("graft_milestone")
     java.nio.file.Files.copy(
