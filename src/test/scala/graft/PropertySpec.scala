@@ -51,4 +51,18 @@ class PropertySpec extends AnyFunSuite {
     val sigs = Seq(base, mut).toDF("t").select(SimHash64(col("t"))).as[Long].collect()
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 16)
   }
+
+  test("Pairing.buckets: pinned at test SFs, linear with bounded width at scale") {
+    import graft.operators.Pairing
+    // every driver corpus keeps the fixed 25-bucket candidate set
+    for (n <- Seq(500L, 2000L, 5000L, 6400L)) assert(Pairing.buckets(n) == 25)
+    // monotonic in corpus size
+    val sizes = samples(Gen.chooseNum(1L, 10_000_000_000L), 300).sorted
+    val ks = sizes.map(n => Pairing.buckets(n))
+    assert(ks == ks.sorted)
+    // expected bucket width stays bounded once the policy engages:
+    // n/K ≤ 2×targetWidth for any corpus above the floor regime
+    for (n <- sizes if n > 25L * 256 * 2)
+      assert(n.toDouble / Pairing.buckets(n) <= 2 * 256, s"n=$n")
+  }
 }
