@@ -12,14 +12,33 @@ import graft.functions.VecFns
   * search (/root/reference/redshells/app/word_item_similarity/
   * calculate_word_item_similarity.py: dot-product prequery → top-k)
   * and dimension reduction (dimension_reduction_model.py: top-n dims
-  * by Σv²).
+  * by Σv²), extended with the ANN scale path (IVF, PQ, and IVF∘PQ).
+  *
+  * Index-artifact registries: the coarse quantizer and the PQ
+  * codebooks are per-(session, corpus) artifacts — trained once,
+  * reused by every query against that corpus (the reference shares
+  * trained artifacts through gokart task outputs the same way). All
+  * models hold only driver-side centroid arrays.
   */
 object SimilaritySearch {
 
-  /** PQ codebook registry (see knnPq): index artifacts keyed by
-    * (session, corpus dir). */
+  /** PQ codebook registry (see knnPq/knnIvfPq). */
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[org.apache.spark.ml.clustering.KMeansModel]]
+
+  /** IVF coarse-quantizer registry (see knnIvf/knnIvfPq). Sharing one
+    * trained quantizer across calls also makes the nprobe knob's
+    * monotonicity exact: every nprobe probes cells of the SAME
+    * partition of space. */
+  private val coarseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]
+
+  private val ivfCells = 16
+
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VecFns.norm(col("embedding")).as("nrm"))
 
   /** Brute-force cosine top-k: the small query set is broadcast
     * against the corpus (map-side nested loop — the corpus is
@@ -31,9 +50,7 @@ object SimilaritySearch {
     * query. Norms are computed once per side, not per pair. This is
     * the exact baseline ANN variants are measured against. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        VecFns.norm(col("embedding")).as("nrm"))
+    val emb = embWithNorm(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
@@ -55,46 +72,59 @@ object SimilaritySearch {
         col("e.score").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** IVF ANN with TRAINED coarse quantizer: MLlib KMeans (k=16,
-    * seed-fixed) learns the cell centroids; every corpus vector is
-    * assigned to its nearest cell, queries probe their `nprobe`
-    * nearest cells, and only in-cell candidates get the exact cosine.
-    * At 100 TB the cell id becomes the shuffle/bucket key and each
-    * query touches ~nprobe/16 of the corpus; the centroid table is
-    * broadcast. nprobe is the recall/cost knob: probing more cells
-    * only ADDS candidates, and a brute-top-k member in the candidate
-    * set always survives the exact re-rank, so recall vs brute is
-    * provably non-decreasing in nprobe (asserted in DedupSpec).
-    * Approximate → rows-only; recall vs knnBrute asserted in
-    * DedupSpec. */
-  def knnIvf(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+  /** Seed-fixed MLlib KMeans coarse quantizer (k=16 cells). */
+  private def coarseModel(spark: SparkSession, dir: String,
+      emb: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    coarseCache.getOrElseUpdate((spark, dir),
+      new KMeans().setK(ivfCells).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("feat")
+        .fit(emb.select(array_to_vector(col("embedding")).as("feat"))))
+  }
+
+  /** Centroid table (cent_id, cv, cnrm) — cell-count-sized, broadcast
+    * wherever it joins. */
+  private def centroidTable(spark: SparkSession,
+      km: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        VecFns.norm(col("embedding")).as("nrm"))
-    val km = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("feat")
-      .fit(emb.select(array_to_vector(col("embedding")).as("feat")))
-    val cents = km.clusterCenters.zipWithIndex.toSeq
+    km.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
       .toDF("cent_id", "cv")
       .withColumn("cnrm", VecFns.norm(col("cv")))
+  }
 
-    def nearestCells(df: DataFrame, keep: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          VecFns.ratio(VecFns.dot(col("embedding"), col("cv")),
-            col("nrm") * col("cnrm")))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("csim").desc, col("cent_id"))))
-        .filter(col("crank") <= keep)
-        .drop("cv", "cnrm", "csim", "crank")
+  /** Attach each vector's `keep` nearest cells (by cosine to the
+    * broadcast centroid table) — row-local scoring, bounded by the
+    * cell count, no shuffle of the vectors themselves. */
+  private def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        VecFns.ratio(VecFns.dot(col("embedding"), col("cv")),
+          col("nrm") * col("cnrm")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crank") <= keep)
+      .drop("cv", "cnrm", "csim", "crank")
 
-    val corpusCells = nearestCells(emb, keep = 1)
-    val queryCells = nearestCells(emb.filter(col("vec_id") < 10), keep = nprobe)
+  /** IVF ANN with TRAINED coarse quantizer: MLlib KMeans (k=16,
+    * seed-fixed, registry-cached) learns the cell centroids; every
+    * corpus vector is assigned to its nearest cell, queries probe
+    * their `nprobe` nearest cells, and only in-cell candidates get
+    * the exact cosine. At 100 TB the cell id becomes the
+    * shuffle/bucket key and each query touches ~nprobe/16 of the
+    * corpus; the centroid table is broadcast. nprobe is the
+    * recall/cost knob: probing more cells only ADDS candidates, and a
+    * brute-top-k member in the candidate set always survives the
+    * exact re-rank, so recall vs brute is provably non-decreasing in
+    * nprobe (asserted in DedupSpec). Approximate → rows-only; recall
+    * vs knnBrute asserted in DedupSpec. */
+  def knnIvf(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val cents = centroidTable(spark, coarseModel(spark, dir, emb))
+    val corpusCells = nearestCells(emb, cents, keep = 1)
+    val queryCells = nearestCells(emb.filter(col("vec_id") < 10), cents, keep = nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cent_id"))
     val scored = corpusCells.join(queryCells, Seq("cent_id"))
@@ -103,6 +133,97 @@ object SimilaritySearch {
         VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
           col("nrm") * col("qnrm")), 6))
     topKSelect(scored, 5)
+  }
+
+  private val pqM = 8          // subspaces
+  private val pqSubDim = 8     // dims per subspace
+  private val pqK = 16         // codebook size per subspace
+
+  /** Per-subspace PQ codebooks: a per-(session, corpus) index
+    * artifact. Trained on a deterministic 1/4 sample (standard PQ
+    * practice — codebooks need a sample, not the corpus) collapsed to
+    * 2 partitions, with random init (kmeans|| costs ~5 extra
+    * distributed rounds per fit; the exact re-rank absorbs codebook
+    * quality) and bounded iters. The 8 fits are independent
+    * seed-fixed jobs dominated by per-job scheduling on the tiny
+    * sample, so they are submitted CONCURRENTLY (the same trick as
+    * MLlib tuning's `parallelism`). */
+  private def pqCodebooks(spark: SparkSession, dir: String,
+      emb: DataFrame): Seq[org.apache.spark.ml.clustering.KMeansModel] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    pqCache.getOrElseUpdate((spark, dir), {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val trainSample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select((0 until pqM).map(j => array_to_vector(
+          slice(col("embedding"), j * pqSubDim + 1, pqSubDim)).as(s"sub_$j")): _*)
+        .repartition(2).persist()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(pqM)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence((0 until pqM).map { j =>
+        Future(new KMeans().setK(pqK).setSeed(42L + j).setMaxIter(6)
+          .setInitMode("random")
+          .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
+          .fit(trainSample))
+      }), Duration.Inf)
+      finally { pool.shutdown(); trainSample.unpersist(blocking = false) }
+    })
+  }
+
+  /** Append the 8 PQ code columns (code_0..code_7) to a frame with an
+    * `embedding` column: 8 chained narrow transforms, no shuffle. */
+  private def pqEncode(df: DataFrame,
+      codebooks: Seq[org.apache.spark.ml.clustering.KMeansModel]): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    codebooks.foldLeft(
+        df.withColumns((0 until pqM).map(j => s"sub_$j" ->
+          array_to_vector(slice(col("embedding"), j * pqSubDim + 1, pqSubDim))).toMap)) {
+      (acc, km) => km.transform(acc)
+    }.drop((0 until pqM).map(j => s"sub_$j"): _*)
+  }
+
+  /** Per-query ADC lookup table: ||q_j − c||² for each subspace ×
+    * centroid, built as a column over the query frame's `qv` — m×k
+    * doubles per query, broadcast with the queries. */
+  private def adcTableCol(
+      codebooks: Seq[org.apache.spark.ml.clustering.KMeansModel]): org.apache.spark.sql.Column = {
+    val centroids: Array[Array[Array[Double]]] =
+      codebooks.map(_.clusterCenters.map(_.toArray)).toArray
+    array((0 until pqM).map { j =>
+      array((0 until pqK).map { c =>
+        val cent = centroids(j)(c)
+        // Σ_d (q_d − cent_d)² — left-to-right fold over the subspace
+        (0 until pqSubDim).map { d =>
+          val q = element_at(col("qv"), j * pqSubDim + d + 1).cast("double")
+          (q - lit(cent(d))) * (q - lit(cent(d)))
+        }.reduce(_ + _)
+      }: _*)
+    }: _*)
+  }
+
+  /** Negated ADC distance of a coded row against the row's `adc`
+    * table: approx dist = Σ_j table[j][code_j] (negated so TopKByKey
+    * keeps the BEST = highest score). */
+  private def negAdcCol: org.apache.spark.sql.Column =
+    -(0 until pqM).map(j =>
+      element_at(element_at(col("adc"), j + 1), col(s"code_$j") + 1))
+      .reduce(_ + _)
+
+  /** Bounded ADC candidate set per query + exact cosine re-rank of
+    * just those candidates — shared tail of knnPq and knnIvfPq. */
+  private def adcRerank(scored: DataFrame, emb: DataFrame,
+      queries: DataFrame, nCandidates: Int): DataFrame = {
+    val cand = scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKByKey.topK(nCandidates)(col("vec_id"), col("neg_adc")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val exact = cand
+      .join(emb, Seq("vec_id"))
+      .join(queries, Seq("query_id"))
+      .withColumn("cosine", round(
+        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
+    topKSelect(exact, 5)
   }
 
   /** Product-quantization ANN (the Faiss-style scale path beyond IVF,
@@ -115,92 +236,58 @@ object SimilaritySearch {
     * anywhere. Queries score candidates by ADC (asymmetric distance:
     * per-query 8×16 lookup table, codes never decoded), keep a
     * bounded candidate set per query via TopKByKey, then re-rank just
-    * those candidates with the exact cosine. Composes with IVF
-    * (knnIvf) by scanning only the probed cells' codes; kept flat
-    * here so the PQ recall is measured on its own.
-    * Approximate → rows-only; planted-twin recall asserted in
-    * DedupSpec. */
+    * those candidates with the exact cosine. Kept flat (full-corpus
+    * ADC scan) so PQ recall is measured on its own; the composed
+    * scale path is [[knnIvfPq]]. Approximate → rows-only;
+    * planted-twin recall asserted in DedupSpec. */
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val m = 8          // subspaces
-    val subDim = 8     // dims per subspace
-    val k = 16         // codebook size per subspace
-    val nCandidates = 50
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        VecFns.norm(col("embedding")).as("nrm"))
-    // Per-subspace codebooks: a per-(session, corpus) index artifact —
-    // trained once and reused by every query against the index, like
-    // the w2v/ALS registries (the models hold only driver-side
-    // centroid arrays). Trained on a deterministic 1/4 sample
-    // (standard PQ practice — codebooks need a sample, not the
-    // corpus) collapsed to 2 partitions, with random init (kmeans||
-    // costs ~5 extra distributed rounds per fit; the exact re-rank
-    // absorbs codebook quality) and bounded iters. The 8 fits are
-    // independent seed-fixed jobs dominated by per-job scheduling on
-    // the tiny sample, so they are submitted CONCURRENTLY (the same
-    // trick as MLlib tuning's `parallelism`).
-    val codebooks = SimilaritySearch.pqCache.getOrElseUpdate((spark, dir), {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val trainSample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
-        .select((0 until m).map(j => array_to_vector(
-          slice(col("embedding"), j * subDim + 1, subDim)).as(s"sub_$j")): _*)
-        .repartition(2).persist()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try Await.result(Future.sequence((0 until m).map { j =>
-        Future(new KMeans().setK(k).setSeed(42L + j).setMaxIter(6)
-          .setInitMode("random")
-          .setFeaturesCol(s"sub_$j").setPredictionCol(s"code_$j")
-          .fit(trainSample))
-      }), Duration.Inf)
-      finally { pool.shutdown(); trainSample.unpersist(blocking = false) }
-    })
-    // encode the corpus: 8 chained narrow transforms, no shuffle
-    val encoded = codebooks.zipWithIndex.foldLeft(
-        emb.withColumns((0 until m).map(j => s"sub_$j" ->
-          array_to_vector(slice(col("embedding"), j * subDim + 1, subDim))).toMap)) {
-      case (df, (km, _)) => km.transform(df)
-    }.select(col("vec_id") +: (0 until m).map(j => col(s"code_$j")): _*)
-    // per-query ADC tables: ||q_j - c||² for each subspace × centroid.
-    // The query set is the small side by contract (probes); the table
-    // column is m×k doubles per query — broadcast with the queries.
-    val centroids: Array[Array[Array[Double]]] =
-      codebooks.map(_.clusterCenters.map(_.toArray)).toArray
+    val emb = embWithNorm(spark, dir)
+    val codebooks = pqCodebooks(spark, dir, emb)
+    val encoded = pqEncode(emb, codebooks)
+      .select(col("vec_id") +: (0 until pqM).map(j => col(s"code_$j")): _*)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
-    val adcTable = array((0 until m).map { j =>
-      array((0 until k).map { c =>
-        val cent = centroids(j)(c)
-        // Σ_d (q_d − cent_d)²  — left-to-right fold over the subspace
-        (0 until subDim).map { d =>
-          val q = element_at(col("qv"), j * subDim + d + 1).cast("double")
-          (q - lit(cent(d))) * (q - lit(cent(d)))
-        }.reduce(_ + _)
-      }: _*)
-    }: _*)
-    val q = queries.withColumn("adc", adcTable)
-    // ADC scan: approx dist = Σ_j table[j][code_j]; bounded top-N per
-    // query (negated: TopKByKey keeps the BEST=highest score)
+    val q = queries.withColumn("adc", adcTableCol(codebooks))
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("neg_adc", -(0 until m).map(j =>
-        element_at(element_at(col("adc"), j + 1), col(s"code_$j") + 1))
-        .reduce(_ + _))
-    val cand = scored.groupBy(col("query_id"))
-      .agg(graft.plans.TopKByKey.topK(nCandidates)(col("vec_id"), col("neg_adc")).as("top"))
-      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
-    // exact re-rank of the bounded candidate set only
-    val exact = cand
-      .join(emb, Seq("vec_id"))
-      .join(queries, Seq("query_id"))
-      .withColumn("cosine", round(
-        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
-          col("nrm") * col("qnrm")), 6))
-    topKSelect(exact, 5)
+      .withColumn("neg_adc", negAdcCol)
+    adcRerank(scored, emb, queries, nCandidates = 50)
+  }
+
+  /** IVF ∘ PQ — the composed 100 TB ANN shape (SURVEY §7 round-3
+    * item): the coarse quantizer routes, the PQ codes score. The
+    * index is ONE row per corpus vector: home cell id + 8 codes
+    * (9 small ints + id — at scale this table is written partitioned
+    * by cent_id, so a query's scan prunes to its probed cells'
+    * partitions; here the broadcast equi-join on cent_id plays that
+    * role: only rows whose cell matches a probed cell survive the
+    * join, every other row is dropped at the scan). Queries probe
+    * `nprobe` cells, ADC-score ONLY the probed cells' codes, keep a
+    * bounded candidate set, and exact-re-rank just those. Cost per
+    * query ≈ nprobe/16 of the corpus × 8 bytes — the IVF read
+    * pruning and the PQ byte pruning multiply. Both index artifacts
+    * are registry-shared with knnIvf/knnPq. Approximate → rows-only;
+    * planted-twin recall asserted in DedupSpec. */
+  def knnIvfPq(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val cents = centroidTable(spark, coarseModel(spark, dir, emb))
+    val codebooks = pqCodebooks(spark, dir, emb)
+    // index build: one corpus scan — cell assignment, then codes
+    val index = pqEncode(nearestCells(emb, cents, keep = 1), codebooks)
+      .select(col("vec_id") +: col("cent_id") +:
+        (0 until pqM).map(j => col(s"code_$j")): _*)
+    val queryCells = nearestCells(emb.filter(col("vec_id") < 10), cents, keep = nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("cent_id"))
+      .withColumn("adc", adcTableCol(codebooks))
+    // the probe join: query side is bounded (|queries|×nprobe) by
+    // contract → broadcast is safe at any corpus scale
+    val scored = index.join(broadcast(queryCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neg_adc", negAdcCol)
+    val queries = queryCells.select(col("query_id"), col("qv"), col("qnrm")).distinct()
+    adcRerank(scored, emb, queries, nCandidates = 50)
   }
 
   /** DimensionReductionModel.fit (dimension_reduction_model.py:21):
