@@ -95,28 +95,53 @@ object Dedup {
     * the per-doc shingle arrays — row-local, no second shuffle pass
     * over the corpus). Probabilistic → rows-only check; recall vs
     * exact Jaccard asserted in DedupSpec. */
+  // MinHash family constants, shared by the batch operator and the
+  // streaming candidate detector (identical keys on both paths).
+  // Base hash reduced mod p so the affine family (2i+1)·x + i·c stays
+  // within long range under ANSI arithmetic (no overflow).
+  private[graft] val minhashK = 64
+  private[graft] val minhashR = 4 // rows per band → 16 bands
+  private[graft] val minhashP = 1000000007L
+  private[graft] val minhashC = 2654435761L
+
+  /** ROW-LOCAL K-min signature from a shingle array — the streaming
+    * path (one doc per row, no shuffle; higher-order lambdas are
+    * interpreted, acceptable off the batch hot path). The batch
+    * operator computes the SAME mins via explode + codegen'd grouped
+    * min-aggregates; DedupSpec asserts the two signatures are
+    * identical on the corpus. */
+  private[graft] def sigCol(shingles: Column): Column = {
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(minhashP)))
+    array((0 until minhashK).map(i => array_min(transform(hashes,
+      x => pmod(x * (2L * i + 1L) + i.toLong * minhashC, lit(minhashP))))): _*)
+  }
+
+  /** 16 (band, key) structs from a signature column, row-local. */
+  private[graft] def bandKeysCol(sig: Column): Column =
+    array((0 until minhashK / minhashR).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * minhashR + 1, minhashR)).as("key"))
+    }: _*)
+
+  /** Per-doc word-3-shingle array column (shared with streaming). */
+  private[graft] def shinglesCol: Column = TextFns.wordShingles(toks, 3)
+
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val K = 64
-    val r = 4 // rows per band → 16 bands
+    val K = minhashK
     val docs = shingled(spark, dir)
-    // base hash reduced mod p so the affine family (2i+1)·x + i·c
-    // stays within long range under ANSI arithmetic (no overflow).
-    val p = 1000000007L
+    val p = minhashP
     // K wide min-aggregates: fully codegen'd hash aggregation with
     // map-side partials — one shuffle on doc_id carrying 64 longs per
     // partial group, NO K-fold row blowup, no object aggregation.
     val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("x", pmod(xxhash64(col("sh")), lit(p)))
     val minCols = (0 until K).map(i =>
-      min(pmod(col("x") * (2L * i + 1L) + i.toLong * 2654435761L, lit(p))).as(s"m$i"))
+      min(pmod(col("x") * (2L * i + 1L) + i.toLong * minhashC, lit(p))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
     // 16 band keys per doc, row-local from the signature array
-    val bandCols = array((0 until K / r).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * r + 1, r)).as("key"))
-    }: _*)
+    val bandCols = bandKeysCol(col("sig"))
     // Band-bucket cap (same rationale as the shingle posting cap): a
     // bucket of B docs yields B²/2 candidates; at 100 TB a boilerplate-
     // heavy corpus can put millions of near-identical docs in one

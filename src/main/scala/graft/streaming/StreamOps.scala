@@ -205,4 +205,87 @@ object StreamOps {
           UserSessions(user, s.nSessions, s.nEvents)
       }
   }
+
+  case class BucketState(rep: Long)
+  case class DupCandidate(band: Int, key: Long, rep_doc: Long, doc_id: Long)
+
+  /** Shared documents stream source (FileStreamSource needs an
+    * explicit schema). */
+  private def streamDocs(spark: SparkSession, docsDir: String): DataFrame =
+    spark.readStream.schema(StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+      .parquet(docsDir)
+
+  /** STREAMING MinHash near-dup candidate detection (SURVEY §7
+    * round-3 item): documents arrive on a stream; each doc's 16 LSH
+    * band keys are computed ROW-LOCALLY (Dedup.sigCol — the same
+    * hash family as the batch q32 operator, asserted identical in
+    * DedupSpec), and a flatMapGroupsWithState keyed by (band, key)
+    * holds ONE representative doc id per seen bucket. A doc landing
+    * in a non-empty bucket emits a (rep_doc, doc_id) candidate pair
+    * the moment it arrives — the streaming twin of q32's candidate
+    * generation, for dedup-at-ingest instead of dedup-as-batch-scan.
+    *
+    * State is one long per OCCUPIED band bucket, evicted after 1 h of
+    * bucket inactivity (ProcessingTimeTimeout — documents carry no
+    * event time): a dup arriving after its bucket expired is missed,
+    * the standard bounded-state streaming-dedup tradeoff (same as
+    * dropDuplicatesWithinWatermark). Exact verification of candidate
+    * pairs stays downstream (the batch verify join), as in q32.
+    *
+    * Harness note: ProcessingTimeTimeout makes the engine run
+    * continuous empty timeout-check batches, so
+    * `processAllAvailable()` does NOT return on a live query — wait
+    * on sink contents (as MlStreamSpec does) or stop by deadline. */
+  def minhashCandidateStream(spark: SparkSession,
+      docsDir: String): Dataset[DupCandidate] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val bands = streamDocs(spark, docsDir)
+      .select(col("doc_id"),
+        explode(Dedup.bandKeysCol(Dedup.sigCol(Dedup.shinglesCol))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case ((band, key), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // sort within the batch so the surviving representative is
+            // the min id (matches the batch twin's deterministic rep)
+            val sorted = rows.map(_._3).toSeq.sorted
+            var rep = state.getOption.map(_.rep).getOrElse(-1L)
+            val out = scala.collection.mutable.ArrayBuffer[DupCandidate]()
+            sorted.foreach { id =>
+              if (rep < 0) rep = id
+              else if (id != rep) out += DupCandidate(band, key, rep, id)
+            }
+            state.update(BucketState(rep))
+            state.setTimeoutDuration("1 hour")
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[minhashCandidateStream]]: same row-local band
+    * keys, bucket representative = min doc id, one candidate row per
+    * (bucket, later doc). Deterministic given the fixed hash family →
+    * registered as the driver-facing query (q71); parity with the
+    * real stream is asserted in MlStreamSpec. */
+  def minhashCandidateBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Dedup.bandKeysCol(Dedup.sigCol(Dedup.shinglesCol))).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("band"), col("key"),
+        element_at(col("docs"), 1).as("rep_doc"),
+        explode(slice(col("docs"), lit(2), size(col("docs")) - 1)).as("doc_id"))
+      .orderBy(col("band"), col("key"), col("doc_id"))
+  }
 }

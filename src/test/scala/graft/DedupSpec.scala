@@ -113,6 +113,26 @@ class DedupSpec extends AnyFunSuite {
     dir
   }
 
+  test("row-local minhash signature == grouped-aggregation signature (stream/batch hash family)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), Dedup.shinglesCol.as("shingles"))
+    val rowLocal = docs
+      .select(col("doc_id"), Dedup.sigCol(col("shingles")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the batch operator's formulation: explode + K grouped mins
+    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("x", pmod(xxhash64(col("s")), lit(Dedup.minhashP)))
+    val minCols = (0 until Dedup.minhashK).map(i =>
+      min(pmod(col("x") * (2L * i + 1L) + i.toLong * Dedup.minhashC,
+        lit(Dedup.minhashP))).as(s"m$i"))
+    val grouped = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to Dedup.minhashK).map(r.getLong(_)).toSeq).toMap
+    assert(rowLocal.keySet == grouped.keySet)
+    rowLocal.foreach { case (id, sig) => assert(sig == grouped(id), s"doc $id") }
+  }
+
   test("embed LSH recovers planted high-cosine twins (recall >= 0.8)") {
     val expected = (0L until 50L).map(id => (id, id + 100000L)).toSet
     val got = pairSet(Dedup.embedNearDup(spark, plantedDir), "vec_a", "vec_b")

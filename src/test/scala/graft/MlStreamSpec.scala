@@ -107,6 +107,34 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash candidate pairs match the batch twin on a replayed batch") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_minhash_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = StreamOps.minhashCandidateBatch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val q = StreamOps.minhashCandidateStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("minhash_stream_test")
+      .start()
+    try {
+      // the op's ProcessingTimeTimeout makes the engine run continuous
+      // empty timeout-check batches, so processAllAvailable never
+      // returns on a live query — poll the sink until it converges on
+      // the batch twin instead (bounded by the deadline)
+      def snap() = spark.table("minhash_stream_test").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val deadline = System.currentTimeMillis() + 120000
+      var streamed = snap()
+      while (streamed != batch && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); streamed = snap()
+      }
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   // NOTE: exact event_id-level parity relies on staging ONE file →
   // one micro-batch, so each user's events arrive in event-time order
   // (milestoneStream sorts only within a batch — see its ordering
