@@ -49,6 +49,8 @@ object SparkEntry {
     "q25_langid" -> TextOps.langId _,
     "q26_fingerprint" -> TextOps.fingerprint _,
     "q27_bpe_tokens" -> TextOps.bpeTokens _,
+    "q72_gopher_rules" -> TextOps.gopherRules _,
+    "q73_repetition" -> TextOps.repetition _,
     "q30_dedup_exact" -> Dedup.exact _,
     "q31_dedup_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccard(s, d)),
     "q32_dedup_minhash" -> Dedup.minhash _,
@@ -313,6 +315,45 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tfidf, "rank" FROM ranked WHERE "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
+    "q72_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    (n_words >= 50 AND n_words <= 100000) AS words_ok,
+        |    (mean_wlen >= 3 AND mean_wlen <= 10) AS wlen_ok,
+        |    (ttr >= 0.2) AS ttr_ok,
+        |    (n_stop_kinds >= 2) AS stop_ok
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN words_ok AND wlen_ok AND ttr_ok AND stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+        |  CAST(SUM(CASE WHEN NOT wlen_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wlen,
+        |  CAST(SUM(CASE WHEN NOT ttr_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ttr,
+        |  CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q73_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |c AS (SELECT doc_id, source, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, source, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_grams FROM c GROUP BY 1, 2),
+        |b AS (SELECT source, CAST(top_c AS DOUBLE)/n_grams AS share,
+        |  CAST(round(CAST(top_c AS DOUBLE)/n_grams*10000, 0) AS BIGINT) AS bps FROM p)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN share > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |  CAST(SUM(bps) AS DOUBLE)/COUNT(*) AS avg_top2_bps,
+        |  CAST(MAX(bps) AS BIGINT) AS max_top2_bps
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
     "q25_langid" ->
       """WITH prof(word, plang) AS (VALUES
         |  ('the','en'),('a','en'),('of','en'),('and','en'),('is','en'),

@@ -152,6 +152,70 @@ object TextOps {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** Gopher-style quality RULE filter (Rae et al. 2021 §A1.1 — the
+    * published rule set LLM-corpus cleaning starts from), reduced to
+    * the signals this corpus can express: word-count bounds, mean
+    * word length band, type-token-ratio floor (repetition proxy),
+    * and stopword presence. Every signal is ROW-LOCAL array math —
+    * no explode, no shuffle until the tiny per-source breakdown —
+    * so at 100 TB this is a single map-side pass over the corpus
+    * ending in a |sources|-row aggregate. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val stopArr = array(TextFns.Stopwords.map(lit): _*)
+    val perDoc = Tables.documents(spark, dir).select(
+      col("source"),
+      TextFns.tokenCount(col("text")).as("n_words"),
+      (aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(t)).as("mean_wlen"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      size(filter(stopArr, s => array_contains(t, s))).as("n_stop_kinds"))
+    val rules = perDoc.select(
+      col("source"),
+      (col("n_words") >= 50 && col("n_words") <= 100000).as("words_ok"),
+      (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("wlen_ok"),
+      (col("ttr") >= 0.2).as("ttr_ok"),
+      (col("n_stop_kinds") >= 2).as("stop_ok"))
+    rules.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("words_ok") && col("wlen_ok") && col("ttr_ok") &&
+          col("stop_ok"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("words_ok"), 1L).otherwise(0L)).as("n_fail_words"),
+        sum(when(!col("wlen_ok"), 1L).otherwise(0L)).as("n_fail_wlen"),
+        sum(when(!col("ttr_ok"), 1L).otherwise(0L)).as("n_fail_ttr"),
+        sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("n_fail_stop"))
+      .orderBy(col("source"))
+  }
+
+  /** Repetition metrics (the other Gopher §A1.1 axis): per-doc share
+    * of the most frequent word 2-gram, flagged above 5%. The
+    * non-distinct n-gram explosion uses the native WordNGrams
+    * Expression (counting mode); counts combine map-side on
+    * (doc, gram) — the same two-level aggregation shape as TF-IDF,
+    * linear in corpus token count at any scale. Docs under two
+    * tokens have no 2-grams and drop out (same rule in the oracle). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.WordNGrams
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+    val perDoc = grams
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))
+      .withColumn("share", col("top_c").cast("double") / col("n_grams"))
+      .withColumn("bps", round(col("share") * 10000, 0).cast("long"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("share") > 0.05, 1L).otherwise(0L)).as("n_repetitive"),
+        (sum(col("bps")).cast("double") / count(lit(1))).as("avg_top2_bps"),
+        max(col("bps")).as("max_top2_bps"))
+      .orderBy(col("source"))
+  }
+
   /** Document fingerprinting with the native rolling-hash Expression
     * (plans/RollingHash.scala) — codegen'd polynomial hash, plus the
     * duplicate-cluster size per fingerprint. */

@@ -40,6 +40,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WordNGrams counting mode == naive sliding window with duplicates") {
+    val tokensGen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd"))
+    val docs = samples(tokensGen, 100)
+    val got = docs.toDF("toks")
+      .select(WordNGrams(col("toks"), 2, distinct = false)).as[Seq[String]].collect()
+    val exp = docs.map(ts => ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq)
+    assert(got.map(_.toSeq).toSeq == exp)
+  }
+
   test("SimHash64: deterministic, and near-identical docs are close in hamming") {
     val tokensGen = Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w", "qq", "rr"))
     val docs = samples(tokensGen, 50)
