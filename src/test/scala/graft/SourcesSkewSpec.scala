@@ -82,6 +82,91 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  /** Skewed-hot-key fixture: half of all order keys collapse onto
+    * key 1, so one join partition holds ~50% of the fact rows — the
+    * celebrity-key regime the skew machinery exists for. */
+  private def skewedFact(s: org.apache.spark.sql.SparkSession) =
+    Tables.lineitem(s, sf).select(
+      when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"),
+      // incompressible payload: with only (constant key, small-int
+      // quantity) columns, shuffle compression flattens the hot
+      // partition to the same byte size as the rest and skew
+      // DETECTION (a bytes test) never fires
+      md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))).as("payload"))
+  /** Dim side with naturally unique keys and NO post-shuffle
+    * aggregate: OptimizeSkewedJoin only matches a join whose sides
+    * are shuffle(+sort) directly — an agg/distinct between shuffle
+    * and join breaks the pattern and silently disables the split. */
+  private def skewedDim(s: org.apache.spark.sql.SparkSession) =
+    Tables.orders(s, sf).select(col("o_orderkey").as("k"),
+      length(col("o_orderstatus")).cast("long").as("dim_n"))
+
+  test("AQE skew join splits the hot-key partition (skew=true) with exact parity") {
+    // isolated conf: newSession shares the context but not SQLConf,
+    // so tuning AQE thresholds can't leak into parallel suites
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    ns.conf.set("spark.sql.adaptive.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ns.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // pin explicitly: suite order can leave a different global value
+    // (ExtensionsSpec's builder uses 2), and 2 reduce partitions
+    // changes the median-based skew-detection geometry
+    ns.conf.set("spark.sql.shuffle.partitions", "4")
+    // downstream must NOT require the join's hash partitioning (a
+    // groupBy(k) right after would make AQE refuse to split the
+    // partition) — a global rollup is the splittable-consumer shape
+    // the single-file scan gives ONE map task, and skew splits happen
+    // at mapper-block granularity — spread the fact over 8 mappers so
+    // the hot reduce partition is actually divisible
+    val joined = skewedFact(ns).repartition(8).join(skewedDim(ns), Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(col("dim_n")).as("s"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("q"),
+        max(col("payload")).as("p")) // keeps payload from being pruned
+    val got = joined.collect().head // collect() runs THIS df's queryExecution (head() would plan a separate limit query and leave this plan unexecuted)
+    // the runtime plan must have split the skewed partition
+    assert(joined.queryExecution.executedPlan.toString.contains("skew=true"),
+      joined.queryExecution.executedPlan.toString.take(2000))
+    // parity with the default-session plain join
+    val exp = skewedFact(spark).join(skewedDim(spark), Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(col("dim_n")).as("s"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("q"),
+        max(col("payload")).as("p"))
+      .head()
+    assert(got == exp)
+    // and the fixture is really skewed: hot key 1 holds >1000 rows
+    val hot = skewedFact(spark).filter(col("k") === 1L).count()
+    assert(hot > 1000, s"fixture not skewed: hot key has $hot rows")
+  }
+
+  test("salting spreads the hot key over buckets (bounded reducer share)") {
+    val fact = skewedFact(spark)
+    val buckets = 8
+    val perKeyMax = fact.groupBy(col("k")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    // same deterministic salt rule as Skew.saltedJoin
+    val perSaltedMax = fact
+      .withColumn("s", pmod(hash(col("l_quantity")), lit(buckets)))
+      .groupBy(col("k"), col("s")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(perKeyMax > 1000, s"fixture not skewed: max key group $perKeyMax")
+    assert(perSaltedMax <= perKeyMax / 3,
+      s"salt did not spread the hot key: $perSaltedMax vs $perKeyMax")
+    // and the salted join still returns the exact plain-join result
+    val dim = skewedDim(spark)
+    val salted = Skew.saltedJoin(fact, dim, "k", col("l_quantity"), buckets)
+      .agg(count(lit(1)).as("n"), sum(col("dim_n")).as("s")).head()
+    val plain = fact.join(dim, Seq("k"))
+      .agg(count(lit(1)).as("n"), sum(col("dim_n")).as("s")).head()
+    assert(salted == plain)
+  }
+
   test("sketch distinct counts are within 10% of exact") {
     val exact = FrameOps.distinctExact(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
