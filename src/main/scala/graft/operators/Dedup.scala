@@ -126,20 +126,28 @@ object Dedup {
   /** Per-doc word-3-shingle array column (shared with streaming). */
   private[graft] def shinglesCol: Column = TextFns.wordShingles(toks, 3)
 
-  def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val K = minhashK
-    val docs = shingled(spark, dir)
-    val p = minhashP
-    // K wide min-aggregates: fully codegen'd hash aggregation with
-    // map-side partials — one shuffle on doc_id carrying 64 longs per
-    // partial group, NO K-fold row blowup, no object aggregation.
-    val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("x", pmod(xxhash64(col("sh")), lit(p)))
-    val minCols = (0 until K).map(i =>
-      min(pmod(col("x") * (2L * i + 1L) + i.toLong * minhashC, lit(p))).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id"))
+  /** BATCH K-min signature table (doc_id, sig): K wide min-aggregates
+    * — fully codegen'd hash aggregation with map-side partials, one
+    * shuffle on doc_id carrying 64 longs per partial group, NO K-fold
+    * row blowup, no object aggregation. The corpus-scan formulation
+    * of [[sigCol]] (64 interpreted lambdas per row measured ~25 ms/
+    * 1000 docs×row — fine per arriving event, 100× too slow as a
+    * scan); DedupSpec asserts the two produce identical signatures. */
+  private[graft] def groupedSig(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("x", pmod(xxhash64(col("sh")), lit(minhashP)))
+    val minCols = (0 until minhashK).map(i =>
+      min(pmod(col("x") * (2L * i + 1L) + i.toLong * minhashC, lit(minhashP))).as(s"m$i"))
+    sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"),
+        array((0 until minhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  def minhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val sig = groupedSig(spark, dir)
     // 16 band keys per doc, row-local from the signature array
     val bandCols = bandKeysCol(col("sig"))
     // Band-bucket cap (same rationale as the shingle posting cap): a

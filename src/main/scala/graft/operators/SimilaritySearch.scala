@@ -171,43 +171,20 @@ object SimilaritySearch {
     })
   }
 
-  /** Append the 8 PQ code columns (code_0..code_7) to a frame with an
-    * `embedding` column: 8 chained narrow transforms, no shuffle. */
-  private def pqEncode(df: DataFrame,
-      codebooks: Seq[org.apache.spark.ml.clustering.KMeansModel]): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    codebooks.foldLeft(
-        df.withColumns((0 until pqM).map(j => s"sub_$j" ->
-          array_to_vector(slice(col("embedding"), j * pqSubDim + 1, pqSubDim))).toMap)) {
-      (acc, km) => km.transform(acc)
-    }.drop((0 until pqM).map(j => s"sub_$j"): _*)
-  }
-
-  /** Per-query ADC lookup table: ||q_j − c||² for each subspace ×
-    * centroid, built as a column over the query frame's `qv` — m×k
-    * doubles per query, broadcast with the queries. */
-  private def adcTableCol(
-      codebooks: Seq[org.apache.spark.ml.clustering.KMeansModel]): org.apache.spark.sql.Column = {
-    val centroids: Array[Array[Array[Double]]] =
-      codebooks.map(_.clusterCenters.map(_.toArray)).toArray
-    array((0 until pqM).map { j =>
-      array((0 until pqK).map { c =>
-        val cent = centroids(j)(c)
-        // Σ_d (q_d − cent_d)² — left-to-right fold over the subspace
-        (0 until pqSubDim).map { d =>
-          val q = element_at(col("qv"), j * pqSubDim + d + 1).cast("double")
-          (q - lit(cent(d))) * (q - lit(cent(d)))
-        }.reduce(_ + _)
-      }: _*)
-    }: _*)
-  }
+  /** Codebook centroid arrays for the native PQ kernels. */
+  private def centroidArrays(
+      codebooks: Seq[org.apache.spark.ml.clustering.KMeansModel]): graft.plans.PqExprs.Centroids =
+    codebooks.map(_.clusterCenters.map(_.toArray)).toArray
 
   /** Negated ADC distance of a coded row against the row's `adc`
-    * table: approx dist = Σ_j table[j][code_j] (negated so TopKByKey
-    * keeps the BEST = highest score). */
+    * table: approx dist = Σ_j table[j][codes_j] (negated so TopKByKey
+    * keeps the BEST = highest score). The corpus encode and the ADC
+    * table are native expressions (plans/PqExprs) — the composable
+    * forms (8 chained model transforms; a ~10k-node literal table)
+    * cost more in per-run driver analysis than the stages ran. */
   private def negAdcCol: org.apache.spark.sql.Column =
     -(0 until pqM).map(j =>
-      element_at(element_at(col("adc"), j + 1), col(s"code_$j") + 1))
+      element_at(element_at(col("adc"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
 
   /** Bounded ADC candidate set per query + exact cosine re-rank of
@@ -242,13 +219,14 @@ object SimilaritySearch {
     * planted-twin recall asserted in DedupSpec. */
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = embWithNorm(spark, dir)
-    val codebooks = pqCodebooks(spark, dir, emb)
-    val encoded = pqEncode(emb, codebooks)
-      .select(col("vec_id") +: (0 until pqM).map(j => col(s"code_$j")): _*)
+    val cents = centroidArrays(pqCodebooks(spark, dir, emb))
+    val encoded = emb.select(col("vec_id"),
+      graft.plans.PqExprs.codes(col("embedding"), cents).as("codes"))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"))
-    val q = queries.withColumn("adc", adcTableCol(codebooks))
+    val q = queries.withColumn("adc",
+      graft.plans.PqExprs.adcTable(col("qv"), cents))
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("neg_adc", negAdcCol)
@@ -272,15 +250,15 @@ object SimilaritySearch {
   def knnIvfPq(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val emb = embWithNorm(spark, dir)
     val cents = centroidTable(spark, coarseModel(spark, dir, emb))
-    val codebooks = pqCodebooks(spark, dir, emb)
+    val pqCents = centroidArrays(pqCodebooks(spark, dir, emb))
     // index build: one corpus scan — cell assignment, then codes
-    val index = pqEncode(nearestCells(emb, cents, keep = 1), codebooks)
-      .select(col("vec_id") +: col("cent_id") +:
-        (0 until pqM).map(j => col(s"code_$j")): _*)
+    val index = nearestCells(emb, cents, keep = 1)
+      .select(col("vec_id"), col("cent_id"),
+        graft.plans.PqExprs.codes(col("embedding"), pqCents).as("codes"))
     val queryCells = nearestCells(emb.filter(col("vec_id") < 10), cents, keep = nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qnrm"), col("cent_id"))
-      .withColumn("adc", adcTableCol(codebooks))
+      .withColumn("adc", graft.plans.PqExprs.adcTable(col("qv"), pqCents))
     // the probe join: query side is bounded (|queries|×nprobe) by
     // contract → broadcast is safe at any corpus scale
     val scored = index.join(broadcast(queryCells), Seq("cent_id"))

@@ -277,9 +277,11 @@ object StreamOps {
     * real stream is asserted in MlStreamSpec. */
   def minhashCandidateBatch(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(Dedup.bandKeysCol(Dedup.sigCol(Dedup.shinglesCol))).as("bk"))
+    // the CORPUS-SCAN signature formulation (codegen'd grouped mins,
+    // q32's shape) — identical values to the stream's row-local
+    // sigCol (DedupSpec), ~100× cheaper over a full corpus
+    Dedup.groupedSig(spark, dir)
+      .select(col("doc_id"), explode(Dedup.bandKeysCol(col("sig"))).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1)

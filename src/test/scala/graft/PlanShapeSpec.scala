@@ -73,4 +73,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("md5"), p)
     assert(p.contains("Exchange hashpartitioning(content_hash"), p)
   }
+
+  test("ivfpq broadcasts only the probe side; the coded corpus is never broadcast") {
+    val df = SimilaritySearch.knnIvfPq(spark, sf)
+    // the one mandatory hint is the bounded (|queries|×nprobe) side
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint"), analyzed)
+    val p = plan(df)
+    // cell-probe join present, no cross product over the corpus
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gopher rules: one map-side corpus pass, no explode, single agg exchange") {
+    val p = plan(TextOps.gopherRules(spark, sf))
+    assert(!p.contains("Generate"), p) // no explode anywhere
+    // only the per-source aggregation shuffles (plus nothing else):
+    // signals are computed row-local in the scan stage
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
+  test("repetition: two-level (doc, gram) aggregation with map-side combine") {
+    val p = plan(TextOps.repetition(spark, sf))
+    // partial_count before the (doc, gram) exchange = map-side combine;
+    // the gram explosion must come from the codegen WordNGrams
+    assert(p.contains("word_ngrams"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
