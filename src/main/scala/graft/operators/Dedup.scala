@@ -105,16 +105,14 @@ object Dedup {
   private[graft] val minhashC = 2654435761L
 
   /** ROW-LOCAL K-min signature from a shingle array — the streaming
-    * path (one doc per row, no shuffle; higher-order lambdas are
-    * interpreted, acceptable off the batch hot path). The batch
-    * operator computes the SAME mins via explode + codegen'd grouped
-    * min-aggregates; DedupSpec asserts the two signatures are
-    * identical on the corpus. */
-  private[graft] def sigCol(shingles: Column): Column = {
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(minhashP)))
-    array((0 until minhashK).map(i => array_min(transform(hashes,
-      x => pmod(x * (2L * i + 1L) + i.toLong * minhashC, lit(minhashP))))): _*)
-  }
+    * path (one doc per row, no shuffle), as the native codegen
+    * MinHashSigExpr kernel. The batch operator computes the SAME
+    * mins via explode + codegen'd grouped min-aggregates
+    * ([[groupedSig]]); DedupSpec asserts the two signatures are
+    * identical on the corpus — which also pins the kernel's XXH64 to
+    * Spark's xxhash64. */
+  private[graft] def sigCol(shingles: Column): Column =
+    graft.plans.MinHashSigExpr(shingles, minhashK, minhashP, minhashC)
 
   /** 16 (band, key) structs from a signature column, row-local. */
   private[graft] def bandKeysCol(sig: Column): Column =

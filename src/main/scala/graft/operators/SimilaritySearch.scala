@@ -83,30 +83,23 @@ object SimilaritySearch {
         .fit(emb.select(array_to_vector(col("embedding")).as("feat"))))
   }
 
-  /** Centroid table (cent_id, cv, cnrm) — cell-count-sized, broadcast
-    * wherever it joins. */
-  private def centroidTable(spark: SparkSession,
-      km: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
-    import spark.implicits._
-    km.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }
-      .toDF("cent_id", "cv")
-      .withColumn("cnrm", VecFns.norm(col("cv")))
-  }
+  /** Centroid arrays of the coarse quantizer (driver-sized). */
+  private def cellArrays(
+      km: org.apache.spark.ml.clustering.KMeansModel): Array[Array[Double]] =
+    km.clusterCenters.map(_.toArray)
 
-  /** Attach each vector's `keep` nearest cells (by cosine to the
-    * broadcast centroid table) — row-local scoring, bounded by the
-    * cell count, no shuffle of the vectors themselves. */
-  private def nearestCells(df: DataFrame, cents: DataFrame, keep: Int): DataFrame =
-    df.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        VecFns.ratio(VecFns.dot(col("embedding"), col("cv")),
-          col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id"))))
-      .filter(col("crank") <= keep)
-      .drop("cv", "cnrm", "csim", "crank")
+  /** Attach each vector's `keep` nearest cells — ROW-LOCAL via the
+    * native CellExprs kernel (centroids ride as a codegen reference
+    * object). The earlier crossJoin(centroids) + row_number window
+    * formulation shuffled the 16×corpus frame by vec_id just to rank
+    * 16 similarities per vector; cell assignment is now a narrow map
+    * stage at any corpus size. */
+  private def nearestCells(df: DataFrame, cents: Array[Array[Double]],
+      keep: Int): DataFrame = {
+    val cellsCol = graft.plans.CellExprs.nearestCells(col("embedding"), cents, keep)
+    if (keep == 1) df.withColumn("cent_id", element_at(cellsCol, 1))
+    else df.withColumn("cent_id", explode(cellsCol))
+  }
 
   /** IVF ANN with TRAINED coarse quantizer: MLlib KMeans (k=16,
     * seed-fixed, registry-cached) learns the cell centroids; every
@@ -122,7 +115,7 @@ object SimilaritySearch {
     * vs knnBrute asserted in DedupSpec. */
   def knnIvf(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val emb = embWithNorm(spark, dir)
-    val cents = centroidTable(spark, coarseModel(spark, dir, emb))
+    val cents = cellArrays(coarseModel(spark, dir, emb))
     val corpusCells = nearestCells(emb, cents, keep = 1)
     val queryCells = nearestCells(emb.filter(col("vec_id") < 10), cents, keep = nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -249,7 +242,7 @@ object SimilaritySearch {
     * planted-twin recall asserted in DedupSpec. */
   def knnIvfPq(spark: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val emb = embWithNorm(spark, dir)
-    val cents = centroidTable(spark, coarseModel(spark, dir, emb))
+    val cents = cellArrays(coarseModel(spark, dir, emb))
     val pqCents = centroidArrays(pqCodebooks(spark, dir, emb))
     // index build: one corpus scan — cell assignment, then codes
     val index = nearestCells(emb, cents, keep = 1)
