@@ -63,6 +63,7 @@ object SparkEntry {
     "q67_knn_pq" -> SimilaritySearch.knnPq _,
     "q69_knn_ivfpq" -> ((s: SparkSession, d: String) => SimilaritySearch.knnIvfPq(s, d)),
     "q71_stream_minhash" -> graft.streaming.StreamOps.minhashCandidateBatch _,
+    "q74_ivfpq_disk" -> ((s: SparkSession, d: String) => SimilaritySearch.knnIvfPqPersisted(s, d)),
     "q43_pairwise_sim" -> MlOps.pairwiseSimilarity _,
     "q44_doc_embedding" -> MlOps.docEmbedding _,
     "q45_word_item" -> MlOps.wordItemSearch _,

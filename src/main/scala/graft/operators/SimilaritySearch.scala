@@ -261,6 +261,51 @@ object SimilaritySearch {
     adcRerank(scored, emb, queries, nCandidates = 50)
   }
 
+  /** Written-index registry for [[knnIvfPqPersisted]]. */
+  private val indexDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** The PERSISTED form of the q69 index — the actual 100 TB serving
+    * layout: one parquet table, one row per corpus vector (codes +
+    * id), PARTITIONED BY cent_id. Probing then is partition pruning:
+    * the query's probed-cell set (|queries|×nprobe rows by contract —
+    * collected as the ANN "query planning" step) becomes a literal
+    * IN filter on the partition column, so the scan touches ONLY the
+    * probed cells' directories (~nprobe/16 of the index bytes; the
+    * PartitionFilters prune is asserted in DedupSpec, along with
+    * result parity against the in-memory q69 path). Written once per
+    * (session, corpus); reads hit the columnar files like any other
+    * table. */
+  def knnIvfPqPersisted(spark: SparkSession, dir: String,
+      nprobe: Int = 2): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val cents = cellArrays(coarseModel(spark, dir, emb))
+    val pqCents = centroidArrays(pqCodebooks(spark, dir, emb))
+    val indexDir = indexDirCache.getOrElseUpdate((spark, dir), {
+      val out = graft.sources.Sources.stagingDir("ivfpq", dir) +
+        "_" + spark.sparkContext.applicationId
+      nearestCells(emb, cents, keep = 1)
+        .select(col("vec_id"),
+          graft.plans.PqExprs.codes(col("embedding"), pqCents).as("codes"),
+          col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(out)
+      out
+    })
+    val queryCells = nearestCells(emb.filter(col("vec_id") < 10), cents, keep = nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), col("cent_id"))
+      .withColumn("adc", graft.plans.PqExprs.adcTable(col("qv"), pqCents))
+    val probed = queryCells.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cent_id").isin(probed.map(x => x: Any): _*))
+    val scored = index.join(broadcast(queryCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("neg_adc", negAdcCol)
+    val queries = queryCells.select(col("query_id"), col("qv"), col("qnrm")).distinct()
+    adcRerank(scored, emb, queries, nCandidates = 50)
+  }
+
   /** DimensionReductionModel.fit (dimension_reduction_model.py:21):
     * per-dimension importance = Σ v². Values are quantized to 1e-6 so
     * the aggregation is exact integer math — order-independent under

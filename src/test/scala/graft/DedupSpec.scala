@@ -190,6 +190,21 @@ class DedupSpec extends AnyFunSuite {
     assert(agree >= 0.6, s"ivfpq agreement with exhaustive ivf only $agree")
   }
 
+  test("persisted IVF∘PQ index: partition-pruned probe scan, exact parity with in-memory") {
+    val mem = SimilaritySearch.knnIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val disk = SimilaritySearch.knnIvfPqPersisted(spark, sf)
+    val got = disk.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == mem) // same index artifacts (shared registries) ⇒ same answer
+    // the probe must PRUNE the index scan to the probed cells'
+    // partition directories — the whole point of the layout
+    val plan = disk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_id"), plan.take(3000))
+    // the probed-cell list shows as IN (few values) or INSET (many)
+    assert("cent_id#\\d+ (INSET|IN )".r.findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
   test("IVF ANN surfaces planted twins in top-5 (recall >= 0.8)") {
     val ivf = SimilaritySearch.knnIvf(spark, plantedDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
