@@ -64,6 +64,8 @@ object SparkEntry {
     "q69_knn_ivfpq" -> ((s: SparkSession, d: String) => SimilaritySearch.knnIvfPq(s, d)),
     "q71_stream_minhash" -> graft.streaming.StreamOps.minhashCandidateBatch _,
     "q74_ivfpq_disk" -> ((s: SparkSession, d: String) => SimilaritySearch.knnIvfPqPersisted(s, d)),
+    "q75_stream_verified_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamOps.minhashVerifiedBatch(s, d)),
     "q43_pairwise_sim" -> MlOps.pairwiseSimilarity _,
     "q44_doc_embedding" -> MlOps.docEmbedding _,
     "q45_word_item" -> MlOps.wordItemSearch _,

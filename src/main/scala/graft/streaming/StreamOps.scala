@@ -270,6 +270,53 @@ object StreamOps {
       }
   }
 
+  /** VERIFIED dedup-at-ingest: the candidate stream joined (a
+    * stream-STATIC join — stateless, no watermark needed) against
+    * the document store's shingle sets on both pair sides, exact
+    * Jaccard computed row-local, sub-threshold candidates dropped.
+    * This closes the ingest loop: band-bucket candidates the moment
+    * a doc arrives, exact verification against the store, only true
+    * near-dups emitted. A pair colliding in several bands emits per
+    * band (stateless stream — dedup of verified pairs is the
+    * downstream sink's distinct, as in the batch twin). At 100 TB
+    * the static side is the corpus: Spark re-reads only the joined
+    * keys' data per micro-batch and the join carries ids+shingles,
+    * never raw text. */
+  def minhashVerifiedStream(spark: SparkSession, docsDir: String,
+      storeDir: String, threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val store = Tables.documents(spark, storeDir)
+      .select(col("doc_id"), Dedup.shinglesCol.as("sh"))
+    minhashCandidateStream(spark, docsDir).toDF()
+      .join(store.select(col("doc_id").as("rep_doc"), col("sh").as("sha")), Seq("rep_doc"))
+      .join(store.select(col("doc_id"), col("sh").as("shb")), Seq("doc_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("rep_doc"), col("doc_id"), col("jaccard"))
+  }
+
+  /** Batch twin of [[minhashVerifiedStream]] (registered as q75):
+    * candidates from the batch twin, same exact-verify joins, distinct
+    * verified pairs. */
+  def minhashVerifiedBatch(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val store = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.shinglesCol.as("sh"))
+    minhashCandidateBatch(spark, dir)
+      .join(store.select(col("doc_id").as("rep_doc"), col("sh").as("sha")), Seq("rep_doc"))
+      .join(store.select(col("doc_id"), col("sh").as("shb")), Seq("doc_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("rep_doc"), col("doc_id"), col("jaccard"))
+      .distinct()
+      .orderBy(col("rep_doc"), col("doc_id"))
+  }
+
   /** Batch twin of [[minhashCandidateStream]]: same row-local band
     * keys, bucket representative = min doc id, one candidate row per
     * (bucket, later doc). Deterministic given the fixed hash family →

@@ -135,6 +135,32 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static verified dedup matches the batch twin's pair set") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_minhash_verified")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = StreamOps.minhashVerifiedBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q = StreamOps.minhashVerifiedStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("minhash_verified_test")
+      .start()
+    try {
+      def snap() = spark.table("minhash_verified_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val deadline = System.currentTimeMillis() + 120000
+      var streamed = snap()
+      while (streamed != batch && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); streamed = snap()
+      }
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+      // every emitted pair really is a verified near-dup
+      assert(streamed.forall(_._3 >= 0.5))
+    } finally q.stop()
+  }
+
   // NOTE: exact event_id-level parity relies on staging ONE file →
   // one micro-batch, so each user's events arrive in event-time order
   // (milestoneStream sorts only within a batch — see its ordering
