@@ -88,8 +88,8 @@ object SparkEntry {
     "q65_gcmc_conv" -> MlOps.gcmcConv _,
     "q66_early_stopping" -> MlOps.earlyStopTrain _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
-    "q61_multimodal_decode" -> Multimodal.decodeFeatures _,
-    "q62_frame_sample" -> Multimodal.frameSample _,
+    "q61_multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeFeatures(s, d)),
+    "q62_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "q70_stream_rollup" -> StreamOps.rollup10m _,
   )
 

@@ -7,12 +7,59 @@ import graft.Tables
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata. The container has no codec
-  * libraries, so the decode step is a clearly-marked deterministic
-  * fake — but the Spark-side plumbing (binary columns, typed
-  * mapPartitions decode with case-class Encoders, partition-sized
-  * batches, metadata pushdown-friendly schema) is real and tested.
+  * libraries, so the DEFAULT codec is a clearly-marked deterministic
+  * fake — but the decode boundary is a pluggable trait and the
+  * Spark-side plumbing (binary columns, typed mapPartitions decode
+  * with case-class Encoders, partition-sized batches, metadata
+  * pushdown-friendly schema) is real and tested.
   */
 object Multimodal {
+
+  /** Pluggable decode boundary. A real deployment drops in an
+    * ffmpeg/ImageIO-backed implementation; operators never change.
+    * Implementations are constructed driver-side and shipped to
+    * executors (hence Serializable); heavyweight native state should
+    * be lazy so it initializes once per executor, and the operators
+    * call through once per partition — the decoder-per-partition
+    * batch shape of a Pandas-UDF/mapInPandas decode. */
+  trait AssetCodec extends Serializable {
+    /** Decode an encoded payload → (width, height, feature mean). */
+    def decode(payload: Array[Byte]): (Long, Long, Double)
+
+    /** Sample every `every`-th frame of a video payload → per-frame
+      * (frame_idx, byte offset, frame bytes, luma). */
+    def sampleFrames(payload: Array[Byte], every: Int,
+        frameSize: Int): Iterator[(Long, Long, Long, Double)]
+  }
+
+  /** Deterministic stand-in codec (???-grade stub: the container
+    * ships no codec libs — replace with a real implementation when
+    * the runtime has one). Reads the real bytes and produces
+    * deterministic features, so schema/partition/batch plumbing is
+    * fully exercised and spec-checkable. */
+  object DeterministicFakeCodec extends AssetCodec {
+    override def decode(payload: Array[Byte]): (Long, Long, Double) = {
+      val n = payload.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (payload(i) & 0xff); i += 1 }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      (64L + n % 512, 64L + (n * 7) % 512, mean)
+    }
+
+    override def sampleFrames(payload: Array[Byte], every: Int,
+        frameSize: Int): Iterator[(Long, Long, Long, Double)] = {
+      val nFrames = payload.length / frameSize
+      (0 until nFrames by every).iterator.map { f =>
+        val off = f * frameSize
+        var sum = 0L
+        var i = off
+        while (i < off + frameSize) { sum += (payload(i) & 0xff); i += 1 }
+        (f.toLong, off.toLong, frameSize.toLong,
+          math.rint(sum.toDouble / frameSize * 100) / 100)
+      }
+    }
+  }
 
   /** Typed decode output (what a real image decoder would emit). */
   case class AssetFeature(doc_id: Long, source: String, n_bytes: Long,
@@ -39,22 +86,22 @@ object Multimodal {
 
   /** Decode pipeline: binary payload → per-asset features via typed
     * mapPartitions (the Scala analogue of a Pandas-UDF/mapInPandas
-    * batch decode — one decoder instantiation per partition, stream
-    * of rows through it, no per-row setup cost).
-    *
-    * STUB: `fakeDecode` stands in for the codec call. It reads real
-    * bytes and produces deterministic features, so schema/partition/
-    * batch plumbing is fully exercised. */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    * batch decode — one decoder reference per partition, stream of
+    * rows through it, no per-row setup cost). Codec is pluggable;
+    * default is the declared deterministic stub. */
+  def decodeFeatures(spark: SparkSession, dir: String,
+      codec: AssetCodec = DeterministicFakeCodec): DataFrame = {
     import spark.implicits._
     val assets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         col("text").cast("binary").as("payload"))
       .as[(Long, String, Array[Byte])]
     assets.mapPartitions { it =>
-      // real decoder would be constructed once per partition here
+      // one codec reference per partition: a real implementation
+      // initializes its native state here, once
+      val c = codec
       it.map { case (id, source, payload) =>
-        val (w, h, mean) = fakeDecode(payload)
+        val (w, h, mean) = c.decode(payload)
         AssetFeature(id, source, payload.length.toLong, w, h,
           math.rint(mean * 10000) / 10000)
       }
@@ -71,14 +118,14 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Long, offset: Long,
       frame_bytes: Long, luma: Double)
 
-  /** Frame sampling / resize plumbing: treat the payload as a fake
-    * video (fixed-size "frames" over the byte stream), sample every
-    * k-th frame, and emit per-frame features. flatMapPartitions shape:
-    * one decoder per partition, 0..n output rows per input row — the
-    * real pattern for video corpora where frames explode row counts.
-    * STUB: frame boundaries/features are deterministic fakes; the
-    * schema, partition-batch shape, and explode semantics are real. */
-  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame sampling / resize plumbing: treat the payload as a video
+    * (fixed-size "frames" over the byte stream under the stub codec),
+    * sample every k-th frame, and emit per-frame features.
+    * flatMap-over-partitions shape: one decoder per partition, 0..n
+    * output rows per input row — the real pattern for video corpora
+    * where frames explode row counts. */
+  def frameSample(spark: SparkSession, dir: String,
+      codec: AssetCodec = DeterministicFakeCodec): DataFrame = {
     import spark.implicits._
     val every = 4
     val frameSize = 32
@@ -86,15 +133,10 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
     assets.mapPartitions { it =>
+      val c = codec
       it.flatMap { case (id, payload) =>
-        val nFrames = payload.length / frameSize
-        (0 until nFrames by every).iterator.map { f =>
-          val off = f * frameSize
-          var sum = 0L
-          var i = off
-          while (i < off + frameSize) { sum += (payload(i) & 0xff); i += 1 }
-          Frame(id, f.toLong, off.toLong, frameSize.toLong,
-            math.rint(sum.toDouble / frameSize * 100) / 100)
+        c.sampleFrames(payload, every, frameSize).map {
+          case (idx, off, nb, luma) => Frame(id, idx, off, nb, luma)
         }
       }
     }.toDF()
@@ -103,16 +145,5 @@ object Multimodal {
         count(lit(1)).as("n_sampled_frames"),
         round(avg(col("luma")), 2).as("avg_luma"))
       .orderBy(col("doc_id"))
-  }
-
-  /** Deterministic stand-in for an image/audio decode (???-grade stub:
-    * replace with a real codec when the runtime has one). */
-  private def fakeDecode(payload: Array[Byte]): (Long, Long, Double) = {
-    val n = payload.length
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += (payload(i) & 0xff); i += 1 }
-    val mean = if (n == 0) 0.0 else sum.toDouble / n
-    (64L + n % 512, 64L + (n * 7) % 512, mean)
   }
 }

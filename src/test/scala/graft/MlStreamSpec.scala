@@ -7,6 +7,14 @@ import graft.ml.MlOps
 import graft.operators.Multimodal
 import graft.streaming.StreamOps
 
+/** Top-level so the closure ships without capturing the suite. */
+object ConstCodec extends Multimodal.AssetCodec {
+  override def decode(p: Array[Byte]): (Long, Long, Double) = (1L, 2L, 3.0)
+  override def sampleFrames(p: Array[Byte], every: Int,
+      frameSize: Int): Iterator[(Long, Long, Long, Double)] =
+    Iterator((0L, 0L, frameSize.toLong, 9.0))
+}
+
 class MlStreamSpec extends AnyFunSuite {
   import SparkTest._
 
@@ -133,6 +141,17 @@ class MlStreamSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
       assert(streamed == batch)
     } finally q.stop()
+  }
+
+  test("multimodal codec is pluggable: a custom codec's outputs flow through") {
+    val out = Multimodal.decodeFeatures(spark, sf, ConstCodec).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Double]("avg_feat") == 3.0 &&
+      r.getAs[Long]("max_width") == 1L))
+    val frames = Multimodal.frameSample(spark, sf, ConstCodec).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(r => r.getAs[Long]("n_sampled_frames") == 1L &&
+      r.getAs[Double]("avg_luma") == 9.0))
   }
 
   test("stream-static verified dedup matches the batch twin's pair set") {
