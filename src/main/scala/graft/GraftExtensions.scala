@@ -15,7 +15,8 @@ import graft.plans.{RollingHash, SimHash64, WordNGrams, VecExprs}
   *     .config("spark.sql.extensions", "graft.GraftExtensions")
   *
   * Functions: rolling_hash(str), simhash64(array<string>),
-  * word_ngrams(array<string>, n), vec_dot(a, b), vec_norm(a).
+  * word_ngrams(array<string>, n), vec_dot(a, b), vec_norm(a),
+  * minhash_sig(array<string>).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -55,5 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of an array"),
       (args: Seq[Expression]) => VecExprs.L2Norm(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles) - 64-long K-min MinHash signature (q32/q71 hash family)"),
+      (args: Seq[Expression]) => graft.plans.MinHashSigExpr.MinHashSig(
+        args.head, graft.operators.Dedup.minhashK,
+        graft.operators.Dedup.minhashP, graft.operators.Dedup.minhashC)))
   }
 }
