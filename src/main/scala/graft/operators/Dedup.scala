@@ -286,7 +286,16 @@ object Dedup {
     * and collapsed to a few partitions — per-round work then costs
     * scheduler time, not shuffle time; at a 100 TB dup-heavy corpus
     * the same plan simply keeps more partitions. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Edge-count bound for the single-task union-find path: 10M
+    * symmetric edges ≈ 160 MB in one task — comfortably within an
+    * executor; above it the label-propagation loop takes over. */
+  val smallGraphEdges = 10000000L
+
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir, smallGraphEdges)
+
+  private[graft] def clusters(spark: SparkSession, dir: String,
+      smallGraphMax: Long): DataFrame = {
     val edges = jaccardPairs(spark, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // materialize the symmetric edge list ONCE (the jaccard scan never
@@ -294,7 +303,39 @@ object Dedup {
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(4).persist()
-    sym.count()
+    val nEdges = sym.count()
+    if (nEdges <= smallGraphMax) {
+      // The near-dup graph is dup-rate-bounded — orders of magnitude
+      // smaller than the corpus — so the COMMON case fits one task:
+      // coalesce the edge list and run union-find inside a single
+      // executor task (ONE job, no per-round scheduling; still the
+      // distributed API, nothing comes to the driver). The loop
+      // below is the arbitrarily-large-graph path; DedupSpec runs
+      // both and asserts identical clusters.
+      import spark.implicits._
+      val labels = sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // root = min member by construction (always parent to the min)
+        parent.keysIterator.map(id => (id, find(id)))
+      }.toDF("id", "label")
+      val out = clusterRollup(labels).persist()
+      out.count() // materialize before dropping the edge cache
+      sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var cached = labels.persist() // persisted frame currently backing `labels`
@@ -321,13 +362,7 @@ object Dedup {
     // fail loudly rather than emit silently-split components
     require(changed == 0,
       s"connected components did not converge in $maxRounds rounds")
-    val out = labels
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"),
-        sort_array(collect_list(col("id"))).as("members"))
-      .select(col("cluster_id"), col("cluster_size"),
-        concat_ws(",", col("members")).as("members"))
-      .orderBy(col("cluster_id"))
+    val out = clusterRollup(labels)
     // materialize before dropping the lineage caches (the cluster
     // table is near-dup-sized — small by construction)
     val materialized = out.persist()
@@ -336,6 +371,16 @@ object Dedup {
     sym.unpersist()
     materialized
   }
+
+  /** (id, label) → the cluster table (min-label id, size, members). */
+  private def clusterRollup(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("cluster_id"), col("cluster_size"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy(col("cluster_id"))
 
   /** Seed-fixed pseudo-random unit-free hyperplanes (deterministic
     * across JVMs: scala.util.Random is a fixed LCG). */

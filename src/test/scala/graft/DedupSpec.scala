@@ -86,6 +86,11 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.clusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(2))).toSet
     assert(got == expected)
+    // the arbitrarily-large-graph path (label propagation, forced by
+    // a zero small-graph bound) must produce the identical clusters
+    val loop = Dedup.clusters(spark, sf, smallGraphMax = -1L).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(loop == expected)
   }
 
   /** Planted-near-dup fixture: the synthetic embeddings are
