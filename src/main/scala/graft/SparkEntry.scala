@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlOps
-import graft.operators.{Dedup, FrameOps, Multimodal, Recommend, SimilaritySearch, TextOps, WordItemApp}
+import graft.operators.{CorpusOps, Dedup, FrameOps, Multimodal, Recommend, SimilaritySearch, TextOps, WordItemApp}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -91,6 +91,11 @@ object SparkEntry {
     "q61_multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeFeatures(s, d)),
     "q62_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "q70_stream_rollup" -> StreamOps.rollup10m _,
+    "q76_contamination" -> CorpusOps.contamination _,
+    "q77_chunk_pack" -> CorpusOps.chunkPack _,
+    "q78_sample_balance" -> CorpusOps.sampleBalance _,
+    "q79_bigram_lm" -> CorpusOps.bigramLm _,
+    "q80_cluster_best" -> CorpusOps.clusterBest _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -602,5 +607,127 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q76: word 5-grams via the same range-index pattern as q73;
+    // eval set = src0, per-doc DISTINCT grams, left join keeps
+    // zero-hit docs
+    "q76_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+4] AS g
+        |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> 'src0'),
+        |h AS (
+        |  SELECT tg.doc_id, COUNT(*) AS n_hit
+        |  FROM tg JOIN ev ON tg.g = ev.g GROUP BY 1),
+        |d AS (
+        |  SELECT t.doc_id, t.source, COALESCE(h.n_hit, 0) AS n_hit
+        |  FROM t LEFT JOIN h ON t.doc_id = h.doc_id WHERE t.source <> 'src0')
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+        |  CAST(MAX(n_hit) AS BIGINT) AS max_hits
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // q77: DuckDB list slice [a:b] is 1-based inclusive and clips at
+    // the end — same element window as Spark's slice(t, a, 64)
+    "q77_chunk_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tok
+        |  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS u(ci))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n_tok - chunk_idx * 64) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(toks[CAST(chunk_idx*64+1 AS BIGINT):CAST(chunk_idx*64+64 AS BIGINT)], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q78: multiplicative-hash rate sampling — identical BIGINT
+    // arithmetic in both engines, no overflow at any test SF
+    "q78_sample_balance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
+        |tgt AS (SELECT MIN(n_before) AS target FROM c),
+        |d AS (
+        |  SELECT doc_id, dd.lang, (doc_id * 2654435761) % 1000000007 AS pr,
+        |    c.n_before, tgt.target
+        |  FROM documents dd JOIN c ON dd.lang = c.lang, tgt)
+        |SELECT lang, CAST(MIN(n_before) AS BIGINT) AS n_before,
+        |  CAST(SUM(CASE WHEN pr % n_before < target THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN pr % n_before < target THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // q79: per-bigram nll rounded then summed as DECIMAL so every
+    // mean is order-independent (CLAUDE.md float-parity rules);
+    // divisions happen in DOUBLE on exact decimal sums in both engines
+    "q79_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
+        |    toks[CAST(i AS BIGINT)] AS w1
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT g, COUNT(*) AS c2 FROM g GROUP BY g),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+        |nll AS (
+        |  SELECT g.doc_id, g.source,
+        |    CAST(round(-log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM g JOIN c2 ON g.g = c2.g JOIN c1 ON g.w1 = c1.w1, v),
+        |pd AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
+        |  FROM nll GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  round(CAST(SUM(doc_nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll,
+        |  round(CAST(MAX(doc_nll) AS DOUBLE), 4) AS max_nll
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    // q80: q35's recursive-CTE component labels + per-cluster argmax
+    // by (n_chars desc, doc_id)
+    "q80_cluster_best" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM jac
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM jac),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
+        |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+        |cl AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
+        |m AS (
+        |  SELECT l.cluster_id, cl.cluster_size, l.id AS doc_id, d.n_chars
+        |  FROM lab l JOIN cl ON l.cluster_id = cl.cluster_id
+        |  JOIN documents d ON l.id = d.doc_id),
+        |r AS (
+        |  SELECT cluster_id, cluster_size, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM m)
+        |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+        |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
   )
 }

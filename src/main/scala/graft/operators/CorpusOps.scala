@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.plans.WordNGrams
+
+/** Corpus-curation operator block — the training-data pipeline steps
+  * downstream of cleaning (TextOps) and dedup (Dedup): benchmark
+  * contamination detection, context-window chunking, deterministic
+  * stratified sampling, n-gram LM quality scoring, and duplicate-
+  * cluster representative selection. These extend the reference's
+  * data-prep surface (redshells feeds cleaned/deduped text into its
+  * training tasks, e.g. /root/reference/redshells/train/
+  * train_dictionary.py) with the curation ops a modern LLM corpus
+  * pipeline runs at 100 TB.
+  *
+  * Every op follows the block's scale rules: row-local array math
+  * until the first aggregation, native codegen n-grams (WordNGrams),
+  * map-side-combining two-level aggregations, broadcast only for
+  * genuinely bounded tables (the eval-benchmark gram set, per-stratum
+  * rate tables).
+  */
+object CorpusOps {
+
+  private def toks = TextFns.tokens(col("text"))
+
+  /** Source treated as the held-out benchmark for contamination
+    * checks. In production this is the eval-suite text, which is
+    * bounded (MBs, not TBs) — that bound is what justifies the
+    * broadcast below. */
+  private[graft] val EvalSource = "src0"
+  private[graft] val ContamN = 5
+
+  /** Benchmark contamination check (the n-gram-overlap decontamination
+    * step every LLM corpus pipeline runs; cf. GPT-3 appendix C /
+    * Gopher §A2): a training doc is contaminated if it shares any
+    * word 5-gram with the eval set. Eval grams are DISTINCT and
+    * bounded by eval-suite size, so they broadcast (unlike a corpus
+    * table, this side cannot grow with the training data); the
+    * training side stays a single codegen scan — per-doc distinct
+    * grams via the native WordNGrams Expression, exploded once, left
+    * semi-ish counted via a broadcast join. Per-source rollup only
+    * shuffles |sources| rows. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalGrams = docs.filter(col("source") === EvalSource)
+      .select(explode(WordNGrams(toks, ContamN)).as("g")).distinct()
+    val train = docs.filter(col("source") =!= EvalSource)
+    val hits = train
+      .select(col("doc_id"), col("source"), explode(WordNGrams(toks, ContamN)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hit"))
+    train.select(col("doc_id"), col("source"))
+      .join(hits.drop("source"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_hit")).as("total_hits"),
+        max(col("n_hit")).as("max_hits"))
+      .orderBy(col("source"))
+  }
+
+  private[graft] val ChunkSize = 64
+
+  /** Context-window chunking: split each doc into fixed-size token
+    * windows (the packing step before tokenizer/loader handoff).
+    * Chunk count and boundaries are row-local arithmetic on the token
+    * array — the only explode is `sequence(0, n_chunks-1)`, linear in
+    * OUTPUT size; each chunk row carries its token count and an md5
+    * over the chunk text for downstream exact-dedup at chunk
+    * granularity. No shuffle at all until a consumer aggregates. */
+  def chunkPack(spark: SparkSession, dir: String): DataFrame = {
+    val sz = lit(ChunkSize)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n_tok"))
+      .select(col("doc_id"), col("t"), col("n_tok"),
+        explode(sequence(lit(0L), (ceil(col("n_tok") / ChunkSize.toDouble) - 1).cast("long")))
+          .as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(sz, col("n_tok") - col("chunk_idx") * sz).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("t"), (col("chunk_idx") * sz + 1).cast("int"), lit(ChunkSize))))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private[graft] val SampleHashC = 2654435761L
+  private[graft] val SampleHashP = 1000000007L
+
+  /** Deterministic stratified down-sampling to a balanced language
+    * mix. Two phases, both scale-flat: (1) a tiny per-lang count
+    * aggregate fixes the target (the smallest stratum) and each
+    * stratum's keep-rate; (2) a pure MAP-SIDE filter keeps a doc iff
+    * its multiplicative hash falls under the stratum's rate — no
+    * global sort, no per-stratum window, so the corpus is never
+    * shuffled (the alternative exact-quota row_number ranks every doc
+    * per stratum = a corpus-wide sort at 100 TB). The hash is seeded
+    * arithmetic on doc_id, so the sample is reproducible across
+    * engines and runs; kept counts concentrate at rate·n per stratum
+    * without being exact quotas. */
+  def sampleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val target = counts.agg(min(col("n_before")).as("target"))
+    val rates = counts.crossJoin(broadcast(target))
+    val pr = pmod(col("doc_id") * SampleHashC, lit(SampleHashP))
+    docs.select(col("doc_id"), col("lang"), pr.as("pr"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", col("pr") % col("n_before") < col("target"))
+      .groupBy(col("lang"))
+      .agg(
+        first(col("n_before")).as("n_before"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** Bigram-LM quality scoring (the CCNet-style "perplexity under a
+    * corpus LM" quality axis, reduced to an add-one-smoothed bigram
+    * model the corpus itself defines): per-doc mean negative log2
+    * probability of its bigrams, rolled up per source. The corpus
+    * shuffles twice on small keys (bigram counts, first-token
+    * counts); the model tables are vocab²-bounded and broadcast back
+    * against the doc bigram stream. Float discipline: per-bigram nll
+    * is rounded then summed as DECIMAL so the per-doc and per-source
+    * means are order-independent (CLAUDE.md oracle-parity rules). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+    val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = grams
+      .select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
+    val nll = grams
+      .join(broadcast(c2), Seq("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        round(-log2((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)"))
+    val perDoc = nll.groupBy(col("doc_id"), col("source"))
+      .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(18,6)").as("doc_nll"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("doc_nll")).cast("double") / count(lit(1)), 4).as("avg_nll"),
+        round(max(col("doc_nll")).cast("double"), 4).as("max_nll"))
+      .orderBy(col("source"))
+  }
+
+  /** Duplicate-cluster representative selection ("keep best"): for
+    * each near-dup cluster, keep the longest member (ties to the
+    * smallest id) and count the rest as drops — the final step that
+    * turns a cluster table into a deduplicated corpus. Consumes the
+    * SAME cached cluster artifact as q35 (shared-artifact registry;
+    * the cluster table is dup-rate-bounded, so the explode and the
+    * per-cluster argmax are near-dup-sized, not corpus-sized), then
+    * one broadcast-able join to the doc table for the length signal. */
+  def clusterBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = Dedup.clusters(spark, dir)
+      .select(col("cluster_id"), col("cluster_size"),
+        explode(split(col("members"), ",").cast("array<long>")).as("doc_id"))
+    val sized = members.join(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    sized
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("rep_doc_id"), col("n_chars").as("rep_n_chars"),
+        (col("cluster_size") - 1).cast("long").as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+}

@@ -291,8 +291,17 @@ object Dedup {
     * executor; above it the label-propagation loop takes over. */
   val smallGraphEdges = 10000000L
 
+  /** Cluster-table registry — same shared-artifact pattern as
+    * [[jaccardPairs]]: the cluster table is a pipeline artifact
+    * consumed by multiple downstream ops (q35's rollup, q80's
+    * representative selection), and it is near-dup-sized, so one
+    * persisted copy per (session, corpus) is the right lifetime. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clusters(spark, dir, smallGraphEdges)
+    clusterCache.getOrElseUpdate((spark, dir),
+      clusters(spark, dir, smallGraphEdges))
 
   private[graft] def clusters(spark: SparkSession, dir: String,
       smallGraphMax: Long): DataFrame = {

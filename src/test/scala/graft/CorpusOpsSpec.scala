@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusOps, Dedup}
+
+/** Invariant specs for the corpus-curation block (q76–q80). The
+  * DuckDB oracle is the exact-value gate for all five; these specs
+  * assert the semantic invariants the oracle's hash can't express
+  * directly (reconstruction, membership, rate bounds). */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("contamination excludes the eval source and bounds its counters") {
+    val out = CorpusOps.contamination(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.map(_.getString(0)).contains(CorpusOps.EvalSource))
+    out.foreach { r =>
+      val (nDocs, nContam, total, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nContam <= nDocs)
+      assert(total >= nContam) // each contaminated doc has >= 1 hit
+      assert(mx <= total)
+    }
+    // the synthetic corpus shares phrasing across sources — the check
+    // must actually fire somewhere or the spec is vacuous
+    assert(out.map(_.getLong(2)).sum > 0)
+  }
+
+  test("chunks reconstruct each doc's token count; only tails are short") {
+    val chunks = CorpusOps.chunkPack(spark, sf)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("chunk_tokens").as("n"), max("chunk_idx").as("last"),
+        count(lit(1)).as("n_chunks"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    // token counts reconstruct exactly
+    assert(perDoc.join(docs, "doc_id")
+      .filter(col("n") =!= col("n_tok")).count() == 0)
+    // chunk_idx is dense 0..n_chunks-1
+    assert(perDoc.filter(col("last") =!= col("n_chunks") - 1).count() == 0)
+    // every non-final chunk is exactly ChunkSize tokens
+    val short = chunks.join(perDoc.select(col("doc_id"), col("last")), "doc_id")
+      .filter(col("chunk_idx") < col("last") &&
+        col("chunk_tokens") =!= CorpusOps.ChunkSize)
+    assert(short.count() == 0)
+  }
+
+  test("balanced sample keeps a subset at ~the smallest stratum's size") {
+    val out = CorpusOps.sampleBalance(spark, sf).collect()
+    val target = out.map(_.getLong(1)).min
+    out.foreach { r =>
+      val (before, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept <= before)
+      // hash-rate sampling concentrates near the target; allow wide
+      // slack on a tiny fixture but catch a broken predicate (keeping
+      // everything or nothing in a stratum that should be thinned)
+      if (before > 2 * target) assert(kept < before)
+      assert(kept > 0)
+    }
+  }
+
+  test("bigram LM scores are positive and avg <= max per source") {
+    val out = CorpusOps.bigramLm(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (avg, mx) = (r.getDouble(2), r.getDouble(3))
+      assert(avg > 0 && mx > 0 && avg <= mx)
+    }
+  }
+
+  test("cluster representatives are the longest member of their cluster") {
+    val best = CorpusOps.clusterBest(spark, sf)
+    val members = Dedup.clusters(spark, sf)
+      .select(col("cluster_id"),
+        explode(split(col("members"), ",").cast("array<long>")).as("doc_id"))
+      .join(Tables.documents(spark, sf).select("doc_id", "n_chars"), "doc_id")
+    val maxLen = members.groupBy("cluster_id").agg(max("n_chars").as("max_chars"))
+    val joined = best.join(maxLen, "cluster_id")
+    assert(joined.filter(col("rep_n_chars") =!= col("max_chars")).count() == 0)
+    // rep is an actual member, and exactly one rep per cluster
+    assert(best.join(members,
+      best("cluster_id") === members("cluster_id") &&
+        best("rep_doc_id") === members("doc_id")).count() == best.count())
+    assert(best.groupBy("cluster_id").count().filter(col("count") > 1).count() == 0)
+    assert(best.filter(col("n_dropped") =!= col("cluster_size") - 1).count() == 0)
+  }
+}

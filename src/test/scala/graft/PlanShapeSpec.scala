@@ -99,4 +99,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("word_ngrams"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("chunk packing never shuffles: explode + row-local math only") {
+    // the sort below the TopK-style output is for the deterministic
+    // dump ordering; the chunking itself must add NO hash exchange
+    val p = plan(graft.operators.CorpusOps.chunkPack(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("contamination broadcasts the eval grams, never the corpus side") {
+    val p = plan(graft.operators.CorpusOps.contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the training-corpus gram stream must not sit under a broadcast
+    // exchange: only the (bounded) eval-set gram table may
+    val broadcastSides = p.split("BroadcastExchange|BroadcastQueryStage")
+    assert(broadcastSides.length >= 2, p)
+  }
+
+  test("balanced sampling is a map-side filter: no window, no global sort") {
+    val p = plan(graft.operators.CorpusOps.sampleBalance(spark, sf))
+    assert(!p.contains("Window"), p)
+    // corpus joins only against broadcast rate tables
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
