@@ -96,6 +96,8 @@ object SparkEntry {
     "q78_sample_balance" -> CorpusOps.sampleBalance _,
     "q79_bigram_lm" -> CorpusOps.bigramLm _,
     "q80_cluster_best" -> CorpusOps.clusterBest _,
+    "q81_chunk_dedup" -> CorpusOps.chunkDedup _,
+    "q82_pack_bins" -> CorpusOps.packBins _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -729,5 +731,41 @@ object SparkEntry {
         |  doc_id AS rep_doc_id, n_chars AS rep_n_chars,
         |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    // q81: chunk grid identical to q77; keeper = min (doc_id,
+    // chunk_idx) per hash group
+    "q81_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, CAST(ci AS BIGINT) AS chunk_idx,
+        |    md5(array_to_string(toks[CAST(ci*64+1 AS BIGINT):CAST(ci*64+64 AS BIGINT)], ' ')) AS chunk_hash
+        |  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS u(ci)),
+        |g AS (
+        |  SELECT chunk_hash, COUNT(*) AS n_copies,
+        |    MIN({'doc_id': doc_id, 'chunk_idx': chunk_idx}) AS keeper
+        |  FROM c GROUP BY chunk_hash)
+        |SELECT source, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN c.doc_id = (g.keeper).doc_id AND c.chunk_idx = (g.keeper).chunk_idx
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+        |  CAST(MAX(n_copies) AS BIGINT) AS max_copies
+        |FROM c JOIN g USING (chunk_hash)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // q82: identical exclusive-running-sum packing rule; integer
+    // arithmetic end to end
+    "q82_pack_bins" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, n_tok,
+        |    CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin_id
+        |  FROM d)
+        |SELECT source, bin_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin,
   )
 }

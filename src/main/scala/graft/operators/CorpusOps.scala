@@ -75,21 +75,77 @@ object CorpusOps {
     * OUTPUT size; each chunk row carries its token count and an md5
     * over the chunk text for downstream exact-dedup at chunk
     * granularity. No shuffle at all until a consumer aggregates. */
-  def chunkPack(spark: SparkSession, dir: String): DataFrame = {
+  def chunkPack(spark: SparkSession, dir: String): DataFrame =
+    chunks(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The chunk frame shared by q77 (dump) and q81 (chunk-level
+    * dedup) — still zero-shuffle; `source` rides along for rollups. */
+  private def chunks(spark: SparkSession, dir: String): DataFrame = {
     val sz = lit(ChunkSize)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).as("n_tok"))
-      .select(col("doc_id"), col("t"), col("n_tok"),
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"), col("t"), size(col("t")).as("n_tok"))
+      .select(col("doc_id"), col("source"), col("t"), col("n_tok"),
         explode(sequence(lit(0L), (ceil(col("n_tok") / ChunkSize.toDouble) - 1).cast("long")))
           .as("chunk_idx"))
       .select(
         col("doc_id"),
+        col("source"),
         col("chunk_idx"),
         least(sz, col("n_tok") - col("chunk_idx") * sz).cast("long").as("chunk_tokens"),
         md5(concat_ws(" ", slice(col("t"), (col("chunk_idx") * sz + 1).cast("int"), lit(ChunkSize))))
           .as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Chunk-level exact dedup: near-dup DOCS often share exact
+    * 64-token windows even when doc-level hashes differ — dedup at
+    * chunk granularity catches boilerplate and quoted passages
+    * doc-level dedup can't. Same shuffle discipline as q30: only
+    * (hash, id) pairs move, never chunk text; the digest groupBy
+    * combines map-side. Keep-rule: first copy in (doc_id, chunk_idx)
+    * order survives. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunks(spark, dir)
+      .select(col("doc_id"), col("source"), col("chunk_idx"), col("chunk_hash"))
+    val copies = ch.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    ch.join(copies, Seq("chunk_hash"))
+      .withColumn("kept",
+        col("doc_id") === col("keeper.doc_id") &&
+          col("chunk_idx") === col("keeper.chunk_idx"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_in_dup_groups"),
+        max(col("n_copies")).as("max_copies"))
+      .orderBy(col("source"))
+  }
+
+  private[graft] val PackBudget = 2048L
+
+  /** Token-budget bin packing (the loader-handoff step that
+    * concatenates docs into fixed context windows): docs are packed
+    * in deterministic (doc_id) order per SOURCE; a doc's bin is
+    * floor(exclusive-running-token-sum / budget) — the streaming-
+    * concatenation packing LLM loaders use (docs may straddle a bin
+    * boundary; the budget governs where cuts land). The window is
+    * PARTITIONED BY source, so packing parallelizes across sources
+    * at any scale — there is no global sequential pass. */
+  def packBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextFns.tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", floor((col("cum") - col("n_tok")) / PackBudget))
+    binned.groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin_id"))
   }
 
   private[graft] val SampleHashC = 2654435761L

@@ -70,6 +70,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup keeps exactly one copy per duplicate group") {
+    val out = CorpusOps.chunkDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (chunks, kept, inDup) =
+      (out.map(_.getLong(1)).sum, out.map(_.getLong(2)).sum,
+        out.map(_.getLong(3)).sum)
+    assert(kept <= chunks)
+    // kept = total minus the non-keeper members of dup groups; with
+    // G dup groups of total membership D, kept == chunks - D + G
+    assert(chunks - kept < inDup || inDup == 0)
+    // the synthetic corpus has exact-dup docs => dup chunks must exist
+    assert(inDup > 0)
+    out.foreach(r => assert(r.getLong(4) >= 1))
+  }
+
+  test("bins reconstruct token totals and respect the packing rule") {
+    val bins = CorpusOps.packBins(spark, sf)
+    val perSource = bins.groupBy("source")
+      .agg(sum("bin_tokens").as("packed"), sum("n_docs").as("n"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("total"), count(lit(1)).as("nd"))
+    val j = perSource.join(docs, "source")
+    assert(j.filter(col("packed") =!= col("total") || col("n") =!= col("nd")).count() == 0)
+    // bin ids are dense from 0 within each source
+    val dense = bins.groupBy("source")
+      .agg(min("bin_id").as("lo"), max("bin_id").as("hi"), count(lit(1)).as("k"))
+    assert(dense.filter(col("lo") =!= 0 || col("k") =!= col("hi") + 1).count() == 0)
+  }
+
   test("cluster representatives are the longest member of their cluster") {
     val best = CorpusOps.clusterBest(spark, sf)
     val members = Dedup.clusters(spark, sf)
