@@ -98,6 +98,7 @@ object SparkEntry {
     "q80_cluster_best" -> CorpusOps.clusterBest _,
     "q81_chunk_dedup" -> CorpusOps.chunkDedup _,
     "q82_pack_bins" -> CorpusOps.packBins _,
+    "q83_contam_flag" -> StreamOps.contamFlagBatch _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -767,5 +768,20 @@ object SparkEntry {
         |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
         |FROM b GROUP BY source, bin_id
         |ORDER BY source, bin_id""".stripMargin,
+    // q83: q76's gram pipeline rolled up per contaminated doc
+    "q83_contam_flag" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+4] AS g
+        |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> 'src0')
+        |SELECT tg.doc_id, tg.source, COUNT(*) AS n_hit
+        |FROM tg JOIN ev ON tg.g = ev.g
+        |GROUP BY 1, 2 ORDER BY tg.doc_id""".stripMargin,
   )
 }

@@ -44,14 +44,19 @@ object CorpusOps {
     * grams via the native WordNGrams Expression, exploded once, left
     * semi-ish counted via a broadcast join. Per-source rollup only
     * shuffles |sources| rows. */
+  /** The eval-suite's distinct word 5-grams — the bounded static side
+    * of every contamination check (batch q76, doc-level q83, and the
+    * ingest stream). */
+  private[graft] def evalGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("source") === EvalSource)
+      .select(explode(WordNGrams(toks, ContamN)).as("g")).distinct()
+
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val evalGrams = docs.filter(col("source") === EvalSource)
-      .select(explode(WordNGrams(toks, ContamN)).as("g")).distinct()
     val train = docs.filter(col("source") =!= EvalSource)
     val hits = train
       .select(col("doc_id"), col("source"), explode(WordNGrams(toks, ContamN)).as("g"))
-      .join(broadcast(evalGrams), Seq("g"))
+      .join(broadcast(evalGrams(spark, dir)), Seq("g"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hit"))
     train.select(col("doc_id"), col("source"))

@@ -34,15 +34,22 @@ object Recommend {
     val r = ratingsExact(spark, dir)
       .withColumn("is_train", pmod(col("user") * 31 + col("item"), lit(10)) < 8)
     val train = r.filter(col("is_train"))
-    val glob = train.agg(
-      count(lit(1)).as("n_global"),
-      sum(dec(col("rating"))).cast("double").as("sum_global"))
+    // ONE pass over the rating matrix: the global mean's numerator
+    // and denominator are exact-decimal sums of the per-user sums
+    // (decimal addition is associative), so μ comes from a tiny
+    // second-level agg over |users| rows instead of a second scan
+    // of the join
     val byUser = train.groupBy(col("user"))
       .agg(count(lit(1)).as("n_train"),
-        sum(dec(col("rating"))).cast("double").as("sum_user"))
+        sum(dec(col("rating"))).as("sum_user_dec"))
+      .persist() // users-sized; consumed by both μ and the output join
+    val glob = byUser.agg(
+      sum(col("n_train")).as("n_global"),
+      sum(col("sum_user_dec")).as("sum_global_dec"))
     byUser.crossJoin(broadcast(glob))
-      .withColumn("mu", col("sum_global") / col("n_global"))
-      .withColumn("bias", round(col("sum_user") / col("n_train") - col("mu"), 6))
+      .withColumn("mu", col("sum_global_dec").cast("double") / col("n_global"))
+      .withColumn("bias",
+        round(col("sum_user_dec").cast("double") / col("n_train") - col("mu"), 6))
       .select(col("user"), col("n_train"), col("bias"))
       .orderBy(col("bias").desc, col("user"))
       .limit(20)

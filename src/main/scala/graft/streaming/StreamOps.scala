@@ -317,6 +317,46 @@ object StreamOps {
       .orderBy(col("rep_doc"), col("doc_id"))
   }
 
+  /** STREAMING benchmark-contamination flagging (decontamination-at-
+    * ingest, the q76 check moved to the ingest boundary): incoming
+    * docs' word 5-grams are computed ROW-LOCALLY (codegen WordNGrams,
+    * distinct per doc) and joined stream-STATIC against the bounded
+    * eval-suite gram set (broadcast — it cannot grow with the
+    * corpus). Stateless: each eval-gram hit emits one (doc_id,
+    * source, g) row the moment the doc arrives; per-doc rollups are
+    * the downstream consumer's aggregation (same division of labor
+    * as [[minhashCandidateStream]] → verify). */
+  def contamHitStream(spark: SparkSession, docsDir: String,
+      storeDir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val evalGrams = CorpusOps.evalGrams(spark, storeDir)
+    streamDocs(spark, docsDir)
+      .filter(col("source") =!= CorpusOps.EvalSource)
+      .select(col("doc_id"), col("source"),
+        explode(graft.plans.WordNGrams(
+          split(trim(col("text")), "\\s+"), CorpusOps.ContamN)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id"), col("source"), col("g"))
+  }
+
+  /** Batch twin of [[contamHitStream]] rolled up per doc (registered
+    * as q83): the contaminated-doc list with hit counts — the
+    * doc-level view of q76's per-source report. Oracle-gated;
+    * stream == batch parity asserted in MlStreamSpec. */
+  def contamFlagBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val evalGrams = CorpusOps.evalGrams(spark, dir)
+    Tables.documents(spark, dir)
+      .filter(col("source") =!= CorpusOps.EvalSource)
+      .select(col("doc_id"), col("source"),
+        explode(graft.plans.WordNGrams(
+          split(trim(col("text")), "\\s+"), CorpusOps.ContamN)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Batch twin of [[minhashCandidateStream]]: same row-local band
     * keys, bucket representative = min doc id, one candidate row per
     * (bucket, later doc). Deterministic given the fixed hash family →

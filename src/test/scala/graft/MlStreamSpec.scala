@@ -180,6 +180,29 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination hits roll up to the batch flag table") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_contam_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = StreamOps.contamFlagBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty) // the check must fire or parity is vacuous
+    val q = StreamOps.contamHitStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_hits_test")
+      .start()
+    try {
+      q.processAllAvailable() // stateless stream: returns when drained
+      val streamed = spark.table("contam_hits_test")
+        .groupBy("doc_id", "source")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_hit"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   // NOTE: exact event_id-level parity relies on staging ONE file →
   // one micro-batch, so each user's events arrive in event-time order
   // (milestoneStream sorts only within a batch — see its ordering

@@ -61,6 +61,22 @@ class PropertySpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) <= 16)
   }
 
+  test("results are invariant to shuffle width (partial-agg order independence)") {
+    // The decimal-aggregation discipline exists so a 1000-executor
+    // cluster and local[4] produce BIT-IDENTICAL floats. Re-running
+    // representative float-heavy queries under a different shuffle
+    // width reorders every partial aggregation — results must not move.
+    val names = Seq("q01_pricing_summary", "q56_mc_bias", "q79_bigram_lm")
+    def run(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    val before = names.map(n => n -> run(n)).toMap
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      names.foreach(n => assert(run(n) == before(n), s"$n moved with shuffle width"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("Pairing.buckets: pinned at test SFs, linear with bounded width at scale") {
     import graft.operators.Pairing
     // every driver corpus keeps the fixed 25-bucket candidate set
