@@ -99,6 +99,7 @@ object SparkEntry {
     "q81_chunk_dedup" -> CorpusOps.chunkDedup _,
     "q82_pack_bins" -> CorpusOps.packBins _,
     "q83_contam_flag" -> StreamOps.contamFlagBatch _,
+    "q84_window_dedup" -> CorpusOps.windowDedup _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -783,5 +784,26 @@ object SparkEntry {
         |SELECT tg.doc_id, tg.source, COUNT(*) AS n_hit
         |FROM tg JOIN ev ON tg.g = ev.g
         |GROUP BY 1, 2 ORDER BY tg.doc_id""".stripMargin,
+    // q84: same overlapping-window grid (32 tokens, stride 8; tail
+    // windows clip) — md5 digests stand in for window text
+    "q84_window_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(toks[CAST(wi*8+1 AS BIGINT):CAST(wi*8+32 AS BIGINT)], ' ')) AS wh
+        |  FROM t, UNNEST(range(0, CAST(greatest(ceil((len(toks)-32)/8.0), 0) AS BIGINT)+1)) AS u(wi)),
+        |s AS (SELECT wh, COUNT(DISTINCT doc_id) AS n_docs_with FROM w GROUP BY wh),
+        |p AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_win,
+        |    SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM w JOIN s USING (wh) GROUP BY 1, 2),
+        |b AS (SELECT source, n_win, n_dup,
+        |  CAST(round(n_dup * 10000.0 / n_win, 0) AS BIGINT) AS dup_bps FROM p)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_win) AS BIGINT) AS n_windows,
+        |  CAST(SUM(n_dup) AS BIGINT) AS n_dup_windows,
+        |  CAST(SUM(CASE WHEN dup_bps > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
   )
 }

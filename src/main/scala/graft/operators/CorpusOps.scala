@@ -130,6 +130,50 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  private[graft] val WinSize = 32
+  private[graft] val WinStride = 8
+
+  /** Duplicated-span detection (the exact-SUBSTRING dedup axis of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): overlapping token windows (32 tokens, stride
+    * 8) are hashed; a window whose hash occurs in >1 document is a
+    * duplicated span. Reported per source: the share of duplicated
+    * windows and how many docs are mostly-duplicate (>50% of their
+    * windows shared). Linear in corpus tokens (windows/doc =
+    * n_tok/stride); the window groupBy shuffles (hash, count)
+    * partials only — map-side combined, never window text (the md5
+    * digest stands in for the window). Catches copied passages
+    * INSIDE otherwise-distinct docs, which doc- and chunk-level
+    * dedup both miss. */
+  def windowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(0L),
+          greatest(ceil((size(col("t")) - WinSize) / WinStride.toDouble), lit(0L))
+            .cast("long"))).as("wi"))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ",
+          slice(col("t"), (col("wi") * WinStride + 1).cast("int"), lit(WinSize))))
+          .as("wh"))
+    val shared = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    val perDoc = wins.join(shared, Seq("wh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bps",
+        round(col("n_dup") * lit(10000.0) / col("n_win"), 0).cast("long"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_win")).as("n_windows"),
+        sum(col("n_dup")).as("n_dup_windows"),
+        sum(when(col("dup_bps") > 5000, 1L).otherwise(0L)).as("n_mostly_dup"))
+      .orderBy(col("source"))
+  }
+
   private[graft] val PackBudget = 2048L
 
   /** Token-budget bin packing (the loader-handoff step that

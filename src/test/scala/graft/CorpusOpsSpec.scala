@@ -100,6 +100,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(dense.filter(col("lo") =!= 0 || col("k") =!= col("hi") + 1).count() == 0)
   }
 
+  test("window dedup finds the spans exact-dup docs share") {
+    val out = CorpusOps.windowDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // dup windows <= windows
+      assert(r.getLong(4) <= r.getLong(1)) // mostly-dup docs <= docs
+    }
+    // exact-dup docs exist in the corpus => every one of their
+    // windows is duplicated, so mostly-dup docs must appear
+    assert(out.map(_.getLong(4)).sum > 0)
+    // window grid is linear in token count: windows ≈ ceil(tok/stride)
+    val nWin = out.map(_.getLong(2)).sum
+    val nTok = Tables.documents(spark, sf)
+      .select(size(split(trim(col("text")), "\\s+"))).collect().map(_.getInt(0).toLong).sum
+    assert(nWin <= nTok / CorpusOps.WinStride + out.map(_.getLong(1)).sum)
+  }
+
   test("cluster representatives are the longest member of their cluster") {
     val best = CorpusOps.clusterBest(spark, sf)
     val members = Dedup.clusters(spark, sf)
