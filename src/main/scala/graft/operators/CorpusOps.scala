@@ -265,6 +265,84 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** THE FLAGSHIP COMPOSITION: the full training-corpus curation
+    * funnel as one declarative plan — every stage is the exact rule
+    * of its standalone query, so the funnel is DuckDB-oracle-gated
+    * end to end. Stages, in pipeline order, counted per source over
+    * the training split (eval source excluded):
+    *
+    *   raw → dedup (q30's corpus-wide exact keep-first rule AND not
+    *   a non-representative member of a q35 near-dup cluster, rep =
+    *   q80's keep-best rule) → quality (q72's four Gopher rules) →
+    *   clean (q76: zero eval 5-gram hits) → sampled (q78's
+    *   multiplicative-hash rate rule, rates computed over the CLEAN
+    *   set) → chunks (q77's 64-token grid over the sampled set).
+    *
+    *   Scale shape: one slim per-doc flag frame (persisted — it is
+    *   consumed by the stratum-rate agg and the final rollup); the
+    *   dedup/cluster/contamination inputs are the same bounded
+    *   artifacts the standalone queries use (digest groups,
+    *   dup-rate-bounded cluster table, broadcast eval grams). */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docsAll = Tables.documents(spark, dir)
+    // corpus-wide exact-dup keepers (q30's rule)
+    val hashed = docsAll.select(col("doc_id"), md5(Dedup.normText).as("h"))
+    val exactKeep = hashed
+      .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id")), Seq("h"))
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("exact_keep"))
+    // near-dup cluster members that are NOT the keep-best rep
+    val members = Dedup.clusters(spark, dir)
+      .select(explode(split(col("members"), ",").cast("array<long>")).as("doc_id"))
+    val ndDrop = members
+      .join(clusterBest(spark, dir).select(col("rep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .withColumn("nd_drop", lit(true))
+    // per-doc eval-gram hits (q76/q83's rule)
+    val hits = docsAll.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), explode(WordNGrams(toks, ContamN)).as("g"))
+      .join(broadcast(evalGrams(spark, dir)), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // row-local quality signals (q72's rules)
+    val t = toks
+    val stopArr = array(TextFns.Stopwords.map(lit): _*)
+    val base = docsAll.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextFns.tokenCount(col("text")).as("n_tok"),
+        (aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          size(t)).as("mean_wlen"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+        size(filter(stopArr, s => array_contains(t, s))).as("n_stop_kinds"))
+      .join(exactKeep, Seq("doc_id"))
+      .join(ndDrop, Seq("doc_id"), "left").na.fill(false, Seq("nd_drop"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+      .withColumn("dedup_keep", col("exact_keep") && !col("nd_drop"))
+      .withColumn("quality", col("dedup_keep") &&
+        col("n_tok").between(50, 100000) &&
+        col("mean_wlen").between(3.0, 10.0) &&
+        col("ttr") >= 0.2 && col("n_stop_kinds") >= 2)
+      .withColumn("clean", col("quality") && col("n_hit") === 0)
+      .withColumn("pr", pmod(col("doc_id") * SampleHashC, lit(SampleHashP)))
+      .persist() // slim per-doc flags; consumed by rates AND rollup
+    val rates = base.filter(col("clean"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_cnt"))
+    val target = rates.agg(min(col("n_cnt")).as("target"))
+    val flagged = base
+      .join(broadcast(rates.crossJoin(broadcast(target))), Seq("lang"), "left")
+      .withColumn("sampled",
+        col("clean") && col("pr") % col("n_cnt") < col("target"))
+    flagged.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"),
+          ceil(col("n_tok") / ChunkSize.toDouble).cast("long")).otherwise(0L))
+          .as("n_chunks"))
+      .orderBy(col("source"))
+  }
+
   /** Duplicate-cluster representative selection ("keep best"): for
     * each near-dup cluster, keep the longest member (ties to the
     * smallest id) and count the rest as drops — the final step that

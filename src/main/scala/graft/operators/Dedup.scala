@@ -17,8 +17,9 @@ import graft.plans.SimHash64
   */
 object Dedup {
 
-  /** Canonical text form shared by exact-dedup variants. */
-  private def normText: Column =
+  /** Canonical text form shared by exact-dedup variants (and the
+    * curation funnel's dedup stage). */
+  private[graft] def normText: Column =
     regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
   private def toks = TextFns.tokens(col("text"))

