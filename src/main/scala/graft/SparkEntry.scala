@@ -101,6 +101,7 @@ object SparkEntry {
     "q83_contam_flag" -> StreamOps.contamFlagBatch _,
     "q84_window_dedup" -> CorpusOps.windowDedup _,
     "q85_curation_funnel" -> CorpusOps.curationFunnel _,
+    "q86_incremental_dedup" -> CorpusOps.incrementalDedup _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -899,5 +900,48 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  CAST(SUM(CASE WHEN sampled THEN CAST(ceil(n_tok / 64.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS n_chunks
         |FROM f4 GROUP BY source ORDER BY source""".stripMargin,
+    // q86: batch = doc_id % 10 == 3, store = the rest; q30's digest
+    // rule then q31's shingle-Jaccard rule against the store only
+    "q86_incremental_dedup" ->
+      """WITH b AS (SELECT * FROM documents WHERE doc_id % 10 = 3),
+        |s AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM b),
+        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM s),
+        |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
+        |       FROM bh JOIN sh0 ON bh.h = sh0.h GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |bsh AS (SELECT t.doc_id, t.sh FROM tri t JOIN b ON t.doc_id = b.doc_id),
+        |ssh AS (SELECT t.doc_id AS sid, t.sh FROM tri t JOIN s ON t.doc_id = s.doc_id),
+        |bsz AS (SELECT doc_id, COUNT(*) AS nb FROM bsh GROUP BY 1),
+        |ssz AS (SELECT sid, COUNT(*) AS ns FROM ssh GROUP BY 1),
+        |i AS (SELECT bsh.doc_id, ssh.sid, COUNT(*) AS inter
+        |      FROM bsh JOIN ssh ON bsh.sh = ssh.sh GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT i.doc_id, i.sid,
+        |    round(CAST(inter AS DOUBLE) / (nb + ns - inter), 6) AS j
+        |  FROM i JOIN bsz ON i.doc_id = bsz.doc_id JOIN ssz ON i.sid = ssz.sid),
+        |nbest AS (
+        |  SELECT doc_id, sid AS near_ref FROM (
+        |    SELECT doc_id, sid,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, sid) AS rn
+        |    FROM jac WHERE j >= 0.5) WHERE rn = 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN ex.exact_ref IS NOT NULL THEN 'exact_dup'
+        |       WHEN nbest.near_ref IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS decision,
+        |  CAST(COALESCE(ex.exact_ref, nbest.near_ref, -1) AS BIGINT) AS ref_id
+        |FROM b
+        |LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |LEFT JOIN nbest ON b.doc_id = nbest.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
   )
 }

@@ -343,6 +343,51 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** INCREMENTAL dedup — the ingest-time form of q30/q31: an
+    * arriving batch is deduped AGAINST THE STORE, never by
+    * re-scanning the whole corpus (at 100 TB you dedup the delta,
+    * not the lake). Deterministic split here: doc_id % 10 == 3 is
+    * the arriving batch, the rest is the store. Each batch doc gets
+    * a decision: `exact_dup` (q30's normalized digest matches a
+    * store doc), `near_dup` (word-3-shingle Jaccard ≥ 0.5 against
+    * some store doc — q31's exact rule, computed via the inverted-
+    * index join: batch shingles ⋈ store shingles on the shingle,
+    * ids-only shuffle), else `new`; ref_id = the matched store doc
+    * (min digest-match for exact; best-Jaccard, tie-min for near;
+    * -1 for new). Cost is |batch| × dup-rate shaped — store text is
+    * touched only for shingles of matched candidates. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(10)) === 3
+    val store = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val exactRef = batch.select(col("doc_id"), md5(Dedup.normText).as("h"))
+      .join(store.select(md5(Dedup.normText).as("h"), col("doc_id").as("sid")), Seq("h"))
+      .groupBy(col("doc_id")).agg(min(col("sid")).as("exact_ref"))
+    val bSh = batch.select(col("doc_id"), Dedup.shinglesCol.as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("nb"), explode(col("shs")).as("sh"))
+    val sSh = store.select(col("doc_id").as("sid"), Dedup.shinglesCol.as("shs"))
+      .select(col("sid"), size(col("shs")).as("ns"), explode(col("shs")).as("sh"))
+    val nearBest = bSh.join(sSh, Seq("sh"))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(count(lit(1)).as("inter"), first(col("nb")).as("nb"), first(col("ns")).as("ns"))
+      .withColumn("j", round(col("inter").cast("double") /
+        (col("nb") + col("ns") - col("inter")), 6))
+      .filter(col("j") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("j")).as("nj"), col("sid"))).as("best"))
+      .select(col("doc_id"), col("best.sid").as("near_ref"))
+    batch.select(col("doc_id"))
+      .join(exactRef, Seq("doc_id"), "left")
+      .join(nearBest, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_ref").isNotNull, "exact_dup")
+          .when(col("near_ref").isNotNull, "near_dup")
+          .otherwise("new").as("decision"),
+        coalesce(col("exact_ref"), col("near_ref"), lit(-1L)).as("ref_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-cluster representative selection ("keep best"): for
     * each near-dup cluster, keep the longest member (ties to the
     * smallest id) and count the rest as drops — the final step that

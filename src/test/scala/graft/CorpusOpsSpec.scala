@@ -136,6 +136,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(totalDropped >= 0 && (exactDrops == 0 || totalDropped > 0))
   }
 
+  test("incremental dedup: one decision per batch doc, refs point into the store") {
+    val out = CorpusOps.incrementalDedup(spark, sf)
+    val batchN = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 3).count()
+    assert(out.count() == batchN)
+    // refs are store docs (never batch docs, never self) except the -1 sentinel
+    assert(out.filter(col("ref_id") =!= -1L &&
+      pmod(col("ref_id"), lit(10)) === 3).count() == 0)
+    assert(out.filter(col("decision") === "new" && col("ref_id") =!= -1L).count() == 0)
+    assert(out.filter(col("decision") =!= "new" && col("ref_id") === -1L).count() == 0)
+    // the synthetic corpus has planted dups — the op must find some
+    assert(out.filter(col("decision") =!= "new").count() > 0)
+  }
+
   test("cluster representatives are the longest member of their cluster") {
     val best = CorpusOps.clusterBest(spark, sf)
     val members = Dedup.clusters(spark, sf)
