@@ -102,6 +102,7 @@ object SparkEntry {
     "q84_window_dedup" -> CorpusOps.windowDedup _,
     "q85_curation_funnel" -> CorpusOps.curationFunnel _,
     "q86_incremental_dedup" -> CorpusOps.incrementalDedup _,
+    "q87_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

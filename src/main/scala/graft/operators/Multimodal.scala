@@ -30,6 +30,18 @@ object Multimodal {
       * (frame_idx, byte offset, frame bytes, luma). */
     def sampleFrames(payload: Array[Byte], every: Int,
         frameSize: Int): Iterator[(Long, Long, Long, Double)]
+
+    /** Content fingerprint of the frame at [off, off+len) — a real
+      * codec overrides this with a PERCEPTUAL hash (near-dup frames
+      * collide); the default is FNV-1a over the raw bytes, so only
+      * exact-dup frames collide. */
+    def frameFingerprint(payload: Array[Byte], off: Int, len: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = off
+      val end = math.min(off + len, payload.length)
+      while (i < end) { h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
   }
 
   /** Deterministic stand-in codec (???-grade stub: the container
@@ -145,5 +157,48 @@ object Multimodal {
         count(lit(1)).as("n_sampled_frames"),
         round(avg(col("luma")), 2).as("avg_luma"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Fingerprinted frame record. */
+  case class FrameFp(doc_id: Long, frame_idx: Long, fhash: Long)
+
+  /** Cross-asset FRAME dedup (q84's duplicated-span idea lifted to
+    * the multimodal column): every sampled frame is fingerprinted at
+    * the codec boundary (pluggable — perceptual hash in a real
+    * deployment, exact byte FNV under the stub), and a frame whose
+    * fingerprint appears in more than one asset is a duplicated
+    * frame. Only (fingerprint, id) pairs shuffle — frame bytes never
+    * leave their scan partition; the rollup joins the asset table's
+    * source only. At 100 TB this is how near-identical video assets
+    * (re-encodes, intros, stock footage) surface without any
+    * pairwise asset comparison. */
+  def frameDedup(spark: SparkSession, dir: String,
+      codec: AssetCodec = DeterministicFakeCodec): DataFrame = {
+    import spark.implicits._
+    val every = 4
+    val frameSize = 32
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val frames = assets.mapPartitions { it =>
+      val c = codec
+      it.flatMap { case (id, payload) =>
+        c.sampleFrames(payload, every, frameSize).map {
+          case (idx, off, nb, _) =>
+            FrameFp(id, idx, c.frameFingerprint(payload, off.toInt, nb.toInt))
+        }
+      }
+    }.toDF()
+    val shared = frames.groupBy(col("fhash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    frames.join(shared, Seq("fhash"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_frames"),
+        countDistinct(when(col("n_docs_with") > 1, col("doc_id"))).as("n_assets_with_dup"))
+      .orderBy(col("source"))
   }
 }

@@ -154,6 +154,21 @@ class MlStreamSpec extends AnyFunSuite {
       r.getAs[Double]("avg_luma") == 9.0))
   }
 
+  test("frame dedup finds the frames exact-dup assets share, none within singletons") {
+    val out = Multimodal.frameDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    // frame accounting matches the sampler
+    val sampled = Multimodal.frameSample(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_sampled_frames"))
+      .head.getLong(0)
+    assert(out.map(_.getLong(1)).sum == sampled)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // dup frames <= frames
+    }
+    // exact-dup docs exist => their byte-identical frames must collide
+    assert(out.map(_.getLong(2)).sum > 0)
+  }
+
   test("stream-static verified dedup matches the batch twin's pair set") {
     val staged = java.nio.file.Files.createTempDirectory("graft_minhash_verified")
     java.nio.file.Files.copy(
