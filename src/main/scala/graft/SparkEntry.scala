@@ -103,6 +103,7 @@ object SparkEntry {
     "q85_curation_funnel" -> CorpusOps.curationFunnel _,
     "q86_incremental_dedup" -> CorpusOps.incrementalDedup _,
     "q87_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
+    "q88_embed_balance" -> SimilaritySearch.cellBalance _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

@@ -306,6 +306,34 @@ object SimilaritySearch {
     adcRerank(scored, emb, queries, nCandidates = 50)
   }
 
+  /** Embedding-space DIVERSITY sampling: the q78 stratified-balance
+    * rule keyed by the learned IVF cell instead of a metadata column
+    * — the embedding-side curation step that keeps a training set
+    * from being dominated by one dense region. Cell assignment is
+    * the same row-local codegen kernel as q41/q69, the coarse
+    * quantizer comes from the SAME registry artifact, and the keep
+    * decision is a pure map-side multiplicative-hash rate filter
+    * (no per-cell window/sort at any corpus size). Rows-only: cell
+    * ids depend on the seeded KMeans fit. */
+  def cellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val cents = cellArrays(coarseModel(spark, dir, emb))
+    val cells = nearestCells(emb.select(col("vec_id"), col("embedding")), cents, keep = 1)
+      .select(col("vec_id"), col("cent_id"))
+    val counts = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n_before"))
+    val target = counts.agg(min(col("n_before")).as("target"))
+    val pr = pmod(col("vec_id") * 2654435761L, lit(1000000007L))
+    cells.select(col("vec_id"), col("cent_id"), pr.as("pr"))
+      .join(broadcast(counts.crossJoin(broadcast(target))), Seq("cent_id"))
+      .withColumn("keep", col("pr") % col("n_before") < col("target"))
+      .groupBy(col("cent_id"))
+      .agg(
+        first(col("n_before")).as("n_before"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("vec_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("cent_id"))
+  }
+
   /** DimensionReductionModel.fit (dimension_reduction_model.py:21):
     * per-dimension importance = Σ v². Values are quantized to 1e-6 so
     * the aggregation is exact integer math — order-independent under

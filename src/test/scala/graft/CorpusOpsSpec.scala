@@ -150,6 +150,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.filter(col("decision") =!= "new").count() > 0)
   }
 
+  test("cell-balanced embedding sample is a deterministic per-cell subset") {
+    val op = graft.operators.SimilaritySearch.cellBalance(spark, sf)
+    val out = op.collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // kept <= before
+      assert(r.getLong(2) >= 0)
+    }
+    // deterministic: a second run returns the identical sample
+    assert(graft.operators.SimilaritySearch.cellBalance(spark, sf)
+      .collect().toSeq.map(_.toString) == out.toSeq.map(_.toString))
+    // a stratum well above the target must actually be thinned
+    val target = out.map(_.getLong(1)).min
+    out.filter(_.getLong(1) > 2 * target)
+      .foreach(r => assert(r.getLong(2) < r.getLong(1)))
+  }
+
   test("cluster representatives are the longest member of their cluster") {
     val best = CorpusOps.clusterBest(spark, sf)
     val members = Dedup.clusters(spark, sf)
