@@ -51,16 +51,28 @@ object CorpusOps {
     Tables.documents(spark, dir).filter(col("source") === EvalSource)
       .select(explode(WordNGrams(toks, ContamN)).as("g")).distinct()
 
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val train = docs.filter(col("source") =!= EvalSource)
-    val hits = train
+  /** Per-doc distinct 5-gram projection of a doc frame — the shared
+    * train side of the contamination rule (works on batch frames AND
+    * the streaming source: it is pure row-local codegen). */
+  private[graft] def docGrams(docs: DataFrame): DataFrame =
+    docs.filter(col("source") =!= EvalSource)
       .select(col("doc_id"), col("source"), explode(WordNGrams(toks, ContamN)).as("g"))
+
+  /** THE contamination-hit rule, in one place: per-doc count of
+    * distinct eval 5-grams. q76 rolls it up per source, q83 emits it
+    * per doc, q85 folds it into the funnel — all three oracles gate
+    * the same pipeline. */
+  private[graft] def contamHits(spark: SparkSession, dir: String): DataFrame =
+    docGrams(Tables.documents(spark, dir))
       .join(broadcast(evalGrams(spark, dir)), Seq("g"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hit"))
+
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("source") =!= EvalSource)
     train.select(col("doc_id"), col("source"))
-      .join(hits.drop("source"), Seq("doc_id"), "left")
+      .join(contamHits(spark, dir).drop("source"), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_hit"))
       .groupBy(col("source"))
       .agg(
@@ -297,29 +309,21 @@ object CorpusOps {
       .join(clusterBest(spark, dir).select(col("rep_doc_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       .withColumn("nd_drop", lit(true))
-    // per-doc eval-gram hits (q76/q83's rule)
-    val hits = docsAll.filter(col("source") =!= EvalSource)
-      .select(col("doc_id"), explode(WordNGrams(toks, ContamN)).as("g"))
-      .join(broadcast(evalGrams(spark, dir)), Seq("g"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    // row-local quality signals (q72's rules)
-    val t = toks
-    val stopArr = array(TextFns.Stopwords.map(lit): _*)
-    val base = docsAll.filter(col("source") =!= EvalSource)
-      .select(col("doc_id"), col("source"), col("lang"),
-        TextFns.tokenCount(col("text")).as("n_tok"),
-        (aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-          size(t)).as("mean_wlen"),
-        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
-        size(filter(stopArr, s => array_contains(t, s))).as("n_stop_kinds"))
+    // per-doc eval-gram hits (the shared q76/q83 rule)
+    val hits = contamHits(spark, dir).select(col("doc_id"), col("n_hit"))
+    // row-local quality signals + rules — SHARED with q72 (TextOps)
+    val signals = docsAll.filter(col("source") =!= EvalSource)
+      .select(Seq(col("doc_id"), col("source"), col("lang")) ++
+        TextOps.gopherSignalCols: _*)
+    val base = signals
+      .select(Seq(col("doc_id"), col("source"), col("lang"), col("n_words")) ++
+        TextOps.gopherRuleCols: _*)
       .join(exactKeep, Seq("doc_id"))
       .join(ndDrop, Seq("doc_id"), "left").na.fill(false, Seq("nd_drop"))
       .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
       .withColumn("dedup_keep", col("exact_keep") && !col("nd_drop"))
       .withColumn("quality", col("dedup_keep") &&
-        col("n_tok").between(50, 100000) &&
-        col("mean_wlen").between(3.0, 10.0) &&
-        col("ttr") >= 0.2 && col("n_stop_kinds") >= 2)
+        col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
       .withColumn("clean", col("quality") && col("n_hit") === 0)
       .withColumn("pr", pmod(col("doc_id") * SampleHashC, lit(SampleHashP)))
       .persist() // slim per-doc flags; consumed by rates AND rollup
@@ -338,7 +342,7 @@ object CorpusOps {
         sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
         sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
         sum(when(col("sampled"),
-          ceil(col("n_tok") / ChunkSize.toDouble).cast("long")).otherwise(0L))
+          ceil(col("n_words") / ChunkSize.toDouble).cast("long")).otherwise(0L))
           .as("n_chunks"))
       .orderBy(col("source"))
   }

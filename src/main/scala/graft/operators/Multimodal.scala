@@ -180,6 +180,9 @@ object Multimodal {
     val assets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
+    // persisted: the slim fingerprint frame is consumed twice (the
+    // shared-hash agg and the join back) — without it the codec
+    // decode pass, the dominant cost under a real codec, runs twice
     val frames = assets.mapPartitions { it =>
       val c = codec
       it.flatMap { case (id, payload) =>
@@ -188,7 +191,7 @@ object Multimodal {
             FrameFp(id, idx, c.frameFingerprint(payload, off.toInt, nb.toInt))
         }
       }
-    }.toDF()
+    }.toDF().persist()
     val shared = frames.groupBy(col("fhash"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     frames.join(shared, Seq("fhash"))

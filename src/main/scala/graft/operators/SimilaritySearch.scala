@@ -322,7 +322,9 @@ object SimilaritySearch {
       .select(col("vec_id"), col("cent_id"))
     val counts = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n_before"))
     val target = counts.agg(min(col("n_before")).as("target"))
-    val pr = pmod(col("vec_id") * 2654435761L, lit(1000000007L))
+    // SAME hash family as q78 (compile-time link, not a copy)
+    val pr = pmod(col("vec_id") * graft.operators.CorpusOps.SampleHashC,
+      lit(graft.operators.CorpusOps.SampleHashP))
     cells.select(col("vec_id"), col("cent_id"), pr.as("pr"))
       .join(broadcast(counts.crossJoin(broadcast(target))), Seq("cent_id"))
       .withColumn("keep", col("pr") % col("n_before") < col("target"))

@@ -160,22 +160,32 @@ object TextOps {
     * no explode, no shuffle until the tiny per-source breakdown —
     * so at 100 TB this is a single map-side pass over the corpus
     * ending in a |sources|-row aggregate. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc Gopher quality SIGNALS, in one place — q72's report
+    * and q85's funnel both build on exactly these columns (and both
+    * oracles gate them). */
+  private[graft] def gopherSignalCols: Seq[org.apache.spark.sql.Column] = {
     val t = toks
     val stopArr = array(TextFns.Stopwords.map(lit): _*)
-    val perDoc = Tables.documents(spark, dir).select(
-      col("source"),
+    Seq(
       TextFns.tokenCount(col("text")).as("n_words"),
       (aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
         size(t)).as("mean_wlen"),
       (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
       size(filter(stopArr, s => array_contains(t, s))).as("n_stop_kinds"))
-    val rules = perDoc.select(
-      col("source"),
-      (col("n_words") >= 50 && col("n_words") <= 100000).as("words_ok"),
-      (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("wlen_ok"),
-      (col("ttr") >= 0.2).as("ttr_ok"),
-      (col("n_stop_kinds") >= 2).as("stop_ok"))
+  }
+
+  /** The four Gopher RULES over the signal columns (shared with the
+    * funnel's quality stage). */
+  private[graft] def gopherRuleCols: Seq[org.apache.spark.sql.Column] = Seq(
+    (col("n_words") >= 50 && col("n_words") <= 100000).as("words_ok"),
+    (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("wlen_ok"),
+    (col("ttr") >= 0.2).as("ttr_ok"),
+    (col("n_stop_kinds") >= 2).as("stop_ok"))
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source") +: gopherSignalCols: _*)
+    val rules = perDoc.select(col("source") +: gopherRuleCols: _*)
     rules.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

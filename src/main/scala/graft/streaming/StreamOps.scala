@@ -329,13 +329,8 @@ object StreamOps {
   def contamHitStream(spark: SparkSession, docsDir: String,
       storeDir: String): DataFrame = {
     import graft.operators.CorpusOps
-    val evalGrams = CorpusOps.evalGrams(spark, storeDir)
-    streamDocs(spark, docsDir)
-      .filter(col("source") =!= CorpusOps.EvalSource)
-      .select(col("doc_id"), col("source"),
-        explode(graft.plans.WordNGrams(
-          split(trim(col("text")), "\\s+"), CorpusOps.ContamN)).as("g"))
-      .join(broadcast(evalGrams), Seq("g"))
+    CorpusOps.docGrams(streamDocs(spark, docsDir))
+      .join(broadcast(CorpusOps.evalGrams(spark, storeDir)), Seq("g"))
       .select(col("doc_id"), col("source"), col("g"))
   }
 
@@ -343,19 +338,8 @@ object StreamOps {
     * as q83): the contaminated-doc list with hit counts — the
     * doc-level view of q76's per-source report. Oracle-gated;
     * stream == batch parity asserted in MlStreamSpec. */
-  def contamFlagBatch(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.CorpusOps
-    val evalGrams = CorpusOps.evalGrams(spark, dir)
-    Tables.documents(spark, dir)
-      .filter(col("source") =!= CorpusOps.EvalSource)
-      .select(col("doc_id"), col("source"),
-        explode(graft.plans.WordNGrams(
-          split(trim(col("text")), "\\s+"), CorpusOps.ContamN)).as("g"))
-      .join(broadcast(evalGrams), Seq("g"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_hit"))
-      .orderBy(col("doc_id"))
-  }
+  def contamFlagBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.contamHits(spark, dir).orderBy(col("doc_id"))
 
   /** Batch twin of [[minhashCandidateStream]]: same row-local band
     * keys, bucket representative = min doc id, one candidate row per

@@ -110,10 +110,18 @@ class PlanShapeSpec extends AnyFunSuite {
   test("contamination broadcasts the eval grams, never the corpus side") {
     val p = plan(graft.operators.CorpusOps.contamination(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
-    // the training-corpus gram stream must not sit under a broadcast
-    // exchange: only the (bounded) eval-set gram table may
-    val broadcastSides = p.split("BroadcastExchange|BroadcastQueryStage")
-    assert(broadcastSides.length >= 2, p)
+    // every broadcast build side must be a BOUNDED aggregate (the
+    // eval-gram distinct, the per-doc hit counts) — never the raw
+    // corpus gram stream (Generate/explode) or a corpus scan
+    val lines = p.linesIterator.toSeq
+    val buildHeads = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("BroadcastExchange") => lines(i + 1)
+    }
+    assert(buildHeads.nonEmpty, p)
+    buildHeads.foreach { h =>
+      assert(h.contains("HashAggregate"),
+        s"broadcast build side is not a bounded aggregate: $h")
+    }
   }
 
   test("balanced sampling is a map-side filter: no window, no global sort") {

@@ -73,8 +73,15 @@ class PropertySpec extends AnyFunSuite {
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "17")
+      // drop any frames the first runs persisted (e.g. q56's byUser):
+      // CacheManager would otherwise substitute the cached relation
+      // and the width-17 partial aggs would never actually execute
+      spark.catalog.clearCache()
       names.foreach(n => assert(run(n) == before(n), s"$n moved with shuffle width"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", orig)
+      spark.catalog.clearCache()
+    }
   }
 
   test("Pairing.buckets: pinned at test SFs, linear with bounded width at scale") {
