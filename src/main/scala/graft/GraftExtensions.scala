@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_dot", "vec_dot(a, b) - double dot product of two arrays"),
       (args: Seq[Expression]) => VecExprs.DotProduct(args.head, args(1))))
     ext.injectFunction((
+      FunctionIdentifier("vec_elem_product"),
+      info("vec_elem_product",
+        "vec_elem_product(a, b) - element-wise double products of two arrays"),
+      (args: Seq[Expression]) => VecExprs.ElemProduct(args.head, args(1))))
+    ext.injectFunction((
       FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of an array"),
       (args: Seq[Expression]) => VecExprs.L2Norm(args.head)))

@@ -277,8 +277,11 @@ object MlOps {
         pmod(col("a.vec_id"), lit(k)) === pmod(col("b.vec_id"), lit(k)) &&
           col("a.vec_id") < col("b.vec_id"))
       .select(
-        zip_with(col("a.embedding"), col("b.embedding"),
-          (x, y) => x.cast("double") * y.cast("double")).as("prod"),
+        // codegen element products (identical IEEE values to the
+        // zip_with cast-and-multiply formulation, no interpreted
+        // per-element allocation) — this runs once per candidate PAIR
+        graft.plans.VecExprs.elemProduct(
+          col("a.embedding"), col("b.embedding")).as("prod"),
         when(col("a.label") === col("b.label"), 1.0).otherwise(0.0).as("label"),
         col("a.vec_id").as("va"))
       .select(array_to_vector(col("prod")).as("features"), col("label"), col("va"))

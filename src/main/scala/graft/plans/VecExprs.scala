@@ -74,9 +74,48 @@ object VecExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Element-wise a_i·b_i in double precision (truncates to the
+    * shorter side, same guard as dotCompute). Static so generated
+    * code calls it directly. */
+  def elemProductCompute(a: ArrayData, b: ArrayData,
+      aF: Boolean, bF: Boolean): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      out(i) = x * y
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Codegen element-wise product — the pairwise-feature hot path
+    * (q43/q64 build |pairs|×dim product vectors; the zip_with
+    * formulation is CodegenFallback with per-element allocation). */
+  case class ElemProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = TypeShim.vecPair
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "vec_elem_product"
+    private def aF: Boolean = isFloatArray(left.dataType)
+    private def bF: Boolean = isFloatArray(right.dataType)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      elemProductCompute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.VecExprs.elemProductCompute($a, $b, $aF, $bF);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   def dot(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   def norm(a: Column): Column =
     ColumnShim.column(L2Norm(ColumnShim.expression(a)))
+
+  def elemProduct(a: Column, b: Column): Column =
+    ColumnShim.column(ElemProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

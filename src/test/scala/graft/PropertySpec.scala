@@ -84,6 +84,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ElemProduct == zip_with cast-and-multiply for arbitrary float vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 50)
+    val df = pairs.toDF("a", "b")
+    val native = df.select(graft.plans.VecExprs.elemProduct(col("a"), col("b")))
+      .as[Seq[Double]].collect()
+    val hof = df.select(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")))
+      .as[Seq[Double]].collect()
+    assert(native.toSeq == hof.toSeq) // bit-identical, not approx
+  }
+
   test("Pairing.buckets: pinned at test SFs, linear with bounded width at scale") {
     import graft.operators.Pairing
     // every driver corpus keeps the fixed 25-bucket candidate set
