@@ -104,6 +104,7 @@ object SparkEntry {
     "q86_incremental_dedup" -> CorpusOps.incrementalDedup _,
     "q87_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
     "q88_embed_balance" -> SimilaritySearch.cellBalance _,
+    "q89_bm25" -> TextOps.bm25 _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -945,5 +946,36 @@ object SparkEntry {
         |LEFT JOIN ex ON b.doc_id = ex.doc_id
         |LEFT JOIN nbest ON b.doc_id = nbest.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
+    // contributions rounded to 8dp and summed as DECIMAL so the
+    // score is term-order-independent in both engines
+    "q89_bm25" ->
+      """WITH q(term) AS (VALUES ('spark'),('table'),('join'),('data'),('query')),
+        |dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents) t JOIN q USING (term)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))),
+        |      8) AS DECIMAL(18,8)) AS c
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+        |s AS (
+        |  SELECT doc_id, round(CAST(SUM(c) AS DOUBLE), 6) AS score
+        |  FROM c GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT doc_id, score,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+        |FROM s ORDER BY "rank"""".stripMargin,
   )
 }

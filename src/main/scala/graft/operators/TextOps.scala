@@ -104,6 +104,50 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Lucene formulation, k1=1.2,
+    * b=0.75) for a fixed keyword query — the search-scoring
+    * counterpart of tf·idf. All model statistics (df per term, N,
+    * avgdl) are exact integers aggregated once and broadcast; the
+    * corpus shuffles only (doc, term) tf partials for the query's
+    * terms (filter pushed below the explode). Float discipline:
+    * per-TERM contributions are rounded to 8 dp and summed as
+    * DECIMAL, so a doc's score is independent of term-addition order
+    * (CLAUDE.md parity rules); final scores round to 6 dp before
+    * ranking. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "table", "join", "data", "query")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c",
+        // 2.2 as a LITERAL, not k1+1: 1.2+1.0 rounds to a different
+        // double than the literal 2.2 the oracle parses
+        round(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 8)
+          .cast("decimal(18,8)"))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+    scored.select(col("doc_id"), col("score"),
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** BPE-ish token counting: the subword-style regex pass (runs of
     * letters, runs of digits, single punctuation) a training pipeline
     * uses for budget accounting. regexp_count is codegen'd — one scan,

@@ -60,4 +60,13 @@ class TextOpsSpec extends AnyFunSuite {
       .agg(sum("n_docs")).head.getLong(0)
     assert(n == Tables.documents(spark, sf).count())
   }
+
+  test("bm25 returns a descending top-10 with positive scores and dense ranks") {
+    val rows = operators.TextOps.bm25(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 10L))
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
 }
