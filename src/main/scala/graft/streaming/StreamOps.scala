@@ -341,6 +341,25 @@ object StreamOps {
   def contamFlagBatch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusOps.contamHits(spark, dir).orderBy(col("doc_id"))
 
+  /** Quality-filter-at-ingest: q72's Gopher signals and rules are
+    * pure row-local array math, so the SAME shared columns
+    * (TextOps.gopherSignalCols/gopherRuleCols) run unchanged on a
+    * stream — each arriving doc gets its pass/fail verdict with no
+    * state at all. Stream == batch parity asserted in MlStreamSpec
+    * (batch side = the identical projection over the static table,
+    * i.e. exactly the per-doc frame q72 aggregates). */
+  def qualityFlagStream(spark: SparkSession, docsDir: String): DataFrame =
+    qualityFlags(streamDocs(spark, docsDir))
+
+  /** The shared per-doc quality-verdict projection. */
+  def qualityFlags(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    docs.select(Seq(col("doc_id"), col("source")) ++ TextOps.gopherSignalCols: _*)
+      .select(Seq(col("doc_id"), col("source")) ++ TextOps.gopherRuleCols: _*)
+      .withColumn("pass",
+        col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
+  }
+
   /** Batch twin of [[minhashCandidateStream]]: same row-local band
     * keys, bucket representative = min doc id, one candidate row per
     * (bucket, later doc). Deterministic given the fixed hash family →

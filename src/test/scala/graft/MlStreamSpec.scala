@@ -154,6 +154,26 @@ class MlStreamSpec extends AnyFunSuite {
       r.getAs[Double]("avg_luma") == 9.0))
   }
 
+  test("streaming quality flags equal the batch projection doc-for-doc") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_quality_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = StreamOps.qualityFlags(Tables.documents(spark, sf)).collect()
+      .map(_.toString).toSet
+    val q = StreamOps.qualityFlagStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_flags_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quality_flags_test").collect()
+        .map(_.toString).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("frame dedup finds the frames exact-dup assets share, none within singletons") {
     val out = Multimodal.frameDedup(spark, sf).collect()
     assert(out.nonEmpty)
