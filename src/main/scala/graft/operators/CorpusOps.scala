@@ -124,8 +124,12 @@ object CorpusOps {
     * combines map-side. Keep-rule: first copy in (doc_id, chunk_idx)
     * order survives. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the slim digest frame feeds BOTH the copies agg and
+    // the join back — without it the corpus text is scanned and
+    // chunk-hashed twice
     val ch = chunks(spark, dir)
       .select(col("doc_id"), col("source"), col("chunk_idx"), col("chunk_hash"))
+      .persist()
     val copies = ch.groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_copies"),
         min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
@@ -168,6 +172,7 @@ object CorpusOps {
         md5(concat_ws(" ",
           slice(col("t"), (col("wi") * WinStride + 1).cast("int"), lit(WinSize))))
           .as("wh"))
+      .persist() // slim; consumed by the shared-hash agg AND the join
     val shared = wins.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     val perDoc = wins.join(shared, Seq("wh"))
