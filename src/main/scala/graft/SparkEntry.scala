@@ -105,6 +105,7 @@ object SparkEntry {
     "q87_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
     "q88_embed_balance" -> SimilaritySearch.cellBalance _,
     "q89_bm25" -> TextOps.bm25 _,
+    "q90_leakage_split" -> CorpusOps.leakageSplit _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -977,5 +978,54 @@ object SparkEntry {
         |SELECT doc_id, score,
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
         |FROM s ORDER BY "rank"""".stripMargin,
+    // q90: q35's cluster CTE gives the split unit; the oracle
+    // RECOMPUTES cross_pairs from the pair list, so the zero-leakage
+    // guarantee is hash-checked, not just asserted
+    "q90_leakage_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM jac
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM jac),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
+        |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+        |s AS (
+        |  SELECT d.doc_id, d.source,
+        |    ((COALESCE(lab.cluster_id, d.doc_id) * 2654435761) % 1000000007) % 10 < 8 AS is_train
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+        |x AS (
+        |  SELECT COUNT(*) AS cross_pairs
+        |  FROM jac
+        |  JOIN s sa ON jac.doc_a = sa.doc_id
+        |  JOIN s sb ON jac.doc_b = sb.doc_id
+        |  WHERE sa.is_train <> sb.is_train)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  CAST(MIN(cross_pairs) AS BIGINT) AS cross_pairs
+        |FROM s, x GROUP BY source ORDER BY source""".stripMargin,
   )
 }

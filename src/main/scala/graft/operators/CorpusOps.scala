@@ -352,6 +352,45 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Dedup-AWARE train/test split (leakage guard): a plain hash
+    * split leaks — near-identical docs land on opposite sides and
+    * the eval set rewards memorization (the Lee et al. 2021 failure
+    * mode). Here the split unit is the NEAR-DUP CLUSTER: every
+    * member of a cluster inherits the cluster's hash decision
+    * (singletons hash on their own id), so no q31 pair can ever
+    * cross the boundary. Same multiplicative hash family as q78;
+    * 80/20. The cluster table is the shared dup-rate-bounded
+    * artifact — the corpus-side work is one left join against it.
+    * Output: per-source counts plus cross_pairs, which this
+    * construction forces to 0 (the oracle recomputes it from the
+    * pair list, so the guarantee is hash-checked, not asserted). */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val members = Dedup.clusters(spark, dir)
+      .select(col("cluster_id"),
+        explode(split(col("members"), ",").cast("array<long>")).as("doc_id"))
+    val docs = Tables.documents(spark, dir)
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_train",
+        pmod(col("split_key") * SampleHashC, lit(SampleHashP)) % 10 < 8)
+    val pairs = Dedup.jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sides = docs.select(col("doc_id"), col("is_train"))
+    val cross = pairs
+      .join(sides.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("is_train", "ta"), Seq("doc_a"))
+      .join(sides.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("is_train", "tb"), Seq("doc_b"))
+      .filter(col("ta") =!= col("tb"))
+      .agg(count(lit(1)).as("cross_pairs"))
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"))
+      .crossJoin(broadcast(cross))
+      .orderBy(col("source"))
+  }
+
   /** INCREMENTAL dedup — the ingest-time form of q30/q31: an
     * arriving batch is deduped AGAINST THE STORE, never by
     * re-scanning the whole corpus (at 100 TB you dedup the delta,

@@ -136,6 +136,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(totalDropped >= 0 && (exactDrops == 0 || totalDropped > 0))
   }
 
+  test("leakage split: no near-dup pair crosses the train/test boundary") {
+    val out = CorpusOps.leakageSplit(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the construction forces zero leakage — and both engines hash it
+    out.foreach(r => assert(r.getLong(4) == 0L, "near-dup pair crossed the split"))
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    val (train, test) = (out.map(_.getLong(2)).sum, out.map(_.getLong(3)).sum)
+    assert(train > 0 && test > 0) // both sides populated at 80/20
+  }
+
   test("incremental dedup: one decision per batch doc, refs point into the store") {
     val out = CorpusOps.incrementalDedup(spark, sf)
     val batchN = Tables.documents(spark, sf)
