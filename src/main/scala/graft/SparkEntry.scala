@@ -106,12 +106,101 @@ object SparkEntry {
     "q88_embed_balance" -> SimilaritySearch.cellBalance _,
     "q89_bm25" -> TextOps.bm25 _,
     "q90_leakage_split" -> CorpusOps.leakageSplit _,
+    "q91_curated_sink" -> CorpusOps.curatedSink _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
     * float aggregates go through DECIMAL(18,4) in BOTH engines (exact,
     * order-independent) and are cast back to DOUBLE; integer sums are
     * cast to BIGINT (DuckDB SUM(int) is HUGEINT otherwise). */
+  /** The q85 funnel CTE (all stages through the per-doc `f4` flag
+    * frame) — shared verbatim by the q85 report oracle and the q91
+    * curated-sink oracle. */
+  private val FunnelCte: String =
+    ("""WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM jac
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM jac),
+        |cc(id, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
+        |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+        |m AS (
+        |  SELECT l.cluster_id, l.id AS doc_id, d.n_chars
+        |  FROM lab l JOIN documents d ON l.id = d.doc_id),
+        |r AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM m),
+        |reps AS (SELECT doc_id FROM r WHERE rn = 1),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM hsh GROUP BY h),
+        |g5 AS (
+        |  SELECT doc_id, source,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+4] AS g
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents), UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM g5 WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT tg.doc_id, COUNT(*) AS n_hit
+        |  FROM (SELECT DISTINCT doc_id, g FROM g5 WHERE source <> 'src0') tg
+        |  JOIN ev ON tg.g = ev.g GROUP BY 1),
+        |base AS (
+        |  SELECT t.doc_id, t.source, t.lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds,
+        |    (t.doc_id = k.keep_id) AS exact_keep,
+        |    (lm.id IS NOT NULL AND rp.doc_id IS NULL) AS nd_drop,
+        |    COALESCE(ht.n_hit, 0) AS n_hit,
+        |    (t.doc_id * 2654435761) % 1000000007 AS pr
+        |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents WHERE source <> 'src0') t
+        |  JOIN hsh ON t.doc_id = hsh.doc_id
+        |  JOIN keepers k ON hsh.h = k.h
+        |  LEFT JOIN lab lm ON t.doc_id = lm.id
+        |  LEFT JOIN reps rp ON t.doc_id = rp.doc_id
+        |  LEFT JOIN hits ht ON t.doc_id = ht.doc_id),
+        |f1 AS (SELECT *, (exact_keep AND NOT nd_drop) AS dedup_keep FROM base),
+        |f2 AS (SELECT *, (dedup_keep AND n_tok BETWEEN 50 AND 100000
+        |  AND mean_wlen BETWEEN 3 AND 10 AND ttr >= 0.2
+        |  AND n_stop_kinds >= 2) AS quality FROM f1),
+        |f3 AS (SELECT *, (quality AND n_hit = 0) AS clean FROM f2),
+        |rates AS (SELECT lang, COUNT(*) AS n_cnt FROM f3 WHERE clean GROUP BY lang),
+        |tgt AS (SELECT MIN(n_cnt) AS target FROM rates),
+        |f4 AS (
+        |  SELECT f.*, (clean AND pr % n_cnt < target) AS sampled
+        |  FROM f3 f LEFT JOIN rates ON f.lang = rates.lang CROSS JOIN tgt)
+        |""").stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -814,96 +903,22 @@ object SparkEntry {
     // q85: every stage reuses the already-verified rule of its
     // standalone oracle (q30 digests, q35/q80 cluster CTE, q72
     // quality rules, q76 eval grams, q78 hash sampling, q77 chunks)
-    "q85_curation_funnel" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
-        |    SELECT doc_id, tok,
-        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
-        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
-        |    FROM tok) WHERE lead2 IS NOT NULL),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT doc_a, doc_b
-        |  FROM cand
-        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
-        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
-        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM jac
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM jac),
-        |cc(id, label) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
-        |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
-        |m AS (
-        |  SELECT l.cluster_id, l.id AS doc_id, d.n_chars
-        |  FROM lab l JOIN documents d ON l.id = d.doc_id),
-        |r AS (
-        |  SELECT doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM m),
-        |reps AS (SELECT doc_id FROM r WHERE rn = 1),
-        |hsh AS (
-        |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        |  FROM documents),
-        |keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM hsh GROUP BY h),
-        |g5 AS (
-        |  SELECT doc_id, source,
-        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
-        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
-        |    toks[CAST(i AS BIGINT)+4] AS g
-        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
-        |        FROM documents), UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM g5 WHERE source = 'src0'),
-        |hits AS (
-        |  SELECT tg.doc_id, COUNT(*) AS n_hit
-        |  FROM (SELECT DISTINCT doc_id, g FROM g5 WHERE source <> 'src0') tg
-        |  JOIN ev ON tg.g = ev.g GROUP BY 1),
-        |base AS (
-        |  SELECT t.doc_id, t.source, t.lang,
-        |    CAST(len(toks) AS BIGINT) AS n_tok,
-        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
-        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
-        |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds,
-        |    (t.doc_id = k.keep_id) AS exact_keep,
-        |    (lm.id IS NOT NULL AND rp.doc_id IS NULL) AS nd_drop,
-        |    COALESCE(ht.n_hit, 0) AS n_hit,
-        |    (t.doc_id * 2654435761) % 1000000007 AS pr
-        |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS toks
-        |        FROM documents WHERE source <> 'src0') t
-        |  JOIN hsh ON t.doc_id = hsh.doc_id
-        |  JOIN keepers k ON hsh.h = k.h
-        |  LEFT JOIN lab lm ON t.doc_id = lm.id
-        |  LEFT JOIN reps rp ON t.doc_id = rp.doc_id
-        |  LEFT JOIN hits ht ON t.doc_id = ht.doc_id),
-        |f1 AS (SELECT *, (exact_keep AND NOT nd_drop) AS dedup_keep FROM base),
-        |f2 AS (SELECT *, (dedup_keep AND n_tok BETWEEN 50 AND 100000
-        |  AND mean_wlen BETWEEN 3 AND 10 AND ttr >= 0.2
-        |  AND n_stop_kinds >= 2) AS quality FROM f1),
-        |f3 AS (SELECT *, (quality AND n_hit = 0) AS clean FROM f2),
-        |rates AS (SELECT lang, COUNT(*) AS n_cnt FROM f3 WHERE clean GROUP BY lang),
-        |tgt AS (SELECT MIN(n_cnt) AS target FROM rates),
-        |f4 AS (
-        |  SELECT f.*, (clean AND pr % n_cnt < target) AS sampled
-        |  FROM f3 f LEFT JOIN rates ON f.lang = rates.lang CROSS JOIN tgt)
-        |SELECT source, COUNT(*) AS n_raw,
+    "q85_curation_funnel" -> (FunnelCte +
+      """SELECT source, COUNT(*) AS n_raw,
         |  CAST(SUM(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
         |  CAST(SUM(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
         |  CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
         |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  CAST(SUM(CASE WHEN sampled THEN CAST(ceil(n_tok / 64.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS n_chunks
-        |FROM f4 GROUP BY source ORDER BY source""".stripMargin,
+        |FROM f4 GROUP BY source ORDER BY source""".stripMargin),
+    // q91: the SAME funnel CTE restricted to the sampled (written)
+    // docs — write+read sink fidelity is checked against the exact
+    // SQL that gates q85
+    "q91_curated_sink" -> (FunnelCte +
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(ceil(n_tok / 64.0) AS BIGINT)) AS BIGINT) AS n_chunks
+        |FROM f4 WHERE sampled GROUP BY source ORDER BY source""".stripMargin),
     // q86: batch = doc_id % 10 == 3, store = the rest; q30's digest
     // rule then q31's shingle-Jaccard rule against the store only
     "q86_incremental_dedup" ->

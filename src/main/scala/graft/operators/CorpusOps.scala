@@ -300,7 +300,7 @@ object CorpusOps {
     *   dedup/cluster/contamination inputs are the same bounded
     *   artifacts the standalone queries use (digest groups,
     *   dup-rate-bounded cluster table, broadcast eval grams). */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
     val docsAll = Tables.documents(spark, dir)
     // corpus-wide exact-dup keepers (q30's rule)
     val hashed = docsAll.select(col("doc_id"), md5(Dedup.normText).as("h"))
@@ -339,7 +339,13 @@ object CorpusOps {
       .join(broadcast(rates.crossJoin(broadcast(target))), Seq("lang"), "left")
       .withColumn("sampled",
         col("clean") && col("pr") % col("n_cnt") < col("target"))
-    flagged.groupBy(col("source"))
+    flagged
+  }
+
+  /** The funnel report (q85): per-source stage counts over the
+    * per-doc flag frame. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFlags(spark, dir).groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_raw"),
         sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("n_dedup"),
@@ -349,6 +355,42 @@ object CorpusOps {
         sum(when(col("sampled"),
           ceil(col("n_words") / ChunkSize.toDouble).cast("long")).otherwise(0L))
           .as("n_chunks"))
+      .orderBy(col("source"))
+
+  /** Per-(session, corpus) curated-sink registry — same write-once
+    * discipline as the q74 index dir. */
+  private val curatedDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The written sink location, if this session has materialized it
+    * (spec hook for partition-pruning asserts). */
+  private[graft] def curatedSinkDir(spark: SparkSession, dir: String): Option[String] =
+    curatedDirCache.get((spark, dir))
+
+  /** The funnel as a PIPELINE RUN, not just a report: the sampled
+    * (curated) docs are WRITTEN to parquet partitioned by source —
+    * the handoff layout a loader consumes (and prunes by source) —
+    * then the registered result is read back FROM THE SINK. The
+    * oracle is the funnel CTE restricted to surviving sources, so
+    * write+read fidelity is hash-checked against the same SQL that
+    * gates q85. Write-once per (session, corpus); partitioned by
+    * source so a per-source consumer touches one directory. */
+  def curatedSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = curatedDirCache.getOrElseUpdate((spark, dir), {
+      val path = s"/tmp/graft_curated_${spark.sparkContext.applicationId}_" +
+        math.abs(dir.hashCode).toString
+      funnelFlags(spark, dir)
+        .filter(col("sampled"))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(path)
+      path
+    })
+    spark.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(ceil(col("n_words") / ChunkSize.toDouble).cast("long")).as("n_chunks"))
       .orderBy(col("source"))
   }
 

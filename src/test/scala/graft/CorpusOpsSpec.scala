@@ -136,6 +136,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(totalDropped >= 0 && (exactDrops == 0 || totalDropped > 0))
   }
 
+  test("curated sink: totals match the funnel and source reads prune partitions") {
+    val sink = CorpusOps.curatedSink(spark, sf)
+    val funnel = CorpusOps.curationFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap // source -> n_sampled
+    sink.collect().foreach { r =>
+      assert(funnel(r.getString(0)) == r.getLong(1),
+        s"sink count drifted from funnel for ${r.getString(0)}")
+    }
+    // a per-source consumer must touch ONE partition directory
+    val someSource = sink.head.getString(0)
+    val plan = spark.read.parquet(
+      CorpusOps.curatedSinkDir(spark, sf).get)
+      .filter(col("source") === someSource)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+  }
+
   test("leakage split: no near-dup pair crosses the train/test boundary") {
     val out = CorpusOps.leakageSplit(spark, sf).collect()
     assert(out.nonEmpty)
