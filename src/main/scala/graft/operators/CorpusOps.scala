@@ -436,8 +436,11 @@ object CorpusOps {
   /** INCREMENTAL dedup — the ingest-time form of q30/q31: an
     * arriving batch is deduped AGAINST THE STORE, never by
     * re-scanning the whole corpus (at 100 TB you dedup the delta,
-    * not the lake). Deterministic split here: doc_id % 10 == 3 is
-    * the arriving batch, the rest is the store. Each batch doc gets
+    * not the lake). Deterministic split here: hash residue 3 of the
+    * q78 multiplicative hash marks the arriving batch (~10%, spread
+    * across every source — a plain doc_id % 10 degenerates on this
+    * corpus because ids are blocked by source), the rest is the
+    * store. Each batch doc gets
     * a decision: `exact_dup` (q30's normalized digest matches a
     * store doc), `near_dup` (word-3-shingle Jaccard ≥ 0.5 against
     * some store doc — q31's exact rule, computed via the inverted-
@@ -446,9 +449,14 @@ object CorpusOps {
     * (min digest-match for exact; best-Jaccard, tie-min for near;
     * -1 for new). Cost is |batch| × dup-rate shaped — store text is
     * touched only for shingles of matched candidates. */
+  /** The arriving-batch membership rule shared by q86/q92 (and
+    * their oracles): hash residue 3 → ~10% of docs, every source. */
+  private[graft] def batchPredicate =
+    pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 10 === 3
+
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val isBatch = pmod(col("doc_id"), lit(10)) === 3
+    val isBatch = batchPredicate
     val store = docs.filter(!isBatch)
     val batch = docs.filter(isBatch)
     val exactRef = batch.select(col("doc_id"), md5(Dedup.normText).as("h"))
@@ -476,6 +484,54 @@ object CorpusOps {
           .otherwise("new").as("decision"),
         coalesce(col("exact_ref"), col("near_ref"), lit(-1L)).as("ref_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** INCREMENTAL curation (q85 ∘ q86): the full admission verdict
+    * for an arriving batch against an existing curated store — the
+    * steady-state form of the funnel (you bootstrap a corpus with
+    * q85 once, then every ingest batch flows through THIS). Each
+    * batch doc gets one outcome, in pipeline precedence order:
+    * `dup` (q86's exact-digest or store-Jaccard rule), `low_quality`
+    * (q72's four Gopher rules), `contaminated` (≥1 eval 5-gram hit;
+    * the eval suite lives in the STORE), else `admitted`. Per-source
+    * outcome counts; every stage is batch-sized work against bounded
+    * store artifacts (digest groups, shingle postings, broadcast
+    * eval grams). */
+  def incrementalFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = batchPredicate
+    val docs = Tables.documents(spark, dir)
+    val batchDocs = docs.filter(isBatch && col("source") =!= EvalSource)
+    val dedup = incrementalDedup(spark, dir)
+      .select(col("doc_id"), col("decision"))
+    val qual = batchDocs
+      .select(col("doc_id") +: TextOps.gopherSignalCols: _*)
+      .select(col("doc_id") +: TextOps.gopherRuleCols: _*)
+      .withColumn("q_ok",
+        col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
+      .select(col("doc_id"), col("q_ok"))
+    val storeEvalGrams = docs.filter(col("source") === EvalSource && !isBatch)
+      .select(explode(WordNGrams(toks, ContamN)).as("g")).distinct()
+    val hits = batchDocs
+      .select(col("doc_id"), explode(WordNGrams(toks, ContamN)).as("g"))
+      .join(broadcast(storeEvalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    batchDocs.select(col("doc_id"), col("source"))
+      .join(dedup, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+      .withColumn("outcome",
+        when(col("decision") =!= "new", "dup")
+          .when(!col("q_ok"), "low_quality")
+          .when(col("n_hit") > 0, "contaminated")
+          .otherwise("admitted"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("outcome") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("outcome") === "low_quality", 1L).otherwise(0L)).as("n_low_quality"),
+        sum(when(col("outcome") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("outcome") === "admitted", 1L).otherwise(0L)).as("n_admitted"))
+      .orderBy(col("source"))
   }
 
   /** Duplicate-cluster representative selection ("keep best"): for

@@ -166,11 +166,12 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("incremental dedup: one decision per batch doc, refs point into the store") {
     val out = CorpusOps.incrementalDedup(spark, sf)
     val batchN = Tables.documents(spark, sf)
-      .filter(pmod(col("doc_id"), lit(10)) === 3).count()
+      .filter(CorpusOps.batchPredicate).count()
     assert(out.count() == batchN)
     // refs are store docs (never batch docs, never self) except the -1 sentinel
     assert(out.filter(col("ref_id") =!= -1L &&
-      pmod(col("ref_id"), lit(10)) === 3).count() == 0)
+      pmod(col("ref_id") * CorpusOps.SampleHashC, lit(CorpusOps.SampleHashP)) % 10 === 3)
+      .count() == 0)
     assert(out.filter(col("decision") === "new" && col("ref_id") =!= -1L).count() == 0)
     assert(out.filter(col("decision") =!= "new" && col("ref_id") === -1L).count() == 0)
     // the synthetic corpus has planted dups — the op must find some
