@@ -108,6 +108,9 @@ object SparkEntry {
     "q90_leakage_split" -> CorpusOps.leakageSplit _,
     "q91_curated_sink" -> CorpusOps.curatedSink _,
     "q92_incremental_funnel" -> CorpusOps.incrementalFunnel _,
+    "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
+    "q94_boilerplate" -> CorpusOps.boilerplate _,
+    "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1121,5 +1124,121 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
         |  CAST(MIN(cross_pairs) AS BIGINT) AS cross_pairs
         |FROM s, x GROUP BY source ORDER BY source""".stripMargin,
+    // q93: the ENTIRE MinHash+LSH pipeline (poly-31 base hash, K=16
+    // affine perms, 4×4 banding, bucket candidates, exact-Jaccard
+    // verify) value-checked in DuckDB. The 16 MIN lines and the band
+    // predicate are GENERATED from the same Scala constants the Spark
+    // operator uses (graft.operators.Dedup.{pmhK,pmhR,minhashC,
+    // minhashP}) so the two engines' hash families cannot drift.
+    "q93_minhash_lsh_exact" ->
+      (s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |gh AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(sh, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % ${operators.Dedup.minhashP}) AS x
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |${PmhSigMins}
+        |  FROM gh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (${PmhBandPred})),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |FROM cand c
+        |JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |JOIN sizes sa ON c.doc_a = sa.doc_id
+        |JOIN sizes sb ON c.doc_b = sb.doc_id
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+        |ORDER BY c.doc_a, c.doc_b""").stripMargin,
+    "q94_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS g FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |boiler AS (
+        |  SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY g) WHERE df >= 5),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_boiler FROM g JOIN boiler USING (g) GROUP BY doc_id),
+        |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_boiler, boiler_frac,
+        |  CAST(CASE WHEN boiler_frac < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+        |    CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |    CASE WHEN COALESCE(ng.n_grams, 0) = 0 THEN 0.0
+        |         ELSE round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / ng.n_grams, 6)
+        |    END AS boiler_frac
+        |  FROM documents d
+        |  LEFT JOIN ng ON d.doc_id = ng.doc_id
+        |  LEFT JOIN hits h ON d.doc_id = h.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q95: CCNet head/middle/tail — pd is q79's verified doc_nll
+    // fragment verbatim; percent_rank is (rank-1)/(n-1) as the same
+    // IEEE double in both engines, so the raw tercile compare is exact.
+    "q95_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
+        |    toks[CAST(i AS BIGINT)] AS w1
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT g, COUNT(*) AS c2 FROM g GROUP BY g),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+        |nll AS (
+        |  SELECT g.doc_id, g.source,
+        |    CAST(round(-log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM g JOIN c2 ON g.g = c2.g JOIN c1 ON g.w1 = c1.w1, v),
+        |pd AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
+        |  FROM nll GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, source, doc_nll,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY doc_nll ASC, doc_id ASC) AS pr
+        |  FROM pd)
+        |SELECT doc_id, source, round(CAST(doc_nll AS DOUBLE), 6) AS doc_nll,
+        |  CASE WHEN pr <= 0.3 THEN 'head' WHEN pr <= 0.7 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
+
+  /** q93 oracle fragments generated from the operator's own constants
+    * (single source of truth for the hash family). */
+  private def PmhSigMins: String = {
+    import operators.Dedup.{pmhK, minhashC, minhashP}
+    (0 until pmhK).map(i =>
+      s"    MIN((x * ${2 * i + 1} + ${i.toLong * minhashC}) % $minhashP) AS m$i")
+      .mkString(",\n")
+  }
+  private def PmhBandPred: String = {
+    import operators.Dedup.{pmhK, pmhR}
+    (0 until pmhK / pmhR).map(b =>
+      (0 until pmhR).map(r => s"a.m${b * pmhR + r} = b.m${b * pmhR + r}")
+        .mkString("(", " AND ", ")"))
+      .mkString(" OR ")
+  }
 }

@@ -254,7 +254,18 @@ object CorpusOps {
     * against the doc bigram stream. Float discipline: per-bigram nll
     * is rounded then summed as DECIMAL so the per-doc and per-source
     * means are order-independent (CLAUDE.md oracle-parity rules). */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    docNll(spark, dir).groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("doc_nll")).cast("double") / count(lit(1)), 4).as("avg_nll"),
+        round(max(col("doc_nll")).cast("double"), 4).as("max_nll"))
+      .orderBy(col("source"))
+
+  /** THE per-doc bigram-LM score, in one place — q79 rolls it up per
+    * source, q95 ranks it into CCNet buckets; both oracles gate this
+    * same frame (shared-rule discipline). */
+  private[graft] def docNll(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val grams = docs.select(col("doc_id"), col("source"),
       explode(WordNGrams(toks, 2, distinct = false)).as("g"))
@@ -271,15 +282,9 @@ object CorpusOps {
       .withColumn("nll",
         round(-log2((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
           .cast("decimal(18,6)"))
-    val perDoc = nll.groupBy(col("doc_id"), col("source"))
+    nll.groupBy(col("doc_id"), col("source"))
       .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 6)
         .cast("decimal(18,6)").as("doc_nll"))
-    perDoc.groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        round(sum(col("doc_nll")).cast("double") / count(lit(1)), 4).as("avg_nll"),
-        round(max(col("doc_nll")).cast("double"), 4).as("max_nll"))
-      .orderBy(col("source"))
   }
 
   /** THE FLAGSHIP COMPOSITION: the full training-corpus curation
@@ -559,5 +564,74 @@ object CorpusOps {
         col("doc_id").as("rep_doc_id"), col("n_chars").as("rep_n_chars"),
         (col("cluster_size") - 1).cast("long").as("n_dropped"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Boilerplate grams are grams seen in at least this many docs.
+    * An absolute floor (not a corpus fraction) so the rule has teeth
+    * at every tested SF — the planted dup clusters push gram df to
+    * 5–25 while organic grams stay ≤4; production pipelines tune this
+    * per corpus (C4 uses a 3-sentence absolute rule the same way). */
+  private[graft] val BoilerMinDf = 5
+
+  /** q94: boilerplate detection by gram document frequency (the
+    * C4/CCNet "remove lines repeated across many pages" axis, at
+    * 3-gram granularity since the corpus is single-line). Per doc:
+    * how much of its distinct-3-gram mass is corpus-boilerplate, and
+    * a keep verdict. Scale shape: the doc's total gram count is
+    * row-local (array length of the codegen WordNGrams — no
+    * aggregation needed); only the boilerplate-hit counting shuffles,
+    * as a gram-keyed equi-join between the exploded distinct grams
+    * and the df-filtered gram table (same two-level aggregation shape
+    * as TF-IDF; the df table combines map-side). No broadcast hint:
+    * the hot-gram table is df-bounded per gram but its cardinality
+    * grows with the corpus, so AQE must pick the strategy. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"), explode(WordNGrams(toks, 3)).as("g"))
+    val boiler = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+      .select(col("g"))
+    val hits = grams.join(boiler, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs
+      .select(col("doc_id"), size(WordNGrams(toks, 3)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_boiler").cast("double") / col("n_grams"), 6)))
+      .withColumn("keep",
+        when(col("boiler_frac") < 0.5, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        col("boiler_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q95: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3:
+    * split each language's corpus into head/middle/tail by LM
+    * perplexity terciles). The per-doc score is EXACTLY q79's
+    * bigram-LM doc_nll (shared fragment, already oracle-verified);
+    * the rank is percent_rank per source with a deterministic
+    * (doc_nll, doc_id) tie-break. Both engines compute the identical
+    * (rank-1)/(n-1) double, so the raw threshold compare is exact —
+    * no rounding needed before the bucket decision. Scale shape: the
+    * window partitions by source, so ranking parallelizes across
+    * sources; within a source it is a sort of slim (doc_id, nll)
+    * rows, not documents. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docNll(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_nll").asc, col("doc_id").asc)
+    perDoc
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("bucket",
+        when(col("pr") <= 0.3, "head")
+          .when(col("pr") <= 0.7, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"),
+        round(col("doc_nll").cast("double"), 6).as("doc_nll"), col("bucket"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -398,4 +398,63 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
+
+  // --- q93: MinHash+LSH promoted to the DuckDB oracle gate ---------
+  // The q32 pipeline keys on Spark's xxhash64, which no other engine
+  // reproduces, so it can only ever be spec-checked (recall/precision
+  // vs exact Jaccard). This variant swaps ONLY the base hash: the
+  // q26 polynomial rolling hash (poly-31 over bytes mod 1e9+7), which
+  // the oracle computes with a list_reduce over ord(c) — ASCII corpus,
+  // so bytes == codepoints. Everything downstream (affine K-perm
+  // family, banding, bucket pair generation, exact re-verify) is the
+  // same distributed shape as q32, so the oracle now certifies the
+  // WHOLE LSH pipeline: signature build, band bucketing, candidate
+  // generation, and verification, value-exact.
+  private[graft] val pmhK = 16 // perms: 4 bands × 4 rows
+  private[graft] val pmhR = 4
+
+  /** MinHash+LSH near-dup with a cross-engine-deterministic hash
+    * family (Broder 1997 resemblance sketch; reference dedup
+    * semantics as in data_frame_utils.py:31). Distributed shape:
+    * corpus scanned once (codegen RollingHash on exploded distinct
+    * shingles), K=16 codegen'd min-aggregates → one shuffle on
+    * doc_id; band key = the 4-long signature slice itself (grouping
+    * on the array value — no second hash, so the oracle can express
+    * the key); posting-array pair explosion per bucket (no corpus
+    * self-join); exact-Jaccard re-verify via plain equi-joins (no
+    * broadcast hint — AQE decides from stats, degrades to shuffle
+    * join at 100 TB). */
+  def minhashExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("x", graft.plans.RollingHash(col("sh")))
+    val minCols = (0 until pmhK).map(i =>
+      min((col("x") * (2L * i + 1L) + i.toLong * minhashC) % minhashP).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = array((0 until pmhK / pmhR).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until pmhR).map(r => col(s"m${b * pmhR + r}")): _*).as("key"))
+    }: _*)
+    val buckets = sig
+      .select(col("doc_id"), explode(bandCols).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.key").as("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= defaultMaxDf)
+    val cand = buckets
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -211,4 +211,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(best.groupBy("cluster_id").count().filter(col("count") > 1).count() == 0)
     assert(best.filter(col("n_dropped") =!= col("cluster_size") - 1).count() == 0)
   }
+
+  test("boilerplate: planted dup docs carry the boilerplate mass; accounting holds") {
+    val bp = CorpusOps.boilerplate(spark, sf)
+    // every doc gets a verdict
+    assert(bp.count() == Tables.documents(spark, sf).count())
+    // accounting: 0 <= n_boiler <= n_grams, frac in [0,1], keep == (frac < 0.5)
+    assert(bp.filter(col("n_boiler") > col("n_grams") || col("n_boiler") < 0).count() == 0)
+    assert(bp.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).count() == 0)
+    assert(bp.filter(
+      (col("keep") === 1) =!= (col("boiler_frac") < 0.5)).count() == 0)
+    // the planted exact-dup clusters (>= BoilerMinDf members) are the
+    // boilerplate source: each such member's every gram has df >= the
+    // floor, so its boiler_frac is 1 and it is dropped
+    val bigClusterReps = Dedup.exact(spark, sf)
+      .filter(col("cluster_size") >= CorpusOps.BoilerMinDf)
+      .select(col("keep_doc_id").as("doc_id"))
+    if (bigClusterReps.count() > 0) {
+      val dropped = bp.join(bigClusterReps, "doc_id")
+      assert(dropped.filter(col("boiler_frac") < 1.0).count() == 0)
+    }
+  }
+
+  test("ccnet buckets: tercile shares and within-source nll ordering") {
+    val b = CorpusOps.ccnetBuckets(spark, sf)
+    // head <= middle <= tail in nll within every source
+    val agg = b.groupBy("source", "bucket").agg(
+      count(lit(1)).as("n"),
+      min("doc_nll").as("lo"), max("doc_nll").as("hi"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val sources = agg.keys.map(_._1).toSet
+    for (s <- sources) {
+      val head = agg.get((s, "head")); val tail = agg.get((s, "tail"))
+      for (h <- head; t <- tail) assert(h._3 <= t._2 + 1e-9,
+        s"source $s: head max ${h._3} > tail min ${t._2}")
+      // tercile shares: head ~30%, middle ~40%, tail ~30% (percent_rank
+      // boundaries are exact, so shares are deterministic given n)
+      val n = agg.collect { case ((`s`, _), (c, _, _)) => c }.sum.toDouble
+      for (h <- head) assert(math.abs(h._1 / n - 0.3) <= 0.12,
+        s"source $s head share ${h._1 / n}")
+    }
+  }
 }

@@ -29,6 +29,18 @@ class DedupSpec extends AnyFunSuite {
     assert((approx -- exact).isEmpty)
   }
 
+  test("q93 poly-hash minhash: precision 1 vs exact jaccard, recall >= 0.8") {
+    // the oracle certifies cross-engine value parity; this asserts the
+    // LSH quality property (4 bands × 4 rows over the poly-31 family
+    // still catches the true near-dup pairs)
+    val exact = pairSet(Dedup.jaccard(spark, sf), "doc_a", "doc_b")
+    val approx = pairSet(Dedup.minhashExact(spark, sf), "doc_a", "doc_b")
+    assert(exact.nonEmpty)
+    assert((approx -- exact).isEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"poly minhash recall $recall over ${exact.size} pairs")
+  }
+
   test("stop-shingle cap: capped pairs ⊆ uncapped, recall stays high") {
     val uncapped = pairSet(Dedup.jaccard(spark, sf, maxDf = Int.MaxValue), "doc_a", "doc_b")
     // default cap (256) must be non-binding at test SF: identical output
