@@ -111,6 +111,7 @@ object SparkEntry {
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
+    "q96_ccnet_admission" -> CorpusOps.ccnetAdmission _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1224,6 +1225,59 @@ object SparkEntry {
         |SELECT doc_id, source, round(CAST(doc_nll AS DOUBLE), 6) AS doc_nll,
         |  CASE WHEN pr <= 0.3 THEN 'head' WHEN pr <= 0.7 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q96: the batch split is q86's membership rule; the store LM is
+    // q79's model restricted to store docs; store thresholds use q95's
+    // percent_rank form; batch scoring adds the OOV left joins.
+    // Threshold compares are DECIMAL(18,6) = DECIMAL(18,6), exact in
+    // both engines.
+    "q96_ccnet_admission" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks,
+        |    ((doc_id * 2654435761) % 1000000007) % 10 = 3 AS is_batch
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, is_batch,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
+        |    toks[CAST(i AS BIGINT)] AS w1
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT g, COUNT(*) AS c2 FROM g WHERE NOT is_batch GROUP BY g),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g WHERE NOT is_batch GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t WHERE NOT is_batch)),
+        |snll AS (
+        |  SELECT g.doc_id, g.source,
+        |    CAST(round(-log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM g JOIN c2 ON g.g = c2.g JOIN c1 ON g.w1 = c1.w1, v
+        |  WHERE NOT g.is_batch),
+        |spd AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
+        |  FROM snll GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, source, doc_nll,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY doc_nll ASC, doc_id ASC) AS pr
+        |  FROM spd),
+        |th AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN pr <= 0.3 THEN doc_nll END) AS t30,
+        |    MAX(CASE WHEN pr <= 0.7 THEN doc_nll END) AS t70
+        |  FROM r GROUP BY source),
+        |bnll AS (
+        |  SELECT g.doc_id, g.source,
+        |    CAST(round(-log2(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+        |      (COALESCE(c1.c1, 0) + v.v)), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM g LEFT JOIN c2 ON g.g = c2.g LEFT JOIN c1 ON g.w1 = c1.w1, v
+        |  WHERE g.is_batch),
+        |bpd AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
+        |  FROM bnll GROUP BY 1, 2)
+        |SELECT b.doc_id, b.source, round(CAST(b.doc_nll AS DOUBLE), 6) AS doc_nll,
+        |  CASE WHEN b.doc_nll <= th.t30 THEN 'head'
+        |       WHEN b.doc_nll <= th.t70 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM bpd b JOIN th ON b.source = th.source
+        |ORDER BY b.doc_id""".stripMargin,
   )
 
   /** q93 oracle fragments generated from the operator's own constants

@@ -264,25 +264,42 @@ object CorpusOps {
 
   /** THE per-doc bigram-LM score, in one place — q79 rolls it up per
     * source, q95 ranks it into CCNet buckets; both oracles gate this
-    * same frame (shared-rule discipline). */
+    * same frame (shared-rule discipline). The degenerate model ==
+    * score case of [[bigramModelNll]]: every gram is in the model, so
+    * the OOV smoothing never fires and the q79/q95 inner-join oracles
+    * stay value-exact. */
   private[graft] def docNll(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val grams = docs.select(col("doc_id"), col("source"),
-      explode(WordNGrams(toks, 2, distinct = false)).as("g"))
-    val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = grams
+    bigramModelNll(docs, docs)
+  }
+
+  /** Add-one-smoothed bigram-LM scoring of `score` docs under the
+    * model the `model` docs define (c2/c1/vocab tables — bounded by
+    * observed-bigram count, broadcast). Grams unseen by the model get
+    * the smoothed floor ((0+1)/(0+v)) via left joins — the OOV path
+    * that makes the model usable on docs OUTSIDE its training set
+    * (q96 admission scoring; the q71-style ingest stream shares the
+    * same left-join shape statelessly). Float discipline: per-gram
+    * nll rounded then summed as DECIMAL (order-independent). */
+  private[graft] def bigramModelNll(model: DataFrame, score: DataFrame): DataFrame = {
+    val mg = model.select(explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+    val c2 = mg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = mg
       .select(substring_index(col("g"), " ", 1).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = docs.select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
-    val nll = grams
-      .join(broadcast(c2), Seq("g"))
+    val vocab = model.select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
+    val sg = score.select(col("doc_id"), col("source"),
+      explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+    sg
+      .join(broadcast(c2), Seq("g"), "left")
       .withColumn("w1", substring_index(col("g"), " ", 1))
-      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(c1), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("nll",
-        round(-log2((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+        round(-log2((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
           .cast("decimal(18,6)"))
-    nll.groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 6)
         .cast("decimal(18,6)").as("doc_nll"))
   }
@@ -629,6 +646,41 @@ object CorpusOps {
       .withColumn("bucket",
         when(col("pr") <= 0.3, "head")
           .when(col("pr") <= 0.7, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("source"),
+        round(col("doc_nll").cast("double"), 6).as("doc_nll"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q96: steady-state CCNet admission (q95 ∘ q86's batch/store
+    * split) — the arriving batch is scored under the STORE's bigram
+    * LM (OOV grams smoothed via [[bigramModelNll]]'s left joins) and
+    * bucketed against the store's per-source nll terciles. This is
+    * how perplexity routing actually runs in production: the model
+    * and thresholds are artifacts of the existing corpus; new data
+    * is scored against them, never against itself. Threshold compare
+    * is DECIMAL-to-DECIMAL (exact in both engines). Scale shape: the
+    * model tables and the |sources|-row threshold table broadcast;
+    * everything batch-sized stays one scan + one shuffle on doc_id. */
+  def ccnetAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val isBatch = batchPredicate
+    val store = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_nll").asc, col("doc_id").asc)
+    val th = bigramModelNll(store, store)
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("pr") <= 0.3, col("doc_nll"))).as("t30"),
+        max(when(col("pr") <= 0.7, col("doc_nll"))).as("t70"))
+    bigramModelNll(store, batch)
+      .join(broadcast(th), Seq("source"))
+      .withColumn("bucket",
+        when(col("doc_nll") <= col("t30"), "head")
+          .when(col("doc_nll") <= col("t70"), "middle")
           .otherwise("tail"))
       .select(col("doc_id"), col("source"),
         round(col("doc_nll").cast("double"), 6).as("doc_nll"), col("bucket"))

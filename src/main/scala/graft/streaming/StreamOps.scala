@@ -341,6 +341,43 @@ object StreamOps {
   def contamFlagBatch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusOps.contamHits(spark, dir).orderBy(col("doc_id"))
 
+  /** Perplexity-scoring-at-ingest (q96's stream side): each arriving
+    * doc's bigrams are scored under the STORE's LM — c2/c1 are
+    * bounded broadcast model artifacts, so the stream-static left
+    * joins are stateless — and one (doc_id, source, nll) row is
+    * emitted per gram the moment the doc arrives. The per-doc mean
+    * and the tercile verdict are the downstream consumer's rollup
+    * (same division of labor as [[contamHitStream]] → q83); parity
+    * of the rolled-up stream with q96's batch scoring is asserted in
+    * MlStreamSpec. The model vocab size rides as a literal: it is a
+    * single bounded scalar of the published model artifact, not a
+    * per-batch recomputation. */
+  def ccnetNllStream(spark: SparkSession, docsDir: String,
+      storeDir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.functions.TextFns
+    import graft.plans.WordNGrams
+    val toks = TextFns.tokens(col("text"))
+    val store = graft.Tables.documents(spark, storeDir)
+      .filter(!CorpusOps.batchPredicate)
+    val mg = store.select(explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+    val c2 = mg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = mg.select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = store.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    streamDocs(spark, docsDir)
+      .select(col("doc_id"), col("source"),
+        explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+      .join(broadcast(c2), Seq("g"), "left")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(broadcast(c1), Seq("w1"), "left")
+      .select(col("doc_id"), col("source"),
+        round(-log2((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(v))), 6)
+          .cast("decimal(18,6)").as("nll"))
+  }
+
   /** Quality-filter-at-ingest: q72's Gopher signals and rules are
     * pure row-local array math, so the SAME shared columns
     * (TextOps.gopherSignalCols/gopherRuleCols) run unchanged on a

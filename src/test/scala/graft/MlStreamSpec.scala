@@ -238,6 +238,33 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming perplexity scores roll up to q96's batch admission scores") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_ccnet_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = StreamOps.ccnetNllStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ccnet_nll_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the stream scores every staged doc; q96 is its batch-split
+      // rollup — same per-gram nll, same decimal mean
+      val streamed = spark.table("ccnet_nll_test")
+        .groupBy("doc_id")
+        .agg(round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("s_nll"))
+      val batch = graft.operators.CorpusOps.ccnetAdmission(spark, sf)
+        .select(col("doc_id"), col("doc_nll"))
+      val n = batch.count()
+      assert(n > 0)
+      val joined = batch.join(streamed, "doc_id")
+      assert(joined.count() == n) // every batch doc was scored by the stream
+      assert(joined.filter(col("doc_nll") =!= col("s_nll")).count() == 0)
+    } finally q.stop()
+  }
+
   // NOTE: exact event_id-level parity relies on staging ONE file →
   // one micro-batch, so each user's events arrive in event-time order
   // (milestoneStream sorts only within a batch — see its ordering
