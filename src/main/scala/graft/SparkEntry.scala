@@ -112,6 +112,8 @@ object SparkEntry {
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
     "q96_ccnet_admission" -> CorpusOps.ccnetAdmission _,
+    "q97_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitterGrams(s, d)),
+    "q98_stable_ids" -> FrameOps.stableIds _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1278,6 +1280,13 @@ object SparkEntry {
         |       ELSE 'tail' END AS bucket
         |FROM bpd b JOIN th ON b.source = th.source
         |ORDER BY b.doc_id""".stripMargin,
+    // q97 is rows-only (Misra–Gries eviction is arrival-order
+    // dependent); its lower-bound and heavy-hitter-recall guarantees
+    // are spec-asserted against exact counts.
+    "q98_stable_ids" ->
+      """SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) AS BIGINT) AS new_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   /** q93 oracle fragments generated from the operator's own constants

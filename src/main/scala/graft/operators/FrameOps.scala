@@ -353,4 +353,41 @@ object FrameOps {
         count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("hour"), col("event_type"))
+
+  /** q98: globally-contiguous stable id assignment by (source,
+    * doc_id) — the scale-correct zipWithIndex. The naive form
+    * (row_number over an unpartitioned window) funnels the entire
+    * corpus through ONE task; this plan never does: range-repartition
+    * on the sort key, rank WITHIN each range partition (parallel
+    * window, keyed by spark_partition_id), then add per-partition
+    * base offsets computed from the bounded partition-count table
+    * (≤ numPartitions rows — scheduler-metadata scale, the one
+    * legitimate driver-side cumsum). Output values are independent
+    * of where the range sampler happens to place boundaries, so the
+    * result is exact and deterministic → DuckDB ROW_NUMBER oracle. */
+  def stableIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val nPart = math.max(spark.sparkContext.defaultParallelism / 2, 4)
+    // persisted: the offsets action and the final plan must see the
+    // SAME physical partitioning (the frame is slim: 3 columns)
+    val ranged = docs
+      .repartitionByRange(nPart, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val offsets = {
+      val counts = ranged.groupBy(col("pid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val rows = counts.map { case (pid, n) => val base = acc; acc += n; (pid, base) }
+      spark.createDataFrame(rows.toSeq).toDF("pid", "base")
+    }
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+    ranged
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), col("source"),
+        (col("base") + col("rn")).as("new_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -281,4 +281,49 @@ object TextOps {
       .select(col("doc_id"), col("fp"), col("cluster_size"))
       .orderBy(col("doc_id"))
   }
+
+  /** q97: heavy-hitter 3-grams via a per-partition Misra–Gries
+    * summary (Misra & Gries 1982; the mergeable-summaries form of
+    * Agarwal et al. 2012). The exact gram-frequency table (q22's
+    * shape) costs a corpus-wide shuffle of every distinct gram; at
+    * 100 TB the gram dictionary is itself huge, and a pipeline that
+    * only needs the heavy tail (boilerplate candidates, stop-phrase
+    * lists) shouldn't pay it. Here each partition keeps at most
+    * `mgK` counters (bounded memory, one corpus scan, no shuffle of
+    * the full dictionary); only the ≤ mgK×partitions surviving
+    * (gram, weight) rows shuffle for the merge. MG guarantees
+    * estimate ∈ [true − n/k, true] per partition, summed over
+    * partitions — so true heavy hitters always survive and weights
+    * are lower bounds; both properties are spec-asserted against the
+    * exact counts (eviction order is arrival-order dependent →
+    * rows-only query, like the HLL/quantile sketches). */
+  def heavyHitterGrams(spark: SparkSession, dir: String, mgK: Int = 32,
+      topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    import graft.plans.WordNGrams
+    val grams = Tables.documents(spark, dir)
+      .select(explode(WordNGrams(toks, 3, distinct = false)).as("g"))
+      .as[String]
+    val partial = grams.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { g =>
+        if (counters.contains(g) || counters.size < mgK) {
+          counters(g) = counters.getOrElse(g, 0L) + 1L
+        } else {
+          // decrement-all step; drop zeroed counters
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { k =>
+            val c = counters(k) - 1L
+            if (c == 0L) dead += k else counters(k) = c
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.iterator.map { case (g, c) => (g, c) }
+    }.toDF("g", "w")
+    partial.groupBy(col("g"))
+      .agg(sum(col("w")).as("est_count"))
+      .orderBy(col("est_count").desc, col("g"))
+      .limit(topN)
+  }
 }

@@ -61,6 +61,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(n == Tables.documents(spark, sf).count())
   }
 
+  test("misra-gries heavy hitters: estimates are lower bounds; exact at large k") {
+    import graft.operators.TextOps
+    import graft.plans.WordNGrams
+    val toks = TextFns.tokens(col("text"))
+    val exact = Tables.documents(spark, sf)
+      .select(explode(WordNGrams(toks, 3, distinct = false)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // small k: every reported weight is a valid lower bound on the
+    // true count (the MG invariant survives the per-partition merge)
+    val sketch = TextOps.heavyHitterGrams(spark, sf, mgK = 32, topN = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (g, est) =>
+      assert(est <= exact(g), s"gram '$g' est $est > true ${exact(g)}")
+    }
+    // k >= distinct grams per partition: MG never evicts, so the
+    // sketch degenerates to the exact top-N (plumbing correctness)
+    val full = TextOps.heavyHitterGrams(spark, sf, mgK = 1 << 20, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val trueTop = exact.toSeq.sortBy { case (g, c) => (-c, g) }.take(10)
+    assert(full.toSeq == trueTop)
+  }
+
   test("bm25 returns a descending top-10 with positive scores and dense ranks") {
     val rows = operators.TextOps.bm25(spark, sf).collect()
     assert(rows.length == 10)
