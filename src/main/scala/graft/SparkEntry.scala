@@ -114,6 +114,7 @@ object SparkEntry {
     "q96_ccnet_admission" -> CorpusOps.ccnetAdmission _,
     "q97_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitterGrams(s, d)),
     "q98_stable_ids" -> FrameOps.stableIds _,
+    "q99_bloom_dedup" -> CorpusOps.bloomDedup _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1287,6 +1288,22 @@ object SparkEntry {
       """SELECT doc_id, source,
         |  CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) AS BIGINT) AS new_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q99: the bloom prefilter has no false negatives and the exact
+    // join decides, so the oracle is just q86's exact-digest stage —
+    // the probabilistic structure is invisible in the output.
+    "q99_bloom_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 = 3),
+        |s AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 <> 3),
+        |m AS (SELECT b.doc_id, MIN(s.doc_id) AS ref FROM b JOIN s ON b.h = s.h GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN m.ref IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS decision,
+        |  CAST(COALESCE(m.ref, -1) AS BIGINT) AS ref_id
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
   )
 
   /** q93 oracle fragments generated from the operator's own constants

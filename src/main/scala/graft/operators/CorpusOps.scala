@@ -652,6 +652,51 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The batch/store digest frames and the store-bloom prefiltered
+    * batch — q99's pieces, exposed for the spec's pruning asserts.
+    * Digests: xxhash64(norm) feeds the bloom (long probes, codegen);
+    * md5(norm) is the exact-match key (q30/q86's rule). At 100 TB
+    * the store digest frame is a materialized artifact of the store,
+    * not a rescan — here it is derived inline (store-sized, slim). */
+  private[graft] def bloomPrefiltered(spark: SparkSession, dir: String,
+      fpp: Double = 0.01): (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val isBatch = batchPredicate
+    val store = docs.filter(!isBatch).select(
+      col("doc_id").as("sid"),
+      xxhash64(Dedup.normText).as("h64"), md5(Dedup.normText).as("h"))
+    val nStore = docs.filter(!isBatch).count()
+    val bloom = store.stat.bloomFilter("h64", math.max(nStore, 1L), fpp)
+    val batch = docs.filter(isBatch).select(
+      col("doc_id"),
+      xxhash64(Dedup.normText).as("h64"), md5(Dedup.normText).as("h"))
+    val pref = batch.filter(graft.plans.BloomExprs.mightContain(col("h64"), bloom))
+    (store, batch, pref)
+  }
+
+  /** q99: bloom-prefiltered incremental exact dedup — q86's exact
+    * stage with the 100 TB accelerator in front: a bloom filter over
+    * the STORE's digests (bounded bits: ~1.2 MB per 10⁶ store docs at
+    * 1% fpp) rides into codegen as a reference object and prunes the
+    * arriving batch MAP-SIDE, before any shuffle. Most batch docs are
+    * new, so the exact join's shuffle input drops from |batch| to
+    * ~|dups| + fpp·|batch|. Bloom has NO false negatives, so the
+    * final decisions are bit-identical with or without the prefilter
+    * — which is why a probabilistic structure can sit on the DuckDB
+    * oracle gate (the oracle expresses only the exact join). */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (store, batch, pref) = bloomPrefiltered(spark, dir)
+    val dec = pref
+      .join(store.select(col("h"), col("sid")), Seq("h"))
+      .groupBy(col("doc_id")).agg(min(col("sid")).as("ref"))
+    batch.select(col("doc_id"))
+      .join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ref").isNotNull, "exact_dup").otherwise("new").as("decision"),
+        coalesce(col("ref"), lit(-1L)).as("ref_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q96: steady-state CCNet admission (q95 ∘ q86's batch/store
     * split) — the arriving batch is scored under the STORE's bigram
     * LM (OOV grams smoothed via [[bigramModelNll]]'s left joins) and

@@ -14,4 +14,5 @@ object TypeShim {
   def vecOne: Seq[AbstractDataType] = Seq(vecType)
   def stringArrayOne: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   def stringOne: Seq[AbstractDataType] = Seq(StringType)
+  def longOne: Seq[AbstractDataType] = Seq(LongType)
 }

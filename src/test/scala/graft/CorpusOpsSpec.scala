@@ -233,6 +233,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom prefilter: keeps every true dup, prunes most of the batch") {
+    val (store, batch, pref) = CorpusOps.bloomPrefiltered(spark, sf)
+    val nBatch = batch.count()
+    val prefIds = pref.select("doc_id").collect().map(_.getLong(0)).toSet
+    // no false negatives: every doc the exact join would match survives
+    val trueDups = batch.as("b")
+      .join(store.as("s"), col("b.h") === col("s.h"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trueDups.subsetOf(prefIds),
+      s"bloom dropped true dups: ${trueDups -- prefIds}")
+    // effective pruning: survivors ≈ dups + fpp·batch (generous 5% slack)
+    assert(prefIds.size <= trueDups.size + math.max(5, (0.05 * nBatch).toLong),
+      s"bloom pruned poorly: ${prefIds.size} of $nBatch survive, ${trueDups.size} dups")
+    // and the registered query's decisions agree with the exact sets
+    val out = CorpusOps.bloomDedup(spark, sf)
+    assert(out.count() == nBatch)
+    val dupDecisions = out.filter(col("decision") === "exact_dup")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupDecisions == trueDups)
+  }
+
   test("ccnet buckets: tercile shares and within-source nll ordering") {
     val b = CorpusOps.ccnetBuckets(spark, sf)
     // head <= middle <= tail in nll within every source

@@ -48,6 +48,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(Dedup.minhash(spark, sf).limit(1).count() == 1)
   }
 
+  test("stable ids: parallel ranking, no single-partition funnel") {
+    val df = FrameOps.stableIds(spark, sf)
+    val p = plan(df)
+    // the whole point of q98: the global row_number must NOT serialize
+    // the corpus through one task (empty window partitionBy = Exchange
+    // SinglePartition); ranking runs per range partition in parallel
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+    // and the verdict is right: ids are a contiguous 1..N permutation
+    val n = df.count()
+    assert(df.agg(org.apache.spark.sql.functions.min("new_id")).head.getLong(0) == 1L)
+    assert(df.agg(org.apache.spark.sql.functions.max("new_id")).head.getLong(0) == n)
+    assert(df.select("new_id").distinct().count() == n)
+  }
+
   test("click-train negatives are an equi-join, never a cross product") {
     val p = plan(graft.operators.WordItemApp.clickTrainData(spark, sf))
     // the pmod sampling rule is solved for the item residue, so the
