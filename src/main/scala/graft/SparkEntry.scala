@@ -115,6 +115,7 @@ object SparkEntry {
     "q97_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitterGrams(s, d)),
     "q98_stable_ids" -> FrameOps.stableIds _,
     "q99_bloom_dedup" -> CorpusOps.bloomDedup _,
+    "q100_semantic_clusters" -> Dedup.semanticClusters _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

@@ -305,10 +305,21 @@ object Dedup {
       clusters(spark, dir, smallGraphEdges))
 
   private[graft] def clusters(spark: SparkSession, dir: String,
-      smallGraphMax: Long): DataFrame = {
-    val edges = jaccardPairs(spark, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // materialize the symmetric edge list ONCE (the jaccard scan never
+      smallGraphMax: Long): DataFrame =
+    componentsOf(spark,
+      jaccardPairs(spark, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      smallGraphMax)
+
+  /** Connected components over ANY (src, dst) pair frame — the
+    * cluster machinery factored off its edge source so every pair
+    * generator (shingle Jaccard q35, embedding LSH q100) shares one
+    * implementation: size-adaptive single-task union-find for
+    * dup-rate-bounded graphs, min-label propagation above the
+    * threshold. */
+  private[graft] def componentsOf(spark: SparkSession, edges: DataFrame,
+      smallGraphMax: Long = smallGraphEdges): DataFrame = {
+    // materialize the symmetric edge list ONCE (the pair scan never
     // re-runs) and shrink it: the graph is tiny relative to the corpus
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -457,4 +468,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q100: SEMANTIC dedup clusters (SemDeDup, Abbas et al. 2023):
+    * embedding-space near-dup groups — re-phrasings and
+    * re-encodings that share no n-grams, invisible to every lexical
+    * dedup axis. Edge source = q34's hyperplane-LSH cosine pairs
+    * (ids-only shuffle, exact cosine verify); components = the SAME
+    * size-adaptive union-find as q35 ([[componentsOf]]). Rows-only
+    * (seeded hyperplanes + float cosine threshold); the cluster
+    * structure is spec-asserted against a driver union-find over the
+    * same pair list. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    componentsOf(spark,
+      embedNearDup(spark, dir)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst")))
 }

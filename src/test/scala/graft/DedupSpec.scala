@@ -29,6 +29,26 @@ class DedupSpec extends AnyFunSuite {
     assert((approx -- exact).isEmpty)
   }
 
+  test("semantic clusters == driver union-find over the embed-LSH pairs") {
+    val pairs = Dedup.embedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (_, ms) => (ms.min, ms.sorted.mkString(",")) }.toSet
+    val got = Dedup.semanticClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == expected)
+  }
+
   test("q93 poly-hash minhash: precision 1 vs exact jaccard, recall >= 0.8") {
     // the oracle certifies cross-engine value parity; this asserts the
     // LSH quality property (4 bands × 4 rows over the poly-31 family
