@@ -281,13 +281,23 @@ object CorpusOps {
     * (q96 admission scoring; the q71-style ingest stream shares the
     * same left-join shape statelessly). Float discipline: per-gram
     * nll rounded then summed as DECIMAL (order-independent). */
-  private[graft] def bigramModelNll(model: DataFrame, score: DataFrame): DataFrame = {
+  /** The add-one bigram LM's model tables (c2 bigram counts, c1
+    * first-token counts, 1-row vocab size) — THE model definition,
+    * consumed by batch scoring ([[bigramModelNll]]) and the ingest
+    * stream (StreamOps.ccnetNllStream). All bounded by observed-
+    * bigram count → broadcast. */
+  private[graft] def bigramModel(model: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val mg = model.select(explode(WordNGrams(toks, 2, distinct = false)).as("g"))
     val c2 = mg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = mg
       .select(substring_index(col("g"), " ", 1).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = model.select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
+    (c2, c1, vocab)
+  }
+
+  private[graft] def bigramModelNll(model: DataFrame, score: DataFrame): DataFrame = {
+    val (c2, c1, vocab) = bigramModel(model)
     val sg = score.select(col("doc_id"), col("source"),
       explode(WordNGrams(toks, 2, distinct = false)).as("g"))
     sg

@@ -360,12 +360,8 @@ object StreamOps {
     val toks = TextFns.tokens(col("text"))
     val store = graft.Tables.documents(spark, storeDir)
       .filter(!CorpusOps.batchPredicate)
-    val mg = store.select(explode(WordNGrams(toks, 2, distinct = false)).as("g"))
-    val c2 = mg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = mg.select(substring_index(col("g"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = store.select(explode(toks).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
+    val (c2, c1, vocab) = CorpusOps.bigramModel(store)
+    val v = vocab.head().getLong(0)
     streamDocs(spark, docsDir)
       .select(col("doc_id"), col("source"),
         explode(WordNGrams(toks, 2, distinct = false)).as("g"))
