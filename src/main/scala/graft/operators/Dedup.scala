@@ -226,13 +226,11 @@ object Dedup {
     val bitsPerTable = 6
     val planes = Dedup.hyperplanes(nPlanes = nTables * bitsPerTable, dim = 64, seed = 42)
     val emb = Tables.embeddings(spark, dir)
-    val tableCols = array((0 until nTables).map { t =>
-      val bucket = (0 until bitsPerTable).map { j =>
-        val pc = array(planes(t * bitsPerTable + j).map(lit): _*)
-        when(VecFns.dot(col("embedding"), pc) > 0, 1 << j).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("bucket"))
-    }: _*)
+    // all 72 plane projections in ONE codegen kernel (the plane table
+    // rides as a reference object — no 4.6k-literal expression tree,
+    // PlaneExprs)
+    val codes = graft.plans.PlaneExprs.planeCodes(
+      col("embedding"), planes, nTables, bitsPerTable)
     // candidate generation shuffles ONLY (table, bucket, id) — the
     // 64-float embeddings never ride through the pair explosion; they
     // are joined back per candidate with UNHINTED equi-joins (AQE
@@ -240,8 +238,8 @@ object Dedup {
     // table is too big to broadcast and the same plan shuffle-joins
     // on vec id — the pair set is near-dup-sized either way).
     val cand = emb
-      .select(col("vec_id"), explode(tableCols).as("tb"))
-      .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), posexplode(codes).as(Seq("t", "bucket")))
+      .groupBy(col("t"), col("bucket"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
