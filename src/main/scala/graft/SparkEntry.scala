@@ -116,6 +116,7 @@ object SparkEntry {
     "q98_stable_ids" -> FrameOps.stableIds _,
     "q99_bloom_dedup" -> CorpusOps.bloomDedup _,
     "q100_semantic_clusters" -> Dedup.semanticClusters _,
+    "q101_semantic_ingest" -> StreamOps.semanticCandidateBatch _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

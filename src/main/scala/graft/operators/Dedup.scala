@@ -221,16 +221,23 @@ object Dedup {
     * the synthetic corpus is near-orthogonal (max cos ≈ 0.5) so the
     * spec asserts recall against the brute-force baseline instead of
     * an oracle. */
+  // Embedding-LSH table geometry + seed, in ONE place — consumed by
+  // batch q34/q100 and the q101 ingest stream (identical buckets on
+  // both paths by construction).
+  private[graft] val embTables = 12
+  private[graft] val embBits = 6
+  private[graft] lazy val embPlanes: Array[Array[Double]] =
+    hyperplanes(nPlanes = embTables * embBits, dim = 64, seed = 42)
+
+  /** All 72 plane projections in ONE codegen kernel (the plane table
+    * rides as a reference object — no 4.6k-literal expression tree,
+    * PlaneExprs). */
+  private[graft] def embPlaneCodes: Column =
+    graft.plans.PlaneExprs.planeCodes(col("embedding"), embPlanes, embTables, embBits)
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val nTables = 12
-    val bitsPerTable = 6
-    val planes = Dedup.hyperplanes(nPlanes = nTables * bitsPerTable, dim = 64, seed = 42)
     val emb = Tables.embeddings(spark, dir)
-    // all 72 plane projections in ONE codegen kernel (the plane table
-    // rides as a reference object — no 4.6k-literal expression tree,
-    // PlaneExprs)
-    val codes = graft.plans.PlaneExprs.planeCodes(
-      col("embedding"), planes, nTables, bitsPerTable)
+    val codes = embPlaneCodes
     // candidate generation shuffles ONLY (table, bucket, id) — the
     // 64-float embeddings never ride through the pair explosion; they
     // are joined back per candidate with UNHINTED equi-joins (AQE

@@ -243,12 +243,22 @@ object StreamOps {
       docsDir: String): Dataset[DupCandidate] = {
     import spark.implicits._
     import graft.operators.Dedup
-    val bands = streamDocs(spark, docsDir)
+    bucketCandidates(streamDocs(spark, docsDir)
       .select(col("doc_id"),
         explode(Dedup.bandKeysCol(Dedup.sigCol(Dedup.shinglesCol))).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
-      .as[(Int, Long, Long)]
-    bands.groupByKey(r => (r._1, r._2))
+      .as[(Int, Long, Long)])
+  }
+
+  /** THE bounded-state bucket-candidate machine, shared by the minhash
+    * (q71) and embedding-LSH (q101) ingest streams: keyed by (table/
+    * band, bucket key), holds ONE representative id per occupied
+    * bucket, emits a (rep, id) candidate the moment a later arrival
+    * lands in a seen bucket; 1 h inactivity eviction bounds state. */
+  private def bucketCandidates(
+      keyed: Dataset[(Int, Long, Long)]): Dataset[DupCandidate] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[BucketState, DupCandidate](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case ((band, key), rows, state: GroupState[BucketState]) =>
@@ -269,6 +279,47 @@ object StreamOps {
           }
       }
   }
+
+  /** SEMANTIC dedup-at-ingest (q101, the stream side of q100):
+    * arriving embeddings get their 12 hyperplane-LSH bucket codes
+    * ROW-LOCALLY (the PlaneCodes codegen kernel — the same plane
+    * table as batch q34/q100, so stream and batch agree bucket for
+    * bucket), then the shared bounded-state bucket machine emits
+    * (rep_vec, vec_id) candidates on arrival. Exact cosine verify
+    * stays downstream, as in the batch operator. */
+  def semanticCandidateStream(spark: SparkSession,
+      embDir: String): Dataset[DupCandidate] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    bucketCandidates(streamEmbeddings(spark, embDir)
+      .select(posexplode(Dedup.embPlaneCodes).as(Seq("t", "bucket")), col("vec_id"))
+      .select(col("t"), col("bucket").cast("long").as("bucket"), col("vec_id"))
+      .as[(Int, Long, Long)])
+  }
+
+  /** Batch twin of [[semanticCandidateStream]] (registered as q101):
+    * same row-local plane codes, bucket representative = min vec id,
+    * one candidate row per (bucket, later vec). Deterministic given
+    * the seeded plane table; stream == batch parity in MlStreamSpec. */
+  def semanticCandidateBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    graft.Tables.embeddings(spark, dir)
+      .select(posexplode(Dedup.embPlaneCodes).as(Seq("t", "bucket")), col("vec_id"))
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("t"), col("bucket"),
+        element_at(col("ids"), 1).as("rep_vec"),
+        explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("vec_id"))
+      .orderBy(col("t"), col("bucket"), col("vec_id"))
+  }
+
+  private def streamEmbeddings(spark: SparkSession, embDir: String): DataFrame =
+    spark.readStream.schema(StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+      .parquet(embDir)
 
   /** VERIFIED dedup-at-ingest: the candidate stream joined (a
     * stream-STATIC join — stateless, no watermark needed) against

@@ -215,6 +215,32 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic (embed-LSH) candidates match the batch twin on a replayed batch") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_semantic_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      staged.resolve("embeddings.parquet"))
+    val batch = StreamOps.semanticCandidateBatch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    val q = StreamOps.semanticCandidateStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semantic_stream_test")
+      .start()
+    try {
+      // same polling discipline as the minhash stream (timeout batches
+      // keep the query alive past processAllAvailable)
+      def snap() = spark.table("semantic_stream_test").collect()
+        .map(r => (r.getInt(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toSet
+      val deadline = System.currentTimeMillis() + 120000
+      var streamed = snap()
+      while (streamed != batch && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); streamed = snap()
+      }
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming contamination hits roll up to the batch flag table") {
     val staged = java.nio.file.Files.createTempDirectory("graft_contam_stream")
     java.nio.file.Files.copy(

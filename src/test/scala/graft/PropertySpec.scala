@@ -66,7 +66,11 @@ class PropertySpec extends AnyFunSuite {
     // cluster and local[4] produce BIT-IDENTICAL floats. Re-running
     // representative float-heavy queries under a different shuffle
     // width reorders every partial aggregation — results must not move.
-    val names = Seq("q01_pricing_summary", "q56_mc_bias", "q79_bigram_lm")
+    val names = Seq("q01_pricing_summary", "q56_mc_bias", "q79_bigram_lm",
+      // round 5: the generated-oracle LSH pipeline (array-key buckets),
+      // decimal threshold routing, and the offset-table id assignment
+      // must all be width-independent or the cluster story is fiction
+      "q93_minhash_lsh_exact", "q96_ccnet_admission", "q98_stable_ids")
     def run(name: String) =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
     val before = names.map(n => n -> run(n)).toMap
