@@ -117,6 +117,7 @@ object SparkEntry {
     "q99_bloom_dedup" -> CorpusOps.bloomDedup _,
     "q100_semantic_clusters" -> Dedup.semanticClusters _,
     "q101_semantic_ingest" -> StreamOps.semanticCandidateBatch _,
+    "q102_index_upsert" -> ((s: SparkSession, d: String) => SimilaritySearch.indexUpsert(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

@@ -336,6 +336,73 @@ object SimilaritySearch {
       .orderBy(col("cent_id"))
   }
 
+  /** Written-index registry for [[indexUpsert]] (separate from the
+    * q74 dir: this one is bootstrapped from the STORE split only and
+    * then mutated by the append). */
+  private val upsertDirCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** q102: INCREMENTAL ANN index maintenance — the steady-state form
+    * of q74's serving layout. The index is bootstrapped once from the
+    * STORE vectors (q86's batch/store hash split, applied to vec_id
+    * with the shared hash family); the arriving batch's vectors are
+    * encoded ROW-LOCALLY (NearestCells home cell + PqCodes codes, the
+    * same registry-shared quantizers — no retraining at ingest, the
+    * standard IVF serving discipline) and APPENDED into the same
+    * cell-partitioned parquet layout: an upsert touches only the new
+    * rows' cell directories, never rewrites the index, and readers
+    * keep partition-pruning as before. Registered output: per-cell
+    * accounting after the upsert (rows-only: cell ids come from the
+    * seeded KMeans fit); append integrity — content equality with a
+    * one-shot full-corpus encode, batch-count reconciliation — is
+    * spec-asserted. */
+  /** q86's membership rule, same hash family, keyed on vec_id. */
+  private[graft] def isBatchVec =
+    pmod(col("vec_id") * graft.operators.CorpusOps.SampleHashC,
+      lit(graft.operators.CorpusOps.SampleHashP)) % 10 === 3
+
+  /** (vec_id, codes, cent_id) for a vector frame — the index row
+    * encoding (row-local NearestCells + PqCodes kernels). */
+  private def encodedRows(spark: SparkSession, dir: String,
+      rows: DataFrame): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val cents = cellArrays(coarseModel(spark, dir, emb))
+    val pqCents = centroidArrays(pqCodebooks(spark, dir, emb))
+    nearestCells(rows, cents, keep = 1)
+      .select(col("vec_id"),
+        graft.plans.PqExprs.codes(col("embedding"), pqCents).as("codes"),
+        col("cent_id"))
+  }
+
+  /** The upserted index contents (exposed for the spec's content-
+    * equality assert against [[oneShotEncoded]]). */
+  private[graft] def upsertedRows(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = upsertDirCache.getOrElseUpdate((spark, dir), {
+      val emb = embWithNorm(spark, dir)
+      val out = graft.sources.Sources.stagingDir("ivfpq_upsert", dir) +
+        "_" + spark.sparkContext.applicationId
+      encodedRows(spark, dir, emb.filter(!isBatchVec)).write
+        .mode("overwrite").partitionBy("cent_id").parquet(out)
+      encodedRows(spark, dir, emb.filter(isBatchVec)).write
+        .mode("append").partitionBy("cent_id").parquet(out)
+      out
+    })
+    spark.read.parquet(indexDir)
+  }
+
+  /** What the index would be if built from the whole corpus in one
+    * shot — the spec's ground truth for append integrity. */
+  private[graft] def oneShotEncoded(spark: SparkSession, dir: String): DataFrame =
+    encodedRows(spark, dir, embWithNorm(spark, dir))
+
+  def indexUpsert(spark: SparkSession, dir: String): DataFrame =
+    upsertedRows(spark, dir)
+      .groupBy(col("cent_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(isBatchVec, 1L).otherwise(0L)).as("n_new"))
+      .orderBy(col("cent_id"))
+
   /** DimensionReductionModel.fit (dimension_reduction_model.py:21):
     * per-dimension importance = Σ v². Values are quantized to 1e-6 so
     * the aggregation is exact integer math — order-independent under

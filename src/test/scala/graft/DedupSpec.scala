@@ -29,6 +29,24 @@ class DedupSpec extends AnyFunSuite {
     assert((approx -- exact).isEmpty)
   }
 
+  test("index upsert: appended layout equals a one-shot encode; batch accounted") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cent_id"),
+        concat_ws(",", col("codes")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // content equality: bootstrap-then-append == one-shot full encode
+    val upserted = key(SimilaritySearch.upsertedRows(spark, sf))
+    val oneShot = key(SimilaritySearch.oneShotEncoded(spark, sf))
+    assert(upserted == oneShot)
+    // accounting: every vector present once, batch split non-vacuous
+    val acct = SimilaritySearch.indexUpsert(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    assert(acct.agg(sum("n_vecs")).head.getLong(0) == emb.count())
+    val newTotal = acct.agg(sum("n_new")).head.getLong(0)
+    assert(newTotal == emb.filter(SimilaritySearch.isBatchVec).count())
+    assert(newTotal > 0, "batch split empty — upsert test is vacuous")
+  }
+
   test("semantic clusters == driver union-find over the embed-LSH pairs") {
     val pairs = Dedup.embedNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
