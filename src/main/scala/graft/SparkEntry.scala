@@ -118,6 +118,7 @@ object SparkEntry {
     "q100_semantic_clusters" -> Dedup.semanticClusters _,
     "q101_semantic_ingest" -> StreamOps.semanticCandidateBatch _,
     "q102_index_upsert" -> ((s: SparkSession, d: String) => SimilaritySearch.indexUpsert(s, d)),
+    "q103_frame_ingest" -> ((s: SparkSession, d: String) => StreamOps.frameCandidateBatch(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

@@ -321,6 +321,59 @@ object StreamOps {
       StructField("label", IntegerType))))
       .parquet(embDir)
 
+  /** MULTIMODAL dedup-at-ingest (q103, the stream side of q87):
+    * arriving assets are frame-sampled and fingerprinted at the
+    * pluggable codec boundary INSIDE their scan partition (frame
+    * bytes never shuffle, exactly as in the batch operator), and the
+    * shared bucket machine keyed by fingerprint emits
+    * (rep_asset, asset) the moment a second asset shows a seen
+    * frame. The third ingest-dedup axis next to lexical (q71) and
+    * semantic (q101). */
+  def frameCandidateStream(spark: SparkSession, docsDir: String,
+      codec: graft.operators.Multimodal.AssetCodec =
+        graft.operators.Multimodal.DeterministicFakeCodec): Dataset[DupCandidate] = {
+    import spark.implicits._
+    bucketCandidates(streamDocs(spark, docsDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec
+        it.flatMap { case (id, payload) =>
+          c.sampleFrames(payload, 4, 32).map { case (_, off, nb, _) =>
+            (0, c.frameFingerprint(payload, off.toInt, nb.toInt), id)
+          }
+        }
+      })
+  }
+
+  /** Batch twin of [[frameCandidateStream]] (registered as q103):
+    * distinct (fingerprint, asset) postings, bucket rep = min asset
+    * id, one candidate per (fingerprint, later asset). */
+  def frameCandidateBatch(spark: SparkSession, dir: String,
+      codec: graft.operators.Multimodal.AssetCodec =
+        graft.operators.Multimodal.DeterministicFakeCodec): DataFrame = {
+    import spark.implicits._
+    val frames = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec
+        it.flatMap { case (id, payload) =>
+          c.sampleFrames(payload, 4, 32).map { case (_, off, nb, _) =>
+            (c.frameFingerprint(payload, off.toInt, nb.toInt), id)
+          }
+        }
+      }.toDF("fhash", "doc_id")
+    frames
+      .groupBy(col("fhash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("fhash"),
+        element_at(col("ids"), 1).as("rep_asset"),
+        explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("doc_id"))
+      .orderBy(col("fhash"), col("doc_id"))
+  }
+
   /** VERIFIED dedup-at-ingest: the candidate stream joined (a
     * stream-STATIC join — stateless, no watermark needed) against
     * the document store's shingle sets on both pair sides, exact

@@ -241,6 +241,30 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming frame-fingerprint candidates match the batch twin on a replayed batch") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_frame_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = StreamOps.frameCandidateBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val q = StreamOps.frameCandidateStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frame_stream_test")
+      .start()
+    try {
+      def snap() = spark.table("frame_stream_test").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val deadline = System.currentTimeMillis() + 120000
+      var streamed = snap()
+      while (streamed != batch && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000); streamed = snap()
+      }
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming contamination hits roll up to the batch flag table") {
     val staged = java.nio.file.Files.createTempDirectory("graft_contam_stream")
     java.nio.file.Files.copy(
