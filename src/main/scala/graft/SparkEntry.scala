@@ -119,6 +119,7 @@ object SparkEntry {
     "q101_semantic_ingest" -> StreamOps.semanticCandidateBatch _,
     "q102_index_upsert" -> ((s: SparkSession, d: String) => SimilaritySearch.indexUpsert(s, d)),
     "q103_frame_ingest" -> ((s: SparkSession, d: String) => StreamOps.frameCandidateBatch(s, d)),
+    "q104_rollup" -> FrameOps.rollupSummary _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1308,6 +1309,19 @@ object SparkEntry {
         |  CAST(COALESCE(m.ref, -1) AS BIGINT) AS ref_id
         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q104_rollup" ->
+      """SELECT
+        |  CAST(CAST(l_returnflag IS NULL AS INT) * 2 +
+        |       CAST(l_linestatus IS NULL AS INT) AS BIGINT) AS lvl,
+        |  COALESCE(l_returnflag, 'ALL') AS ret,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_rev
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY lvl, ret, status""".stripMargin,
   )
 
   /** q93 oracle fragments generated from the operator's own constants

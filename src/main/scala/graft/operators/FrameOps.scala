@@ -354,6 +354,33 @@ object FrameOps {
         sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** q104: multi-level aggregation in ONE pass (ROLLUP) — subtotal
+    * and grand-total rows computed alongside the leaf groups without
+    * rescanning (Spark expands grouping sets map-side; at 100 TB a
+    * rollup costs one scan, not one per level). Rolled-up keys are
+    * COALESCEd to 'ALL' and the level derived from their nullness in
+    * BOTH engines, so null-ordering differences can't break parity. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        // the (38,8) product sum is re-scaled to (18,4) BEFORE the
+        // double cast: DuckDB's wide-decimal→double conversion is one
+        // ulp off nearest at this magnitude, while a scale-4 decimal
+        // converts exactly the same in both engines
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DecimalType(18, 4)).cast("double").as("sum_rev"))
+      .select(
+        (col("l_returnflag").isNull.cast("int") * 2 +
+          col("l_linestatus").isNull.cast("int")).cast("long").as("lvl"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("ret"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty"), col("sum_rev"))
+      .orderBy(col("lvl"), col("ret"), col("status"))
+  }
+
   /** q98: globally-contiguous stable id assignment by (source,
     * doc_id) — the scale-correct zipWithIndex. The naive form
     * (row_number over an unpartitioned window) funnels the entire
