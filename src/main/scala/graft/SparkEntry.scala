@@ -120,6 +120,7 @@ object SparkEntry {
     "q102_index_upsert" -> ((s: SparkSession, d: String) => SimilaritySearch.indexUpsert(s, d)),
     "q103_frame_ingest" -> ((s: SparkSession, d: String) => StreamOps.frameCandidateBatch(s, d)),
     "q104_rollup" -> FrameOps.rollupSummary _,
+    "q105_pivot" -> FrameOps.pivotLangMix _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1322,6 +1323,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY lvl, ret, status""".stripMargin,
+    "q105_pivot" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** q93 oracle fragments generated from the operator's own constants

@@ -381,6 +381,24 @@ object FrameOps {
       .orderBy(col("lvl"), col("ret"), col("status"))
   }
 
+  /** q105: long→wide reshaping (pivot) — the language-mix matrix per
+    * source. Pivot values are EXPLICIT (the fixed lang domain), which
+    * is the 100 TB discipline anyway: an unvalued `pivot(col)` runs a
+    * driver-side distinct scan first and falls over on high-cardinality
+    * keys; with declared values the whole reshape is ONE map-side
+    * conditional aggregation (no extra scan, no wide-row surprise).
+    * Oracle = the same conditional aggregation spelled as CASE sums. */
+  def pivotLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+      .select(col("source") +: langs.map(l => col(l).as(s"n_$l")): _*)
+      .orderBy(col("source"))
+  }
+
   /** q98: globally-contiguous stable id assignment by (source,
     * doc_id) — the scale-correct zipWithIndex. The naive form
     * (row_number over an unpartitioned window) funnels the entire
