@@ -1163,9 +1163,9 @@ object SparkEntry {
         |  SELECT doc_id,
         |${PmhSigMins}
         |  FROM gh GROUP BY doc_id),
+        |${PmhBucketCtes},
         |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (${PmhBandPred})),
+        |${PmhCandUnion}),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1334,18 +1334,35 @@ object SparkEntry {
   )
 
   /** q93 oracle fragments generated from the operator's own constants
-    * (single source of truth for the hash family). */
+    * (single source of truth for the hash family AND the bucket cap —
+    * the Spark side drops band buckets above defaultMaxDf, so the
+    * oracle counts each band's bucket occupancy and applies the SAME
+    * bound; parity holds at any SF, capped or not). */
   private def PmhSigMins: String = {
     import operators.Dedup.{pmhK, minhashC, minhashP}
     (0 until pmhK).map(i =>
       s"    MIN((x * ${2 * i + 1} + ${i.toLong * minhashC}) % $minhashP) AS m$i")
       .mkString(",\n")
   }
-  private def PmhBandPred: String = {
+  private def pmhBandCols(b: Int): Seq[String] = {
+    import operators.Dedup.pmhR
+    (0 until pmhR).map(r => s"m${b * pmhR + r}")
+  }
+  private def PmhBucketCtes: String = {
     import operators.Dedup.{pmhK, pmhR}
-    (0 until pmhK / pmhR).map(b =>
-      (0 until pmhR).map(r => s"a.m${b * pmhR + r} = b.m${b * pmhR + r}")
-        .mkString("(", " AND ", ")"))
-      .mkString(" OR ")
+    (0 until pmhK / pmhR).map { b =>
+      val cols = pmhBandCols(b).mkString(", ")
+      s"bk$b AS (SELECT $cols, COUNT(*) AS n FROM sig GROUP BY $cols)"
+    }.mkString(",\n")
+  }
+  private def PmhCandUnion: String = {
+    import operators.Dedup.{pmhK, pmhR, defaultMaxDf}
+    (0 until pmhK / pmhR).map { b =>
+      val eq = pmhBandCols(b).map(c => s"a.$c = b.$c").mkString(" AND ")
+      val bkEq = pmhBandCols(b).map(c => s"bk$b.$c = a.$c").mkString(" AND ")
+      s"""  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND $eq
+         |  JOIN bk$b ON $bkEq WHERE bk$b.n <= $defaultMaxDf""".stripMargin
+    }.mkString("\n  UNION\n")
   }
 }

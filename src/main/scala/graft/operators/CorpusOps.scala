@@ -273,14 +273,6 @@ object CorpusOps {
     bigramModelNll(docs, docs)
   }
 
-  /** Add-one-smoothed bigram-LM scoring of `score` docs under the
-    * model the `model` docs define (c2/c1/vocab tables — bounded by
-    * observed-bigram count, broadcast). Grams unseen by the model get
-    * the smoothed floor ((0+1)/(0+v)) via left joins — the OOV path
-    * that makes the model usable on docs OUTSIDE its training set
-    * (q96 admission scoring; the q71-style ingest stream shares the
-    * same left-join shape statelessly). Float discipline: per-gram
-    * nll rounded then summed as DECIMAL (order-independent). */
   /** The add-one bigram LM's model tables (c2 bigram counts, c1
     * first-token counts, 1-row vocab size) — THE model definition,
     * consumed by batch scoring ([[bigramModelNll]]) and the ingest
@@ -296,8 +288,22 @@ object CorpusOps {
     (c2, c1, vocab)
   }
 
-  private[graft] def bigramModelNll(model: DataFrame, score: DataFrame): DataFrame = {
-    val (c2, c1, vocab) = bigramModel(model)
+  /** Add-one-smoothed bigram-LM scoring of `score` docs under the
+    * model the `model` docs define. Grams unseen by the model get
+    * the smoothed floor ((0+1)/(0+v)) via left joins — the OOV path
+    * that makes the model usable on docs OUTSIDE its training set
+    * (q96 admission scoring; the ingest stream shares the same
+    * left-join shape statelessly). Float discipline: per-gram nll
+    * rounded then summed as DECIMAL (order-independent). */
+  private[graft] def bigramModelNll(model: DataFrame, score: DataFrame): DataFrame =
+    scoreUnderModel(bigramModel(model), score)
+
+  /** Scoring against ALREADY-BUILT model tables — q96 builds the
+    * store model once and threads it into both the threshold pass
+    * and the batch scoring pass. */
+  private[graft] def scoreUnderModel(
+      model: (DataFrame, DataFrame, DataFrame), score: DataFrame): DataFrame = {
+    val (c2, c1, vocab) = model
     val sg = score.select(col("doc_id"), col("source"),
       explode(WordNGrams(toks, 2, distinct = false)).as("g"))
     sg
@@ -668,15 +674,27 @@ object CorpusOps {
     * md5(norm) is the exact-match key (q30/q86's rule). At 100 TB
     * the store digest frame is a materialized artifact of the store,
     * not a rescan — here it is derived inline (store-sized, slim). */
+  /** Session-keyed registry for q99's store-side artifacts: the
+    * persisted digest frame backs THREE consumers (sizing count,
+    * bloom build, exact join) — one store scan per (session, corpus),
+    * and the built filter is itself an artifact (in production it is
+    * published alongside the store, not rebuilt per batch). */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double),
+      (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
+
   private[graft] def bloomPrefiltered(spark: SparkSession, dir: String,
       fpp: Double = 0.01): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val isBatch = batchPredicate
-    val store = docs.filter(!isBatch).select(
-      col("doc_id").as("sid"),
-      xxhash64(Dedup.normText).as("h64"), md5(Dedup.normText).as("h"))
-    val nStore = docs.filter(!isBatch).count()
-    val bloom = store.stat.bloomFilter("h64", math.max(nStore, 1L), fpp)
+    val (store, bloom) = bloomCache.getOrElseUpdate((spark, dir, fpp), {
+      val s = docs.filter(!isBatch).select(
+        col("doc_id").as("sid"),
+        xxhash64(Dedup.normText).as("h64"), md5(Dedup.normText).as("h"))
+        .persist()
+      val n = s.count() // materializes the one store scan
+      (s, s.stat.bloomFilter("h64", math.max(n, 1L), fpp))
+    })
     val batch = docs.filter(isBatch).select(
       col("doc_id"),
       xxhash64(Dedup.normText).as("h64"), md5(Dedup.normText).as("h"))
@@ -723,15 +741,16 @@ object CorpusOps {
     val isBatch = batchPredicate
     val store = docs.filter(!isBatch)
     val batch = docs.filter(isBatch)
+    val model = bigramModel(store) // built ONCE, both passes share it
     val w = Window.partitionBy(col("source"))
       .orderBy(col("doc_nll").asc, col("doc_id").asc)
-    val th = bigramModelNll(store, store)
+    val th = scoreUnderModel(model, store)
       .withColumn("pr", percent_rank().over(w))
       .groupBy(col("source"))
       .agg(
         max(when(col("pr") <= 0.3, col("doc_nll"))).as("t30"),
         max(when(col("pr") <= 0.7, col("doc_nll"))).as("t70"))
-    bigramModelNll(store, batch)
+    scoreUnderModel(model, batch)
       .join(broadcast(th), Seq("source"))
       .withColumn("bucket",
         when(col("doc_nll") <= col("t30"), "head")

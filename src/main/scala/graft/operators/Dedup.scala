@@ -483,8 +483,22 @@ object Dedup {
     * (seeded hyperplanes + float cosine threshold); the cluster
     * structure is spec-asserted against a driver union-find over the
     * same pair list. */
+  /** Session-keyed registry for the embedding near-dup pair list —
+    * q100's counterpart of [[jaccardPairs]]: componentsOf consumes
+    * the edge frame twice (symmetrization), so the LSH + exact-cosine
+    * pipeline must not re-execute per consumption. */
+  private val embedPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def embedPairs(spark: SparkSession, dir: String): DataFrame =
+    embedPairCache.getOrElseUpdate((spark, dir), {
+      val df = embedNearDup(spark, dir).persist()
+      df.count()
+      df
+    })
+
   def semanticClusters(spark: SparkSession, dir: String): DataFrame =
     componentsOf(spark,
-      embedNearDup(spark, dir)
+      embedPairs(spark, dir)
         .select(col("vec_a").as("src"), col("vec_b").as("dst")))
 }

@@ -339,9 +339,12 @@ object StreamOps {
       .mapPartitions { it =>
         val c = codec
         it.flatMap { case (id, payload) =>
+          // distinct ROW-LOCALLY: an asset repeating a frame must not
+          // emit duplicate candidates (the batch twin's collect_set
+          // dedups the same way — parity by multiplicity, not just set)
           c.sampleFrames(payload, 4, 32).map { case (_, off, nb, _) =>
-            (0, c.frameFingerprint(payload, off.toInt, nb.toInt), id)
-          }
+            c.frameFingerprint(payload, off.toInt, nb.toInt)
+          }.distinct.map(fp => (0, fp, id))
         }
       })
   }
@@ -360,8 +363,8 @@ object StreamOps {
         val c = codec
         it.flatMap { case (id, payload) =>
           c.sampleFrames(payload, 4, 32).map { case (_, off, nb, _) =>
-            (c.frameFingerprint(payload, off.toInt, nb.toInt), id)
-          }
+            c.frameFingerprint(payload, off.toInt, nb.toInt)
+          }.distinct.map(fp => (fp, id))
         }
       }.toDF("fhash", "doc_id")
     frames
