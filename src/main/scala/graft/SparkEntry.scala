@@ -121,6 +121,7 @@ object SparkEntry {
     "q103_frame_ingest" -> ((s: SparkSession, d: String) => StreamOps.frameCandidateBatch(s, d)),
     "q104_rollup" -> FrameOps.rollupSummary _,
     "q105_pivot" -> FrameOps.pivotLangMix _,
+    "q106_set_algebra" -> CorpusOps.setAlgebra _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1331,6 +1332,55 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
         |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q106: the three per-doc rule fragments are verbatim from their
+    // verified oracles (q72 gopher, q94 boilerplate, q83 contamination),
+    // then INTERSECT/EXCEPT mirror the Spark set operators.
+    "q106_set_algebra" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds
+        |  FROM t),
+        |qual AS (
+        |  SELECT doc_id FROM d
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND mean_wlen >= 3 AND mean_wlen <= 10
+        |    AND ttr >= 0.2 AND n_stop_kinds >= 2),
+        |g3 AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS g FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord FROM t))
+        |  WHERE lead2 IS NOT NULL),
+        |boiler AS (
+        |  SELECT g FROM (SELECT g, COUNT(*) AS df FROM g3 GROUP BY g) WHERE df >= 5),
+        |bph AS (SELECT doc_id, COUNT(*) AS nb FROM g3 JOIN boiler USING (g) GROUP BY doc_id),
+        |bpn AS (SELECT doc_id, COUNT(*) AS ng FROM g3 GROUP BY doc_id),
+        |bpkeep AS (
+        |  SELECT dd.doc_id FROM documents dd
+        |  LEFT JOIN bpn ON dd.doc_id = bpn.doc_id
+        |  LEFT JOIN bph ON dd.doc_id = bph.doc_id
+        |  WHERE (CASE WHEN COALESCE(bpn.ng, 0) = 0 THEN 0.0
+        |         ELSE round(CAST(COALESCE(bph.nb, 0) AS DOUBLE) / bpn.ng, 6) END) < 0.5),
+        |g5 AS (
+        |  SELECT doc_id, source,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+4] AS g
+        |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM g5 WHERE source = 'src0'),
+        |contam AS (
+        |  SELECT DISTINCT g5.doc_id FROM g5 JOIN ev ON g5.g = ev.g
+        |  WHERE g5.source <> 'src0')
+        |SELECT doc_id FROM (
+        |  (SELECT doc_id FROM qual INTERSECT SELECT doc_id FROM bpkeep)
+        |  EXCEPT SELECT doc_id FROM contam)
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** q93 oracle fragments generated from the operator's own constants

@@ -725,6 +725,24 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q106: curation by SET ALGEBRA — (quality ∩ non-boilerplate) ∖
+    * contaminated, composing three already-verified per-doc rules
+    * through Spark's INTERSECT/EXCEPT operators (each plans as a
+    * distinct-aggregated semi/anti join — no driver-side set math at
+    * any scale). The rules are THE shared defs (Gopher flags via
+    * StreamOps.qualityFlags, q94's boilerplate keep, q76's
+    * contamination hits), so the oracle reassembles their verified
+    * SQL fragments and set-operates on them identically. */
+  def setAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qual = graft.streaming.StreamOps.qualityFlags(docs)
+      .filter(col("pass")).select(col("doc_id"))
+    val keep = boilerplate(spark, dir)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val contam = contamHits(spark, dir).select(col("doc_id"))
+    qual.intersect(keep).except(contam).orderBy(col("doc_id"))
+  }
+
   /** q96: steady-state CCNet admission (q95 ∘ q86's batch/store
     * split) — the arriving batch is scored under the STORE's bigram
     * LM (OOV grams smoothed via [[bigramModelNll]]'s left joins) and
