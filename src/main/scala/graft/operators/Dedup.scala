@@ -42,16 +42,10 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.wordShingles(toks, 3).as("shingles"))
 
-  /** Emit all ordered (i<j) pairs from an array of (doc_id, n_sh)
-    * structs — the inverted-index "posting list → candidate pairs"
-    * step done with array ops instead of a self-join, so the corpus
-    * is scanned ONCE and nothing is recomputed per join side. */
-  private def postingPairs(docsArr: Column): Column =
-    flatten(transform(docsArr, (a, i) =>
-      transform(slice(docsArr, i + 2, size(docsArr)),
-        b => struct(
-          a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("na"),
-          b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("nb")))))
+  // Posting-array pair explosion is the native PairExprs.postingPairs
+  // codegen kernel — the nested transform/slice lambda form it
+  // replaces was the last INTERPRETED loop on the q31 hot path (one
+  // invocation per distinct corpus shingle; CLAUDE.md perf rules).
 
   /** Stop-shingle posting cap: shingles shared by more than this many
     * docs are dropped from the inverted index before pair generation.
@@ -72,13 +66,14 @@ object Dedup {
   def jaccard(spark: SparkSession, dir: String,
       maxDf: Int = defaultMaxDf): DataFrame = {
     val sh = shingled(spark, dir)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("sh"))
     val postings = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id").as("id"), col("n_sh").as("w")))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
     postings
-      .select(explode(postingPairs(col("docs"))).as("p"))
+      .select(explode(graft.plans.PairExprs.postingPairs(col("docs"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
