@@ -52,11 +52,18 @@ object Bench {
     // keeps the stall visible); if the second rep is also ≥30s the
     // query is really that heavy (report it, skip the third rep to
     // bound bench wall time).
+    // A query that throws must NOT hide as a fast median: record the
+    // failure per-query and surface it in the final metric line.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         stageLog.synchronized { stageLog.clear() }
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failures.getOrElseUpdate(name, e.getClass.getSimpleName)
+            System.err.println(s"[bench-fail] $name: $e")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
@@ -87,7 +94,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Detailed per-query line first (penultimate): ~5 KB, useful for
+    // humans/tools reading the full log.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact line LAST: the driver keeps only a 2000-char tail of
+    // stdout, so the parseable metric must fit there (≤200 chars).
+    // Failed queries are named (capped at 5) so a regression can't
+    // masquerade as a speedup.
+    val errs = failures.keys.take(5).map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -1313,8 +1313,8 @@ object SparkEntry {
         |ORDER BY b.doc_id""".stripMargin,
     "q104_rollup" ->
       """SELECT
-        |  CAST(CAST(l_returnflag IS NULL AS INT) * 2 +
-        |       CAST(l_linestatus IS NULL AS INT) AS BIGINT) AS lvl,
+        |  CAST(GROUPING(l_returnflag) * 2 +
+        |       GROUPING(l_linestatus) AS BIGINT) AS lvl,
         |  COALESCE(l_returnflag, 'ALL') AS ret,
         |  COALESCE(l_linestatus, 'ALL') AS status,
         |  COUNT(*) AS n_rows,

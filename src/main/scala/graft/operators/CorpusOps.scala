@@ -415,8 +415,11 @@ object CorpusOps {
     * source so a per-source consumer touches one directory. */
   def curatedSink(spark: SparkSession, dir: String): DataFrame = {
     val out = curatedDirCache.getOrElseUpdate((spark, dir), {
+      // sanitized dir string, NOT hashCode: abs(Int.MinValue) is
+      // negative and two corpora with colliding hashCodes would
+      // silently share (and cross-clobber) one sink path
       val path = s"/tmp/graft_curated_${spark.sparkContext.applicationId}_" +
-        math.abs(dir.hashCode).toString
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
       funnelFlags(spark, dir)
         .filter(col("sampled"))
         .select(col("doc_id"), col("lang"), col("n_words"), col("source"))

@@ -357,13 +357,16 @@ object FrameOps {
   /** q104: multi-level aggregation in ONE pass (ROLLUP) — subtotal
     * and grand-total rows computed alongside the leaf groups without
     * rescanning (Spark expands grouping sets map-side; at 100 TB a
-    * rollup costs one scan, not one per level). Rolled-up keys are
-    * COALESCEd to 'ALL' and the level derived from their nullness in
-    * BOTH engines, so null-ordering differences can't break parity. */
+    * rollup costs one scan, not one per level). The level comes from
+    * GROUPING() in BOTH engines — not key nullness — so a genuine
+    * NULL (or literal 'ALL') in a grouping column can never be
+    * mistaken for a subtotal row; COALESCE is display-only. */
   def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        (grouping(col("l_returnflag")).cast("int") * 2 +
+          grouping(col("l_linestatus")).cast("int")).cast("long").as("lvl"),
         count(lit(1)).as("n_rows"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         // the (38,8) product sum is re-scaled to (18,4) BEFORE the
@@ -373,8 +376,7 @@ object FrameOps {
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast(DecimalType(18, 4)).cast("double").as("sum_rev"))
       .select(
-        (col("l_returnflag").isNull.cast("int") * 2 +
-          col("l_linestatus").isNull.cast("int")).cast("long").as("lvl"),
+        col("lvl"),
         coalesce(col("l_returnflag"), lit("ALL")).as("ret"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("n_rows"), col("sum_qty"), col("sum_rev"))

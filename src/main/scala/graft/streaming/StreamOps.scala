@@ -254,7 +254,15 @@ object StreamOps {
     * (q71) and embedding-LSH (q101) ingest streams: keyed by (table/
     * band, bucket key), holds ONE representative id per occupied
     * bucket, emits a (rep, id) candidate the moment a later arrival
-    * lands in a seen bucket; 1 h inactivity eviction bounds state. */
+    * lands in a seen bucket; 1 h inactivity eviction bounds state.
+    *
+    * The state keeps the RUNNING MIN id as representative and every
+    * emitted pair is normalized (rep = min side), so for id-ordered
+    * arrival the pair set equals the batch twin's exactly, and for
+    * ARBITRARY arrival order the pairs still span the same buckets —
+    * the candidate graph's connected components (what cluster
+    * formation consumes) match batch regardless of order; only the
+    * pair-for-pair identity needs the in-order assumption. */
   private def bucketCandidates(
       keyed: Dataset[(Int, Long, Long)]): Dataset[DupCandidate] = {
     import keyed.sparkSession.implicits._
@@ -271,7 +279,12 @@ object StreamOps {
             val out = scala.collection.mutable.ArrayBuffer[DupCandidate]()
             sorted.foreach { id =>
               if (rep < 0) rep = id
-              else if (id != rep) out += DupCandidate(band, key, rep, id)
+              else if (id != rep) {
+                // normalized pair; a smaller late arrival takes over
+                // as representative so rep is always min(seen ids)
+                out += DupCandidate(band, key, math.min(rep, id), math.max(rep, id))
+                rep = math.min(rep, id)
+              }
             }
             state.update(BucketState(rep))
             state.setTimeoutDuration("1 hour")

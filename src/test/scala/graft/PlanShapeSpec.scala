@@ -130,7 +130,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // corpus gram stream (Generate/explode) or a corpus scan
     val lines = p.linesIterator.toSeq
     val buildHeads = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("BroadcastExchange") => lines(i + 1)
+      case (l, i) if l.contains("BroadcastExchange") =>
+        // lift: a trailing BroadcastExchange (format shift) must fail
+        // the assertion, not die with IndexOutOfBoundsException
+        lines.lift(i + 1).getOrElse("<no successor line after BroadcastExchange>")
     }
     assert(buildHeads.nonEmpty, p)
     buildHeads.foreach { h =>
