@@ -23,8 +23,48 @@ object Multimodal {
     * call through once per partition — the decoder-per-partition
     * batch shape of a Pandas-UDF/mapInPandas decode. */
   trait AssetCodec extends Serializable {
-    /** Decode an encoded payload → (width, height, feature mean). */
-    def decode(payload: Array[Byte]): (Long, Long, Double)
+    /** Full decode: payload → (width, height, row-major interleaved
+      * RGB pixel buffer of length width*height*3). The real-codec
+      * analogue of an ImageIO/ffmpeg frame decode. */
+    def decodePixels(payload: Array[Byte]): (Int, Int, Array[Byte])
+
+    /** Summary decode → (width, height, mean channel value over the
+      * full plane). Derived from [[decodePixels]]; codecs with a
+      * cheaper closed form may override, but the value must equal
+      * the derived one (spec-checked for the default codec). */
+    def decode(payload: Array[Byte]): (Long, Long, Double) = {
+      val (w, h, px) = decodePixels(payload)
+      var sum = 0L
+      var i = 0
+      while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+      (w.toLong, h.toLong, if (px.isEmpty) 0.0 else sum.toDouble / px.length)
+    }
+
+    /** Nearest-neighbor resize of a decoded plane (codec-independent
+      * pixel math, so it lives on the trait): output pixel (x, y)
+      * copies source pixel (x*w/w2, y*h/h2), floor mapping. Identity
+      * at equal dims; downsampling by a*b equals downsampling by a
+      * then b when the dims divide evenly. */
+    def resize(px: Array[Byte], w: Int, h: Int, w2: Int, h2: Int): Array[Byte] = {
+      require(px.length == w * h * 3, s"plane is ${px.length}B, expected ${w * h * 3}")
+      val out = new Array[Byte](w2 * h2 * 3)
+      var y = 0
+      while (y < h2) {
+        val sy = (y.toLong * h / h2).toInt
+        var x = 0
+        while (x < w2) {
+          val sx = (x.toLong * w / w2).toInt
+          var c = 0
+          while (c < 3) {
+            out(3 * (y * w2 + x) + c) = px(3 * (sy * w + sx) + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
     /** Sample every `every`-th frame of a video payload → per-frame
       * (frame_idx, byte offset, frame bytes, luma). */
@@ -44,19 +84,52 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in codec (???-grade stub: the container
-    * ships no codec libs — replace with a real implementation when
-    * the runtime has one). Reads the real bytes and produces
-    * deterministic features, so schema/partition/batch plumbing is
-    * fully exercised and spec-checkable. */
+  /** Deterministic stand-in codec (the container ships no codec libs —
+    * replace with a real implementation when the runtime has one).
+    * The pixel MODEL is fully specified, so decode is a verifiable
+    * transform, not just plumbing:
+    *
+    *   - dims: w = 64 + n mod 512, h = 64 + 7n mod 512 (n = payload
+    *     length; empty payload → 64×64 black frame)
+    *   - content: the byte stream TILED CYCLICALLY over the plane,
+    *     channel i (row-major interleaved RGB) = payload(i mod n)
+    *
+    * Consequences the specs assert: the first n plane bytes recover
+    * the payload exactly (content-preserving for n ≤ w*h*3); the
+    * summary mean has a closed form (q·S + prefix(r))/L for
+    * L = q·n + r, which must equal the materialized plane mean. */
   object DeterministicFakeCodec extends AssetCodec {
+    override def decodePixels(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val n = payload.length
+      val w = 64 + n % 512
+      val h = 64 + (n * 7) % 512
+      val px = new Array[Byte](w * h * 3)
+      if (n > 0) {
+        var i = 0
+        while (i < px.length) { px(i) = payload(i % n); i += 1 }
+      }
+      (w, h, px)
+    }
+
+    /** Closed form of the derived mean — O(n) instead of O(w·h):
+      * the tiled plane of length L = q·n + r sums to q·S + prefix(r).
+      * Value is EXACTLY the trait's materialized derivation (integer
+      * sums are equal, the final division identical); spec-checked. */
     override def decode(payload: Array[Byte]): (Long, Long, Double) = {
       val n = payload.length
-      var sum = 0L
+      val w = 64 + n % 512
+      val h = 64 + (n * 7) % 512
+      val plane = w.toLong * h * 3
+      if (n == 0) return (w.toLong, h.toLong, 0.0)
+      var total = 0L
       var i = 0
-      while (i < n) { sum += (payload(i) & 0xff); i += 1 }
-      val mean = if (n == 0) 0.0 else sum.toDouble / n
-      (64L + n % 512, 64L + (n * 7) % 512, mean)
+      while (i < n) { total += (payload(i) & 0xff); i += 1 }
+      val q = plane / n
+      val r = (plane % n).toInt
+      var prefix = 0L
+      i = 0
+      while (i < r) { prefix += (payload(i) & 0xff); i += 1 }
+      (w.toLong, h.toLong, (q * total + prefix).toDouble / plane)
     }
 
     override def sampleFrames(payload: Array[Byte], every: Int,

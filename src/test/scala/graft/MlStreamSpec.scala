@@ -9,6 +9,8 @@ import graft.streaming.StreamOps
 
 /** Top-level so the closure ships without capturing the suite. */
 object ConstCodec extends Multimodal.AssetCodec {
+  override def decodePixels(p: Array[Byte]): (Int, Int, Array[Byte]) =
+    (1, 2, new Array[Byte](6))
   override def decode(p: Array[Byte]): (Long, Long, Double) = (1L, 2L, 3.0)
   override def sampleFrames(p: Array[Byte], every: Int,
       frameSize: Int): Iterator[(Long, Long, Long, Double)] =
