@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ShowQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).show(50, false)
+    }
+    spark.stop()
+  }
+}

@@ -87,6 +87,7 @@ object SparkEntry {
     "q64_feature_agg_sim" -> MlOps.featureAggSimilarity _,
     "q65_gcmc_conv" -> MlOps.gcmcConv _,
     "q66_early_stopping" -> MlOps.earlyStopTrain _,
+    "q107_gcmc_predict" -> MlOps.gcmcPredict _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeFeatures(s, d)),
     "q62_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),

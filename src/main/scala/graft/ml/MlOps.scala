@@ -657,4 +657,124 @@ object MlOps {
         round(graft.plans.VecExprs.norm(col("conv")), 6).as("conv_l2"))
       .orderBy(col("user"), col("rating_class"))
   }
+
+  /** END-TO-END composed GCMC rating prediction (contrib/model/
+    * graph_convolutional_matrix_completion.py — `fit` :249, `predict`
+    * :295): the three decomposed pieces validated separately — q56
+    * closed-form biases, q52 ALS low-rank factors, q65 per-rating-
+    * class graph convolution — assembled into one prediction
+    *
+    *   r̂(u,i) = μ + b_u + b_i + α·⟨p_u, q_i⟩ + β·⟨conv_u, q_i⟩
+    *
+    * where (p, q) are seed-fixed ALS factors fit on the FIT slice's
+    * residuals, conv_u is the class-balanced mean of the per-(user,
+    * rating-class) neighborhood convolutions (q65's shape over the
+    * fit edges only — no leakage), and (α, β) is the EXACT 2×2
+    * least-squares solution on a CALIBRATION slice disjoint from
+    * the ALS fit — the reference's validation-driven fit loop in
+    * miniature. Five scalar aggregates → one normal-equation solve
+    * on the driver (scheduler-metadata-sized, the documented
+    * legitimate kind). Because α=β=0 is in the search space and LS
+    * minimizes calibration SSE, the composed model is ≤ the bias
+    * baseline on the calibration slice BY CONSTRUCTION (RecModelsSpec
+    * asserts it), and the test rows report honest held-out RMSE for
+    * both models. */
+  def gcmcPredict(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    // 60/20/20 fit / calibration / test on the deterministic key hash
+    val r = ratings(spark, dir)
+      .withColumn("slice", pmod(col("user") * 31 + col("item"), lit(10)))
+      .persist()
+    val train = r.filter(col("slice") < 8) // fit ∪ calibration
+    val fit = r.filter(col("slice") < 6)
+    val cal = r.filter(col("slice") >= 6 && col("slice") < 8)
+    val test = r.filter(col("slice") >= 8)
+
+    // --- bias closed form (q56's algebra, user + item) on full train ---
+    val mu = train.agg(avg(col("rating"))).head().getDouble(0)
+    val bu = train.groupBy(col("user"))
+      .agg((avg(col("rating")) - lit(mu)).as("b_u"))
+    val bi = train.join(bu, Seq("user"))
+      .groupBy(col("item"))
+      .agg(avg(col("rating") - lit(mu) - col("b_u")).as("b_i"))
+
+    // --- low-rank term: seed-fixed ALS on the fit slice's residuals ---
+    val resid = fit.join(bu, Seq("user")).join(bi, Seq("item"))
+      .select(col("user"), col("item"),
+        (col("rating") - lit(mu) - col("b_u") - col("b_i"))
+          .cast("float").as("rating"))
+    val als = new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(4).setMaxIter(8).setRegParam(0.5).setSeed(42L)
+      .setImplicitPrefs(false).setNumBlocks(4)
+      .fit(resid)
+    val pU = als.userFactors.select(col("id").as("user"), col("features").as("p_u"))
+    val qI = als.itemFactors.select(col("id").as("item"), col("features").as("q_i"))
+
+    // --- conv term: q65's per-(user, class) neighborhood mean over
+    //     FIT edges, collapsed class-balanced into one user vector ---
+    val classConv = fit
+      .select(col("user"), col("item"),
+        when(col("rating") < 20, 0).when(col("rating") < 45, 1).otherwise(2)
+          .cast("long").as("rating_class"))
+      .join(qI, Seq("item"))
+      .groupBy(col("user"), col("rating_class"))
+      .agg(Summarizer.mean(array_to_vector(col("q_i"))).as("cv"))
+    val convU = classConv.groupBy(col("user"))
+      .agg(vector_to_array(Summarizer.mean(col("cv"))).as("conv_u"))
+
+    // features on any split side: missing factors/biases → 0 term
+    def featured(side: DataFrame): DataFrame = side
+      .join(bu, Seq("user"), "left").join(bi, Seq("item"), "left")
+      .join(pU, Seq("user"), "left").join(qI, Seq("item"), "left")
+      .join(convU, Seq("user"), "left")
+      .select(col("user"), col("item"), col("rating"),
+        coalesce(col("b_u"), lit(0.0)).as("b_u"),
+        coalesce(col("b_i"), lit(0.0)).as("b_i"),
+        coalesce(graft.plans.VecExprs.dot(col("p_u"), col("q_i")), lit(0.0)).as("f1"),
+        coalesce(graft.plans.VecExprs.dot(col("conv_u"), col("q_i")), lit(0.0)).as("f2"))
+      .withColumn("resid", col("rating") - lit(mu) - col("b_u") - col("b_i"))
+
+    // exact least squares for (α, β) on the CALIBRATION slice (held
+    // out from the ALS fit, so memorized residual noise can't buy
+    // calibration weight): normal equations from ONE agg
+    val g = featured(cal).agg(
+      sum(col("f1") * col("f1")).as("s11"), sum(col("f1") * col("f2")).as("s12"),
+      sum(col("f2") * col("f2")).as("s22"),
+      sum(col("f1") * col("resid")).as("b1"),
+      sum(col("f2") * col("resid")).as("b2")).head()
+    val (s11, s12, s22, b1, b2) =
+      (g.getDouble(0), g.getDouble(1), g.getDouble(2), g.getDouble(3), g.getDouble(4))
+    val det = s11 * s22 - s12 * s12
+    val (alpha, beta) =
+      if (math.abs(det) > 1e-9) (( s22 * b1 - s12 * b2) / det,
+                                 (-s12 * b1 + s11 * b2) / det)
+      else if (s11 > 1e-9) (b1 / s11, 0.0) // degenerate: f2 ∝ f1 (or zero)
+      else (0.0, 0.0)
+
+    def rmse(side: DataFrame, composed: Boolean): Double = {
+      val pred =
+        if (composed)
+          lit(mu) + col("b_u") + col("b_i") +
+            lit(alpha) * col("f1") + lit(beta) * col("f2")
+        else lit(mu) + col("b_u") + col("b_i")
+      math.rint(side
+        .select(((pred - col("rating")) * (pred - col("rating"))).as("se"))
+        .agg(sqrt(avg(col("se")))).head().getDouble(0) * 1e6) / 1e6
+    }
+    val fcal = featured(cal).persist()
+    val ftest = featured(test).persist()
+    val nCal = fcal.count()
+    val nTest = ftest.count()
+    val out = Seq(
+      ("calibration", "bias_baseline", nCal, rmse(fcal, composed = false)),
+      ("calibration", "gcmc_composed", nCal, rmse(fcal, composed = true)),
+      ("test", "bias_baseline", nTest, rmse(ftest, composed = false)),
+      ("test", "gcmc_composed", nTest, rmse(ftest, composed = true)))
+    fcal.unpersist(blocking = false)
+    ftest.unpersist(blocking = false)
+    r.unpersist(blocking = false)
+    import spark.implicits._
+    out.toDF("split", "model", "n_rows", "rmse").orderBy(col("split"), col("model"))
+  }
 }

@@ -143,4 +143,30 @@ class RecModelsSpec extends AnyFunSuite {
     }
     assert(out.length == exp.size)
   }
+
+  test("composed GCMC prediction beats (or ties) the bias baseline on held-out RMSE") {
+    // the end-to-end loop the decomposition was missing: bias + ALS
+    // low-rank + class convolution assembled into one prediction and
+    // evaluated on the deterministic split — the composed model must
+    // never be worse than the baseline it extends (α=β=0 recovers it,
+    // and (α, β) is the exact train least-squares solution)
+    val out = MlOps.gcmcPredict(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(
+      ("calibration", "bias_baseline"), ("calibration", "gcmc_composed"),
+      ("test", "bias_baseline"), ("test", "gcmc_composed")))
+    out.values.foreach { case (n, rmse) => assert(n > 0 && rmse > 0) }
+    // calibration: ≤ by construction (LS over a space containing α=β=0)
+    val calBias = out(("calibration", "bias_baseline"))._2
+    val calGcmc = out(("calibration", "gcmc_composed"))._2
+    assert(calGcmc <= calBias,
+      s"composed calibration RMSE $calGcmc worse than baseline $calBias")
+    // held-out: the calibrated interaction terms must generalize, not
+    // just fit — allow a small margin over the baseline for split noise
+    val testBias = out(("test", "bias_baseline"))._2
+    val testGcmc = out(("test", "gcmc_composed"))._2
+    assert(testGcmc <= testBias * 1.02,
+      s"composed test RMSE $testGcmc worse than baseline $testBias")
+  }
 }
