@@ -122,9 +122,9 @@ object StreamOps {
     * event-time order across batches (trivially true for a single
     * staged file = one batch, which is what MlStreamSpec does). For
     * out-of-order sources the alert *set* converges but an alert may
-    * attach to a different event_id than the batch twin's; a strict
-    * source would need watermarked buffering (hold events until
-    * watermark passes, emit in event-time order) at O(lateness)
+    * attach to a different event_id than the batch twin's; for a
+    * strict source use [[milestoneStreamOrdered]], which buys exact
+    * any-order parity with watermarked buffering at O(lateness)
     * state per user instead of O(1). */
   def milestoneStream(spark: SparkSession, eventsDir: String,
       step: Double = 500.0): Dataset[Milestone] = {
@@ -148,6 +148,55 @@ object StreamOps {
             if (after > before) out += Milestone(user, after, eventId)
           }
           state.update(MilestoneState(cum))
+          out.iterator
+      }
+  }
+
+  case class OrderedMilestoneState(cum: Double, buf: List[(Long, Long, Double)])
+
+  /** EVENT-TIME-CORRECT milestone alerts: the strict-source variant
+    * of [[milestoneStream]]. Arrivals are BUFFERED in state until the
+    * watermark passes their event time, then replayed in (sec,
+    * event_id) order against the running sum — so the alerts equal
+    * [[milestoneBatch]] for ANY arrival order with lateness ≤ the
+    * watermark delay (state is O(events within the lateness window)
+    * per user, vs the in-order variant's O(1)). The tail flushes via
+    * event-time timeouts: whenever events remain buffered the state
+    * schedules a timeout at their earliest event time, and Spark's
+    * no-data micro-batch fires it once the watermark advances past.
+    * Late-beyond-delay arrivals are merged into the ready set (best
+    * effort) rather than dropped. */
+  def milestoneStreamOrdered(spark: SparkSession, eventsDir: String,
+      step: Double = 500.0, delay: String = "1 minute"): Dataset[Milestone] = {
+    import spark.implicits._
+    val events = streamEvents(spark, eventsDir)
+      .withColumn("tss", date_trunc("second", col("ts")))
+      .withWatermark("tss", delay)
+      .select(col("user_id"), col("event_id"), col("tss"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OrderedMilestoneState, Milestone](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[OrderedMilestoneState]) =>
+          // one code path for data batches and timeout firings: merge
+          // arrivals into the buffer, emit everything the watermark
+          // has sealed, hold the rest with a timeout at its min ts
+          val prev = state.getOption.getOrElse(OrderedMilestoneState(0.0, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val all = prev.buf ++
+            rows.map(r => (r._3.getTime / 1000, r._2, r._4))
+          val (ready, hold) = all.partition(_._1 * 1000 <= wmMs)
+          var cum = prev.cum
+          val out = scala.collection.mutable.ArrayBuffer[Milestone]()
+          ready.sortBy(e => (e._1, e._2)).foreach { case (_, eventId, v) =>
+            val before = math.floor(cum / step).toLong
+            cum += v
+            val after = math.floor(cum / step).toLong
+            if (after > before) out += Milestone(user, after, eventId)
+          }
+          state.update(OrderedMilestoneState(cum, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_._1).min * 1000)
           out.iterator
       }
   }

@@ -342,6 +342,60 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark-buffered milestones equal batch under out-of-order multi-batch arrival") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val agg = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val (mn, mx) = (agg.getLong(0), agg.getLong(1))
+    val mid = mn + (mx - mn) / 2
+    def stageInto(df: org.apache.spark.sql.DataFrame, staged: java.nio.file.Path,
+        name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ms_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), staged.resolve(name))
+    }
+    val staged = java.nio.file.Files.createTempDirectory("graft_milestone_ooo")
+    // the LATE half of the timeline arrives FIRST (its own batch),
+    // then the early half, then a far-future sentinel whose watermark
+    // advance flushes the buffers via the event-time timeout path
+    stageInto(raw.filter(col("ts") >= mid), staged, "a_late_half.parquet")
+    // delay covers the full staged time span so the early half is
+    // in-contract late (lateness ≤ watermark delay), not dropped
+    val q = StreamOps.milestoneStreamOrdered(spark, staged.toString,
+        delay = "3650 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("milestone_ooo_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("milestone_ooo_test").count() == 0) // all buffered
+      stageInto(raw.filter(col("ts") < mid), staged, "b_early_half.parquet")
+      q.processAllAvailable()
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(mx + 631152000L * 1000000000L).as("ts"), // +20y, nanos
+        lit(-1L).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      stageInto(sentinel, staged, "c_sentinel.parquet")
+      q.processAllAvailable()
+      val batch = StreamOps.milestoneBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the flush rides the no-data micro-batch after the sentinel's
+      // watermark advance — wait on sink contents, not on the query
+      val deadline = System.currentTimeMillis() + 30000
+      def streamed() = spark.table("milestone_ooo_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 != -1L).toSet
+      while (streamed().size < batch.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(streamed() == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("writeStream parquet file sink: exactly-once roundtrip equals the batch filter") {
     val staged = java.nio.file.Files.createTempDirectory("graft_sink_src")
     java.nio.file.Files.copy(
