@@ -51,6 +51,29 @@ class MlStreamSpec extends AnyFunSuite {
     assert(nnz.getLong(0) > 0 && nnz.getLong(1) <= 48)
   }
 
+  test("adaptive search matches the exhaustive grid's best within epsilon") {
+    val adaptive = MlOps.adaptiveTuning(spark, sf).collect()
+    // successive halving: 8 → 4 → 2 candidates across the three rungs
+    val byRung = adaptive.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byRung == Map(0L -> 8, 1L -> 4, 2L -> 2))
+    // survivors chain: every final-rung candidate survived every rung
+    val finalIds = adaptive.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSet
+    Seq(0L, 1L).foreach { rung =>
+      val survivedIds = adaptive
+        .filter(r => r.getLong(0) == rung && r.getBoolean(6)).map(_.getLong(1)).toSet
+      assert(finalIds.subsetOf(survivedIds), s"rung $rung dropped a finalist")
+    }
+    // the adaptive search must not lose to the 3-point grid by more
+    // than ε — the optimize_model role: same-or-better model, fewer
+    // full-budget fits
+    val best = adaptive.filter(_.getLong(0) == 2L)
+      .map(_.getAs[Double]("accuracy")).max
+    val gridBest = MlOps.cvTuning(spark, sf).collect()
+      .map(_.getAs[Double]("accuracy")).max
+    assert(best >= gridBest - 0.02,
+      s"adaptive best $best below grid best $gridBest - 0.02")
+  }
+
   test("multimodal decode plumbing produces per-source features") {
     val out = Multimodal.decodeFeatures(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf)
