@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped artifact registries (the reference's shared gokart
+  * task outputs): every cached model/frame/index dir is keyed by a
+  * tuple whose FIRST element is the owning SparkSession — per
+  * CLAUDE.md, never by dir alone — and is EVICTED when that
+  * session's SparkContext ends, so a long-lived multi-session JVM
+  * can't leak dead sessions' cached frames/models. The first access
+  * from a context installs one listener on its bus; onApplicationEnd
+  * sweeps every registry for keys owned by that context (all
+  * sessions of a context die with it).
+  *
+  * API matches TrieMap's (`getOrElseUpdate(key, value)` / `get`), so
+  * registries differ from a raw TrieMap only in their declaration.
+  */
+object SessionRegistry {
+  private val all = new java.util.concurrent.CopyOnWriteArrayList[Cache[_ <: Product, _]]()
+  private val hooked = TrieMap.empty[SparkContext, Boolean]
+
+  final class Cache[K <: Product, V] private[SessionRegistry] () {
+    private val m = TrieMap.empty[K, V]
+    private def session(k: K): SparkSession =
+      k.productElement(0).asInstanceOf[SparkSession]
+    def getOrElseUpdate(k: K, v: => V): V = {
+      hook(session(k))
+      m.getOrElseUpdate(k, v)
+    }
+    def get(k: K): Option[V] = m.get(k)
+    private[graft] def evict(sc: SparkContext): Unit =
+      m.keys.filter(k => session(k).sparkContext eq sc).foreach(m.remove)
+    private[graft] def liveKeyCount(spark: SparkSession): Int =
+      m.keys.count(k => session(k) eq spark)
+  }
+
+  def cache[K <: Product, V](): Cache[K, V] = {
+    val c = new Cache[K, V]()
+    all.add(c)
+    c
+  }
+
+  /** Sweep every registry for the context's keys (the listener body;
+    * package-visible so the eviction path is unit-testable without
+    * stopping the suite's shared context). */
+  private[graft] def evictContext(sc: SparkContext): Unit = {
+    all.forEach(_.evict(sc))
+    hooked.remove(sc)
+  }
+
+  private[graft] def isHooked(sc: SparkContext): Boolean = hooked.contains(sc)
+
+  /** Total entries owned by the session across every registry (test
+    * observability). */
+  private[graft] def liveKeyCount(spark: SparkSession): Int = {
+    var n = 0
+    all.forEach(c => n += c.liveKeyCount(spark))
+    n
+  }
+
+  private def hook(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (hooked.putIfAbsent(sc, true).isEmpty) {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evictContext(sc)
+      })
+    }
+  }
+}

@@ -43,7 +43,7 @@ object MlOps {
   // restarted session in the same JVM must never see another
   // session's (possibly dead) model.
   private val w2vCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), org.apache.spark.ml.feature.Word2VecModel]
+    graft.SessionRegistry.cache[(SparkSession, String, Int), org.apache.spark.ml.feature.Word2VecModel]()
 
   private def word2vecModel(spark: SparkSession, dir: String,
       vectorSize: Int): org.apache.spark.ml.feature.Word2VecModel =
@@ -56,9 +56,9 @@ object MlOps {
 
   /** Shared CountVectorizer+LDA fit (q51 topics and q59 doc-topics
     * use the same seed-fixed model — same registry idea as w2vCache). */
-  private val ldaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (org.apache.spark.ml.feature.CountVectorizerModel,
-      org.apache.spark.ml.clustering.LDAModel)]
+  private val ldaCache = graft.SessionRegistry
+    .cache[(SparkSession, String), (org.apache.spark.ml.feature.CountVectorizerModel,
+      org.apache.spark.ml.clustering.LDAModel)]()
 
   private def ldaModels(spark: SparkSession, dir: String) =
     ldaCache.getOrElseUpdate((spark, dir), {
@@ -81,7 +81,7 @@ object MlOps {
     * from four join branches, which would otherwise each re-derive
     * the corpus explode+join+agg. */
   private val itemVecsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.SessionRegistry.cache[(SparkSession, String), DataFrame]()
 
   private def itemVecs(spark: SparkSession, dir: String): DataFrame =
     itemVecsCache.getOrElseUpdate((spark, dir), {
@@ -166,8 +166,8 @@ object MlOps {
     * similarity and the GCMC convolution all consume the same trained
     * factors — the reference shares the TrainMatrixFactorization
     * artifact through gokart task outputs). */
-  private val alsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.ml.recommendation.ALSModel]
+  private val alsCache = graft.SessionRegistry
+    .cache[(SparkSession, String), org.apache.spark.ml.recommendation.ALSModel]()
 
   private def alsModel(spark: SparkSession, dir: String) =
     alsCache.getOrElseUpdate((spark, dir),

@@ -398,7 +398,7 @@ object CorpusOps {
   /** Per-(session, corpus) curated-sink registry — same write-once
     * discipline as the q74 index dir. */
   private val curatedDirCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.SessionRegistry.cache[(SparkSession, String), String]()
 
   /** The written sink location, if this session has materialized it
     * (spec hook for partition-pruning asserts). */
@@ -682,9 +682,9 @@ object CorpusOps {
     * bloom build, exact join) — one store scan per (session, corpus),
     * and the built filter is itself an artifact (in production it is
     * published alongside the store, not rebuilt per batch). */
-  private val bloomCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Double),
-      (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
+  private val bloomCache = graft.SessionRegistry
+    .cache[(SparkSession, String, Double),
+      (DataFrame, org.apache.spark.util.sketch.BloomFilter)]()
 
   private[graft] def bloomPrefiltered(spark: SparkSession, dir: String,
       fpp: Double = 0.01): (DataFrame, DataFrame, DataFrame) = {

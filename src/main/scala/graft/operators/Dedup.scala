@@ -267,7 +267,7 @@ object Dedup {
     * computed. Keyed by (session, dir): a restarted session must
     * never see a dead session's frame. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.SessionRegistry.cache[(SparkSession, String), DataFrame]()
 
   private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((spark, dir), {
@@ -298,7 +298,7 @@ object Dedup {
     * representative selection), and it is near-dup-sized, so one
     * persisted copy per (session, corpus) is the right lifetime. */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.SessionRegistry.cache[(SparkSession, String), DataFrame]()
 
   def clusters(spark: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate((spark, dir),
@@ -483,7 +483,7 @@ object Dedup {
     * the edge frame twice (symmetrization), so the LSH + exact-cosine
     * pipeline must not re-execute per consumption. */
   private val embedPairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.SessionRegistry.cache[(SparkSession, String), DataFrame]()
 
   private[graft] def embedPairs(spark: SparkSession, dir: String): DataFrame =
     embedPairCache.getOrElseUpdate((spark, dir), {

@@ -418,7 +418,7 @@ object FrameOps {
     * registered so repeated calls (Bench reps, specs) reuse ONE
     * cached copy instead of pinning a new one per invocation. */
   private val rangedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.SessionRegistry.cache[(SparkSession, String), DataFrame]()
 
   def stableIds(spark: SparkSession, dir: String): DataFrame = {
     val nPart = math.max(spark.sparkContext.defaultParallelism / 2, 4)

@@ -23,15 +23,15 @@ import graft.functions.VecFns
 object SimilaritySearch {
 
   /** PQ codebook registry (see knnPq/knnIvfPq). */
-  private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[org.apache.spark.ml.clustering.KMeansModel]]
+  private val pqCache = graft.SessionRegistry
+    .cache[(SparkSession, String), Seq[org.apache.spark.ml.clustering.KMeansModel]]()
 
   /** IVF coarse-quantizer registry (see knnIvf/knnIvfPq). Sharing one
     * trained quantizer across calls also makes the nprobe knob's
     * monotonicity exact: every nprobe probes cells of the SAME
     * partition of space. */
-  private val coarseCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]
+  private val coarseCache = graft.SessionRegistry
+    .cache[(SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
 
   private val ivfCells = 16
 
@@ -262,8 +262,8 @@ object SimilaritySearch {
   }
 
   /** Written-index registry for [[knnIvfPqPersisted]]. */
-  private val indexDirCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val indexDirCache = graft.SessionRegistry
+    .cache[(SparkSession, String), String]()
 
   /** The PERSISTED form of the q69 index — the actual 100 TB serving
     * layout: one parquet table, one row per corpus vector (codes +
@@ -339,8 +339,8 @@ object SimilaritySearch {
   /** Written-index registry for [[indexUpsert]] (separate from the
     * q74 dir: this one is bootstrapped from the STORE split only and
     * then mutated by the append). */
-  private val upsertDirCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val upsertDirCache = graft.SessionRegistry
+    .cache[(SparkSession, String), String]()
 
   /** q102: INCREMENTAL ANN index maintenance — the steady-state form
     * of q74's serving layout. The index is bootstrapped once from the

@@ -113,4 +113,21 @@ class PropertySpec extends AnyFunSuite {
     for (n <- sizes if n > 25L * 256 * 2)
       assert(n.toDouble / Pairing.buckets(n) <= 2 * 256, s"n=$n")
   }
+
+  test("session registries hook the context and evict its entries on application end") {
+    // populate at least one registry through a real operator
+    operators.Dedup.jaccardPairs(spark, sf).count()
+    assert(SessionRegistry.isHooked(spark.sparkContext))
+    assert(SessionRegistry.liveKeyCount(spark) > 0)
+    // drive the listener body directly — stopping the suite's shared
+    // context would kill every other test; the listener is one line
+    // that calls exactly this
+    SessionRegistry.evictContext(spark.sparkContext)
+    assert(SessionRegistry.liveKeyCount(spark) == 0,
+      "stopped context's registry entries must be gone")
+    // a live session re-populates (and re-hooks) on next access
+    operators.Dedup.jaccardPairs(spark, sf).count()
+    assert(SessionRegistry.liveKeyCount(spark) > 0)
+    assert(SessionRegistry.isHooked(spark.sparkContext))
+  }
 }
