@@ -110,6 +110,7 @@ object SparkEntry {
     "q90_leakage_split" -> CorpusOps.leakageSplit _,
     "q91_curated_sink" -> CorpusOps.curatedSink _,
     "q92_incremental_funnel" -> CorpusOps.incrementalFunnel _,
+    "q109_curated_append" -> CorpusOps.curatedAppend _,
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
@@ -217,6 +218,115 @@ object SparkEntry {
         |  SELECT f.*, (clean AND pr % n_cnt < target) AS sampled
         |  FROM f3 f LEFT JOIN rates ON f.lang = rates.lang CROSS JOIN tgt)
         |""").stripMargin
+
+  /** q92's full oracle (CTE chain + per-source rollup) as a val so
+    * q109 can re-compose its verified CTE chain. */
+  private val IncFunnelSql: String =
+    """WITH b AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 = 3),
+        |s AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 <> 3),
+        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM b),
+        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM s),
+        |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
+        |       FROM bh JOIN sh0 ON bh.h = sh0.h GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |bsh AS (SELECT t.doc_id, t.sh FROM tri t JOIN b ON t.doc_id = b.doc_id),
+        |ssh AS (SELECT t.doc_id AS sid, t.sh FROM tri t JOIN s ON t.doc_id = s.doc_id),
+        |bsz AS (SELECT doc_id, COUNT(*) AS nb FROM bsh GROUP BY 1),
+        |ssz AS (SELECT sid, COUNT(*) AS ns FROM ssh GROUP BY 1),
+        |i AS (SELECT bsh.doc_id, ssh.sid, COUNT(*) AS inter
+        |      FROM bsh JOIN ssh ON bsh.sh = ssh.sh GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT i.doc_id, i.sid,
+        |    round(CAST(inter AS DOUBLE) / (nb + ns - inter), 6) AS j
+        |  FROM i JOIN bsz ON i.doc_id = bsz.doc_id JOIN ssz ON i.sid = ssz.sid),
+        |near AS (SELECT DISTINCT doc_id FROM jac WHERE j >= 0.5),
+        |dec AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN ex.exact_ref IS NOT NULL OR near.doc_id IS NOT NULL
+        |      THEN 'dup' ELSE 'new' END AS decision
+        |  FROM b
+        |  LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |  LEFT JOIN near ON b.doc_id = near.doc_id),
+        |bt AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM b WHERE source <> 'src0'),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
+        |     AND (CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)) BETWEEN 3 AND 10
+        |     AND (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) >= 0.2
+        |     AND len(list_filter(['the','a','of','and','to','in','is'], x -> list_contains(toks, x))) >= 2) AS q_ok
+        |  FROM bt),
+        |sg AS (
+        |  SELECT toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+4] AS g
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM s WHERE source = 'src0'), UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM sg),
+        |bg AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+4] AS g
+        |  FROM bt, UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |h AS (SELECT bg.doc_id, COUNT(*) AS n_hit FROM bg JOIN ev ON bg.g = ev.g GROUP BY 1),
+        |f AS (
+        |  SELECT bt.doc_id, bt.source,
+        |    CASE WHEN dec.decision <> 'new' THEN 'dup'
+        |         WHEN NOT q.q_ok THEN 'low_quality'
+        |         WHEN COALESCE(h.n_hit, 0) > 0 THEN 'contaminated'
+        |         ELSE 'admitted' END AS outcome
+        |  FROM bt
+        |  JOIN dec ON bt.doc_id = dec.doc_id
+        |  JOIN q ON bt.doc_id = q.doc_id
+        |  LEFT JOIN h ON bt.doc_id = h.doc_id)
+        |SELECT source, COUNT(*) AS n_batch,
+        |  CAST(SUM(CASE WHEN outcome = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN outcome = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+        |  CAST(SUM(CASE WHEN outcome = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN outcome = 'admitted' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  /** q109's oracle, COMPOSED from its two verified fragments (the
+    * CLAUDE.md promote-to-oracle lever: generate, don't hand-copy):
+    * the q85 funnel CTE chain (store side) UNION ALL the q92
+    * admission CTE chain. The q92 chain's CTE names are uniformly
+    * z-prefixed (a pure whole-word rename of each name everywhere in
+    * the fragment — tables, aliases, and columns alike stay
+    * consistent; the lookbehind protects the `s` inside regex
+    * literals like '\s+') so the two WITH chains compose without
+    * capture. */
+  private val CuratedAppendSql: String = {
+    val chain = IncFunnelSql.stripPrefix("WITH ")
+      .split("\nSELECT source, COUNT\\(\\*\\) AS n_batch")(0)
+    val renamed = Seq("bh", "sh0", "ex", "tok", "tri", "bsh", "ssh", "bsz",
+      "ssz", "near", "dec", "bt", "sg", "ev", "bg", "jac", "b", "s", "i",
+      "q", "h", "f")
+      .foldLeft(chain)((sql, n) =>
+        sql.replaceAll("(?<!\\\\)\\b" + n + "\\b", "z" + n))
+    FunnelCte.stripSuffix("\n") + ",\n" + renamed + "\n" +
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(ceil(n_tok / 64.0) AS BIGINT)) AS BIGINT) AS n_chunks
+        |FROM (
+        |  SELECT source, n_tok FROM f4
+        |  WHERE sampled AND ((doc_id * 2654435761) % 1000000007) % 10 <> 3
+        |  UNION ALL
+        |  SELECT zbt.source, CAST(len(zbt.toks) AS BIGINT) AS n_tok
+        |  FROM zf JOIN zbt ON zf.doc_id = zbt.doc_id
+        |  WHERE zf.outcome = 'admitted')
+        |GROUP BY source ORDER BY source""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -982,81 +1092,8 @@ object SparkEntry {
         |ORDER BY b.doc_id""".stripMargin,
     // q92: q86's dedup decision + q72's quality rules + store-eval
     // contamination, in pipeline precedence order
-    "q92_incremental_funnel" ->
-      """WITH b AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 = 3),
-        |s AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 <> 3),
-        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM b),
-        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM s),
-        |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
-        |       FROM bh JOIN sh0 ON bh.h = sh0.h GROUP BY 1),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
-        |  FROM documents),
-        |tri AS (
-        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
-        |    SELECT doc_id, tok,
-        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
-        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
-        |    FROM tok) WHERE lead2 IS NOT NULL),
-        |bsh AS (SELECT t.doc_id, t.sh FROM tri t JOIN b ON t.doc_id = b.doc_id),
-        |ssh AS (SELECT t.doc_id AS sid, t.sh FROM tri t JOIN s ON t.doc_id = s.doc_id),
-        |bsz AS (SELECT doc_id, COUNT(*) AS nb FROM bsh GROUP BY 1),
-        |ssz AS (SELECT sid, COUNT(*) AS ns FROM ssh GROUP BY 1),
-        |i AS (SELECT bsh.doc_id, ssh.sid, COUNT(*) AS inter
-        |      FROM bsh JOIN ssh ON bsh.sh = ssh.sh GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT i.doc_id, i.sid,
-        |    round(CAST(inter AS DOUBLE) / (nb + ns - inter), 6) AS j
-        |  FROM i JOIN bsz ON i.doc_id = bsz.doc_id JOIN ssz ON i.sid = ssz.sid),
-        |near AS (SELECT DISTINCT doc_id FROM jac WHERE j >= 0.5),
-        |dec AS (
-        |  SELECT b.doc_id,
-        |    CASE WHEN ex.exact_ref IS NOT NULL OR near.doc_id IS NOT NULL
-        |      THEN 'dup' ELSE 'new' END AS decision
-        |  FROM b
-        |  LEFT JOIN ex ON b.doc_id = ex.doc_id
-        |  LEFT JOIN near ON b.doc_id = near.doc_id),
-        |bt AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM b WHERE source <> 'src0'),
-        |q AS (
-        |  SELECT doc_id,
-        |    (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
-        |     AND (CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks)) BETWEEN 3 AND 10
-        |     AND (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) >= 0.2
-        |     AND len(list_filter(['the','a','of','and','to','in','is'], x -> list_contains(toks, x))) >= 2) AS q_ok
-        |  FROM bt),
-        |sg AS (
-        |  SELECT toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
-        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
-        |    toks[CAST(i AS BIGINT)+4] AS g
-        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
-        |        FROM s WHERE source = 'src0'), UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM sg),
-        |bg AS (
-        |  SELECT DISTINCT doc_id,
-        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
-        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
-        |    toks[CAST(i AS BIGINT)+4] AS g
-        |  FROM bt, UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |h AS (SELECT bg.doc_id, COUNT(*) AS n_hit FROM bg JOIN ev ON bg.g = ev.g GROUP BY 1),
-        |f AS (
-        |  SELECT bt.doc_id, bt.source,
-        |    CASE WHEN dec.decision <> 'new' THEN 'dup'
-        |         WHEN NOT q.q_ok THEN 'low_quality'
-        |         WHEN COALESCE(h.n_hit, 0) > 0 THEN 'contaminated'
-        |         ELSE 'admitted' END AS outcome
-        |  FROM bt
-        |  JOIN dec ON bt.doc_id = dec.doc_id
-        |  JOIN q ON bt.doc_id = q.doc_id
-        |  LEFT JOIN h ON bt.doc_id = h.doc_id)
-        |SELECT source, COUNT(*) AS n_batch,
-        |  CAST(SUM(CASE WHEN outcome = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-        |  CAST(SUM(CASE WHEN outcome = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
-        |  CAST(SUM(CASE WHEN outcome = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-        |  CAST(SUM(CASE WHEN outcome = 'admitted' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
-        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q92_incremental_funnel" -> IncFunnelSql,
+    "q109_curated_append" -> CuratedAppendSql,
     // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
     // contributions rounded to 8dp and summed as DECIMAL so the
     // score is term-order-independent in both engines

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -27,12 +27,27 @@ object CorpusOps {
 
   private def toks = TextFns.tokens(col("text"))
 
-  /** Source treated as the held-out benchmark for contamination
-    * checks. In production this is the eval-suite text, which is
-    * bounded (MBs, not TBs) — that bound is what justifies the
-    * broadcast below. */
-  private[graft] val EvalSource = "src0"
-  private[graft] val ContamN = 5
+  /** Library-surface pipeline parameters. The compile-time defaults
+    * are the driver-contract values every registered query and oracle
+    * pins (changing them changes oracle hashes — don't); a library
+    * user composing the shared rules on their own corpus passes a
+    * different config instead of editing constants.
+    *
+    * @param evalSource  source treated as the held-out benchmark for
+    *   contamination checks. In production this is the eval-suite
+    *   text, which is bounded (MBs, not TBs) — that bound is what
+    *   justifies broadcasting its gram set.
+    * @param contamN     contamination n-gram order.
+    * @param batchResidue hash residue (of 10) marking the arriving
+    *   batch in the incremental q86/q92/q96/q99 operators. */
+  case class PipelineConfig(
+      evalSource: String = "src0",
+      contamN: Int = 5,
+      batchResidue: Int = 3)
+  object PipelineConfig { val default: PipelineConfig = PipelineConfig() }
+
+  private[graft] val EvalSource = PipelineConfig.default.evalSource
+  private[graft] val ContamN = PipelineConfig.default.contamN
 
   /** Benchmark contamination check (the n-gram-overlap decontamination
     * step every LLM corpus pipeline runs; cf. GPT-3 appendix C /
@@ -47,32 +62,40 @@ object CorpusOps {
   /** The eval-suite's distinct word 5-grams — the bounded static side
     * of every contamination check (batch q76, doc-level q83, and the
     * ingest stream). */
-  private[graft] def evalGrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).filter(col("source") === EvalSource)
-      .select(explode(WordNGrams(toks, ContamN)).as("g")).distinct()
+  private[graft] def evalGrams(spark: SparkSession, dir: String,
+      cfg: PipelineConfig = PipelineConfig.default): DataFrame =
+    Tables.documents(spark, dir).filter(col("source") === cfg.evalSource)
+      .select(explode(WordNGrams(toks, cfg.contamN)).as("g")).distinct()
 
   /** Per-doc distinct 5-gram projection of a doc frame — the shared
     * train side of the contamination rule (works on batch frames AND
     * the streaming source: it is pure row-local codegen). */
-  private[graft] def docGrams(docs: DataFrame): DataFrame =
-    docs.filter(col("source") =!= EvalSource)
-      .select(col("doc_id"), col("source"), explode(WordNGrams(toks, ContamN)).as("g"))
+  private[graft] def docGrams(docs: DataFrame,
+      cfg: PipelineConfig = PipelineConfig.default): DataFrame =
+    docs.filter(col("source") =!= cfg.evalSource)
+      .select(col("doc_id"), col("source"),
+        explode(WordNGrams(toks, cfg.contamN)).as("g"))
 
   /** THE contamination-hit rule, in one place: per-doc count of
     * distinct eval 5-grams. q76 rolls it up per source, q83 emits it
     * per doc, q85 folds it into the funnel — all three oracles gate
     * the same pipeline. */
-  private[graft] def contamHits(spark: SparkSession, dir: String): DataFrame =
-    docGrams(Tables.documents(spark, dir))
-      .join(broadcast(evalGrams(spark, dir)), Seq("g"))
+  private[graft] def contamHits(spark: SparkSession, dir: String,
+      cfg: PipelineConfig = PipelineConfig.default): DataFrame =
+    docGrams(Tables.documents(spark, dir), cfg)
+      .join(broadcast(evalGrams(spark, dir, cfg)), Seq("g"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hit"))
 
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(spark, dir, PipelineConfig.default)
+
+  def contamination(spark: SparkSession, dir: String,
+      cfg: PipelineConfig): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val train = docs.filter(col("source") =!= EvalSource)
+    val train = docs.filter(col("source") =!= cfg.evalSource)
     train.select(col("doc_id"), col("source"))
-      .join(contamHits(spark, dir).drop("source"), Seq("doc_id"), "left")
+      .join(contamHits(spark, dir, cfg).drop("source"), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_hit"))
       .groupBy(col("source"))
       .agg(
@@ -435,6 +458,49 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Per-(session, corpus) bootstrap+append layout registry (q109). */
+  private val appendDirCache =
+    graft.SessionRegistry.cache[(SparkSession, String), String]()
+
+  /** q109: the steady-state funnel's WRITE side, completing q91+q92 —
+    * bootstrap the curated store from the funnel's sampled docs
+    * RESTRICTED to the store split (the batch residue is excluded:
+    * it hasn't "arrived" yet), then APPEND the arriving batch's
+    * admitted docs (q92's verdict) into the same source-partitioned
+    * parquet layout, and read the combined layout back. Each batch's
+    * append touches only the batch-sized admitted rows — the store
+    * is never rewritten (at 100 TB the append is the only write that
+    * scales). The oracle is the q85 funnel CTE (store side) UNION ALL
+    * the q92 admission CTE chain — read-back fidelity of the merged
+    * layout is hash-checked against the same SQL fragments that gate
+    * the two pipelines it composes. */
+  def curatedAppend(spark: SparkSession, dir: String): DataFrame = {
+    val out = appendDirCache.getOrElseUpdate((spark, dir), {
+      val path = s"/tmp/graft_curated_append_${spark.sparkContext.applicationId}_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      funnelFlags(spark, dir)
+        .filter(col("sampled") && !batchPredicate())
+        .select(col("doc_id"), col("lang"), col("n_words"), col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(path)
+      incrementalOutcomes(spark, dir, PipelineConfig.default)
+        .filter(col("outcome") === "admitted")
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            graft.functions.TextFns.tokenCount(col("text")).as("n_words")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("source"))
+        .write.mode("append").partitionBy("source").parquet(path)
+      path
+    })
+    spark.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(ceil(col("n_words") / ChunkSize.toDouble).cast("long")).as("n_chunks"))
+      .orderBy(col("source"))
+  }
+
   /** Dedup-AWARE train/test split (leakage guard): a plain hash
     * split leaks — near-identical docs land on opposite sides and
     * the eval set rewards memorization (the Lee et al. 2021 failure
@@ -491,13 +557,19 @@ object CorpusOps {
     * -1 for new). Cost is |batch| × dup-rate shaped — store text is
     * touched only for shingles of matched candidates. */
   /** The arriving-batch membership rule shared by q86/q92 (and
-    * their oracles): hash residue 3 → ~10% of docs, every source. */
-  private[graft] def batchPredicate =
-    pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 10 === 3
+    * their oracles): hash residue `batchResidue` (default 3) → ~10%
+    * of docs, every source. */
+  private[graft] def batchPredicate(
+      cfg: PipelineConfig = PipelineConfig.default): Column =
+    pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 10 === cfg.batchResidue
 
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(spark, dir, PipelineConfig.default)
+
+  def incrementalDedup(spark: SparkSession, dir: String,
+      cfg: PipelineConfig): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val isBatch = batchPredicate
+    val isBatch = batchPredicate(cfg)
     val store = docs.filter(!isBatch)
     val batch = docs.filter(isBatch)
     val exactRef = batch.select(col("doc_id"), md5(Dedup.normText).as("h"))
@@ -538,11 +610,17 @@ object CorpusOps {
     * outcome counts; every stage is batch-sized work against bounded
     * store artifacts (digest groups, shingle postings, broadcast
     * eval grams). */
-  def incrementalFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val isBatch = batchPredicate
+  def incrementalFunnel(spark: SparkSession, dir: String): DataFrame =
+    incrementalFunnel(spark, dir, PipelineConfig.default)
+
+  /** The per-doc admission verdict behind q92 (and the q109 append):
+    * one row per batch doc with its pipeline outcome. */
+  private[graft] def incrementalOutcomes(spark: SparkSession, dir: String,
+      cfg: PipelineConfig): DataFrame = {
+    val isBatch = batchPredicate(cfg)
     val docs = Tables.documents(spark, dir)
-    val batchDocs = docs.filter(isBatch && col("source") =!= EvalSource)
-    val dedup = incrementalDedup(spark, dir)
+    val batchDocs = docs.filter(isBatch && col("source") =!= cfg.evalSource)
+    val dedup = incrementalDedup(spark, dir, cfg)
       .select(col("doc_id"), col("decision"))
     val qual = batchDocs
       .select(col("doc_id") +: TextOps.gopherSignalCols: _*)
@@ -550,10 +628,10 @@ object CorpusOps {
       .withColumn("q_ok",
         col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
       .select(col("doc_id"), col("q_ok"))
-    val storeEvalGrams = docs.filter(col("source") === EvalSource && !isBatch)
-      .select(explode(WordNGrams(toks, ContamN)).as("g")).distinct()
+    val storeEvalGrams = docs.filter(col("source") === cfg.evalSource && !isBatch)
+      .select(explode(WordNGrams(toks, cfg.contamN)).as("g")).distinct()
     val hits = batchDocs
-      .select(col("doc_id"), explode(WordNGrams(toks, ContamN)).as("g"))
+      .select(col("doc_id"), explode(WordNGrams(toks, cfg.contamN)).as("g"))
       .join(broadcast(storeEvalGrams), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     batchDocs.select(col("doc_id"), col("source"))
@@ -565,6 +643,12 @@ object CorpusOps {
           .when(!col("q_ok"), "low_quality")
           .when(col("n_hit") > 0, "contaminated")
           .otherwise("admitted"))
+      .select(col("doc_id"), col("source"), col("outcome"))
+  }
+
+  def incrementalFunnel(spark: SparkSession, dir: String,
+      cfg: PipelineConfig): DataFrame =
+    incrementalOutcomes(spark, dir, cfg)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_batch"),
@@ -573,7 +657,6 @@ object CorpusOps {
         sum(when(col("outcome") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
         sum(when(col("outcome") === "admitted", 1L).otherwise(0L)).as("n_admitted"))
       .orderBy(col("source"))
-  }
 
   /** Duplicate-cluster representative selection ("keep best"): for
     * each near-dup cluster, keep the longest member (ties to the
@@ -689,7 +772,7 @@ object CorpusOps {
   private[graft] def bloomPrefiltered(spark: SparkSession, dir: String,
       fpp: Double = 0.01): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
-    val isBatch = batchPredicate
+    val isBatch = batchPredicate()
     val (store, bloom) = bloomCache.getOrElseUpdate((spark, dir, fpp), {
       val s = docs.filter(!isBatch).select(
         col("doc_id").as("sid"),
@@ -759,7 +842,7 @@ object CorpusOps {
   def ccnetAdmission(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val isBatch = batchPredicate
+    val isBatch = batchPredicate()
     val store = docs.filter(!isBatch)
     val batch = docs.filter(isBatch)
     val model = bigramModel(store) // built ONCE, both passes share it

@@ -528,7 +528,7 @@ object StreamOps {
     import graft.plans.WordNGrams
     val toks = TextFns.tokens(col("text"))
     val store = graft.Tables.documents(spark, storeDir)
-      .filter(!CorpusOps.batchPredicate)
+      .filter(!CorpusOps.batchPredicate())
     val (c2, c1, vocab) = CorpusOps.bigramModel(store)
     val v = vocab.head().getLong(0)
     streamDocs(spark, docsDir)
