@@ -166,7 +166,7 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("incremental dedup: one decision per batch doc, refs point into the store") {
     val out = CorpusOps.incrementalDedup(spark, sf)
     val batchN = Tables.documents(spark, sf)
-      .filter(CorpusOps.batchPredicate).count()
+      .filter(CorpusOps.batchPredicate()).count()
     assert(out.count() == batchN)
     // refs are store docs (never batch docs, never self) except the -1 sentinel
     assert(out.filter(col("ref_id") =!= -1L &&
