@@ -82,6 +82,7 @@ object SparkEntry {
     "q56_mc_bias" -> Recommend.biasBaseline _,
     "q57_cv_tuning" -> MlOps.cvTuning _,
     "q108_adaptive_tuning" -> MlOps.adaptiveTuning _,
+    "q110_subword_oov" -> MlOps.subwordOov _,
     "q58_binary_classification" -> MlOps.binaryClassify _,
     "q59_lda_doc_topics" -> MlOps.ldaDocTopics _,
     "q63_mf_item_sim" -> ((s: SparkSession, d: String) => MlOps.mfItemSimilarity(s, d)),

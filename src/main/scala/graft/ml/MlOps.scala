@@ -54,6 +54,64 @@ object MlOps {
         .setNumPartitions(1).setMaxIter(1)
         .fit(tokenized(spark, dir)))
 
+  /** fastText's capability delta over word2vec (reference
+    * train/train_fasttext.py:14 — MLlib ships no fastText, and the
+    * no-new-dependencies rule bars the gensim path): SUBWORD-derived
+    * embeddings for OUT-OF-VOCABULARY words. fastText jointly trains
+    * char-n-gram vectors; this derives them post-hoc from the shared
+    * word2vec model — each boundary-marked char 3-gram's vector is
+    * the mean of the vectors of every vocab word containing it, and
+    * an OOV word's vector is the mean of its known 3-gram vectors.
+    * Not joint training (documented approximation), but it restores
+    * the USER-FACING capability: a misspelled/suffixed query word
+    * still lands next to its base form. Everything is vocab-sized:
+    * the n-gram table is one explode+groupBy over the vector table,
+    * probes broadcast against it, and the nearest-neighbor scan is
+    * one pass over the vocab — no corpus access after the shared fit.
+    * Output: top-3 vocab neighbors per synthesized OOV probe. */
+  def subwordOov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    val vocab = word2vecModel(spark, dir, 32).getVectors
+    // boundary-marked char 3-grams ("<w>" marks ends, as in fastText)
+    def grams(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val padded = concat(lit("<"), c, lit(">"))
+      transform(sequence(lit(1), length(padded) - 2),
+        i => padded.substr(i, lit(3)))
+    }
+    val gramVecs = vocab
+      .select(explode(grams(col("word"))).as("g"), col("vector"))
+      .groupBy(col("g"))
+      .agg(Summarizer.mean(col("vector")).as("gv"), count(lit(1)).as("n_words"))
+    // deterministic OOV probes: perturbed forms of in-vocab words
+    // (suffix + interior truncation); keep only true OOVs
+    val probes = vocab.filter(col("word").isInCollection(
+        Seq("spark", "table", "join", "data", "query")))
+      .select(col("word").as("base"),
+        explode(array(concat(col("word"), lit("ish")),
+          concat(substring(col("word"), 1, 3), lit("z"),
+            substring(col("word"), 4, 100)))).as("probe"))
+      .join(vocab.select(col("word").as("probe")), Seq("probe"), "left_anti")
+    val probeVecs = probes
+      .select(col("base"), col("probe"), explode(grams(col("probe"))).as("g"))
+      .join(gramVecs, Seq("g"))
+      .groupBy(col("base"), col("probe"))
+      .agg(vector_to_array(Summarizer.mean(col("gv"))).as("pv"))
+    // one vocab scan: cosine against every word, top-3 per probe
+    import org.apache.spark.sql.expressions.Window
+    val scored = vocab
+      .select(col("word"), vector_to_array(col("vector")).as("wv"))
+      .crossJoin(broadcast(probeVecs))
+      .withColumn("cos",
+        round(graft.functions.VecFns.cosine(col("pv"), col("wv")), 4))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe"))
+        .orderBy(col("cos").desc, col("word"))))
+      .filter(col("rank") <= 3)
+      .select(col("probe"), col("base"), col("rank").cast("long").as("rank"),
+        col("word").as("neighbor"), col("cos"))
+      .orderBy(col("probe"), col("rank"))
+  }
+
   /** Shared CountVectorizer+LDA fit (q51 topics and q59 doc-topics
     * use the same seed-fixed model — same registry idea as w2vCache). */
   private val ldaCache = graft.SessionRegistry

@@ -51,6 +51,21 @@ class MlStreamSpec extends AnyFunSuite {
     assert(nnz.getLong(0) > 0 && nnz.getLong(1) <= 48)
   }
 
+  test("subword OOV synthesis lands every perturbed probe next to its base word") {
+    val out = MlOps.subwordOov(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (probe, rows) =>
+      assert(rows.length == 3, s"$probe should have 3 neighbors")
+    }
+    // the fastText property: a suffixed or interior-perturbed OOV
+    // form's nearest vocab word is its base form (subword overlap
+    // dominates the synthesized vector)
+    out.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.getString(3) == r.getString(1),
+        s"probe ${r.getString(0)}: nearest ${r.getString(3)} != base ${r.getString(1)}")
+    }
+  }
+
   test("adaptive search matches the exhaustive grid's best within epsilon") {
     val adaptive = MlOps.adaptiveTuning(spark, sf).collect()
     // successive halving: 8 → 4 → 2 candidates across the three rungs
