@@ -462,6 +462,11 @@ object CorpusOps {
   private val appendDirCache =
     graft.SessionRegistry.cache[(SparkSession, String), String]()
 
+  /** The written append layout, if this session materialized it
+    * (spec hook for the partition-pruning assert). */
+  private[graft] def curatedAppendDir(spark: SparkSession, dir: String): Option[String] =
+    appendDirCache.get((spark, dir))
+
   /** q109: the steady-state funnel's WRITE side, completing q91+q92 —
     * bootstrap the curated store from the funnel's sampled docs
     * RESTRICTED to the store split (the batch residue is excluded:

@@ -153,6 +153,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
   }
 
+  test("curated append: layout = store-side sampled + admitted batch; reads prune") {
+    val merged = CorpusOps.curatedAppend(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent recompute of both write legs
+    val boot = CorpusOps.funnelFlags(spark, sf)
+      .filter(col("sampled") && !CorpusOps.batchPredicate())
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val adm = CorpusOps
+      .incrementalOutcomes(spark, sf, CorpusOps.PipelineConfig.default)
+      .filter(col("outcome") === "admitted")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == (boot.keySet ++ adm.keySet))
+    merged.foreach { case (src, n) =>
+      assert(n == boot.getOrElse(src, 0L) + adm.getOrElse(src, 0L),
+        s"$src: merged $n != bootstrap ${boot.get(src)} + admitted ${adm.get(src)}")
+    }
+    assert(adm.values.sum > 0, "no admitted docs — the append leg is vacuous")
+    // a per-source consumer of the merged layout touches ONE partition
+    val someSource = merged.keySet.min
+    val plan = spark.read.parquet(
+      CorpusOps.curatedAppendDir(spark, sf).get)
+      .filter(col("source") === someSource)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+  }
+
   test("leakage split: no near-dup pair crosses the train/test boundary") {
     val out = CorpusOps.leakageSplit(spark, sf).collect()
     assert(out.nonEmpty)
