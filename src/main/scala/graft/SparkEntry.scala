@@ -112,6 +112,7 @@ object SparkEntry {
     "q91_curated_sink" -> CorpusOps.curatedSink _,
     "q92_incremental_funnel" -> CorpusOps.incrementalFunnel _,
     "q109_curated_append" -> CorpusOps.curatedAppend _,
+    "q111_mix_weights" -> CorpusOps.mixWeights _,
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
@@ -1095,6 +1096,24 @@ object SparkEntry {
     // contamination, in pipeline precedence order
     "q92_incremental_funnel" -> IncFunnelSql,
     "q109_curated_append" -> CuratedAppendSql,
+    // q111: τ=2 source mixing — the Σ of per-source sqrt weights goes
+    // through DECIMAL(18,6) in both engines (associative, partition-
+    // order-independent); every derived float is rounded before the
+    // next arithmetic step so the IEEE chains can't diverge
+    "q111_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
+        |t AS (SELECT SUM(sq) AS tot FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+        |  CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target,
+        |  round(least(1.0,
+        |    CAST(CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
+        |      / n_tokens), 6) AS rate
+        |FROM w, t ORDER BY source""".stripMargin,
     // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
     // contributions rounded to 8dp and summed as DECIMAL so the
     // score is term-order-independent in both engines

@@ -458,6 +458,39 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** q111: TEMPERATURE-BASED SOURCE MIXING — the data-mix planning
+    * step of an LLM pretrain pipeline (the τ-weighted source
+    * sampling of XLM-R/mT5-style mixes): per-source token counts →
+    * τ=2 weights w_s ∝ tokens^(1/τ) → token targets against a
+    * pinned budget → per-source sampling rates. One corpus scan +
+    * one |sources|-row aggregation; the Σ over sources goes through
+    * DECIMAL (associative) so the weight denominator is
+    * partition-order-independent, and each derived float is rounded
+    * before it feeds the next step so both engines walk the same
+    * IEEE values (oracle-exact). */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L // pinned token budget (also in the oracle)
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("sq",
+        sqrt(col("n_tokens").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val tot = per.agg(sum(col("sq")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(col("sq").cast("double") / col("tot").cast("double"), 6))
+      .withColumn("token_target",
+        floor(lit(budget) * col("weight")).cast("long"))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("token_target").cast("double") / col("n_tokens")), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("token_target"), col("rate"))
+      .orderBy(col("source"))
+  }
+
   /** Per-(session, corpus) bootstrap+append layout registry (q109). */
   private val appendDirCache =
     graft.SessionRegistry.cache[(SparkSession, String), String]()
