@@ -112,7 +112,8 @@ object SparkEntry {
     "q91_curated_sink" -> CorpusOps.curatedSink _,
     "q92_incremental_funnel" -> CorpusOps.incrementalFunnel _,
     "q109_curated_append" -> CorpusOps.curatedAppend _,
-    "q111_mix_weights" -> CorpusOps.mixWeights _,
+    "q111_mix_weights" -> ((s: SparkSession, d: String) => CorpusOps.mixWeights(s, d)),
+    "q112_mix_apply" -> CorpusOps.mixApply _,
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
@@ -1114,6 +1115,34 @@ object SparkEntry {
         |    CAST(CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
         |      / n_tokens), 6) AS rate
         |FROM w, t ORDER BY source""".stripMargin,
+    // q112: the q111 chain at budget 10000, applied as the q78-family
+    // doc-granularity hash filter; fill divides two exact longs
+    "q112_mix_apply" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
+        |t AS (SELECT SUM(sq) AS tot FROM w),
+        |mix AS (
+        |  SELECT source,
+        |    CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target,
+        |    round(least(1.0,
+        |      CAST(CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
+        |        / n_tokens), 6) AS rate
+        |  FROM w, t),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT d.source, COUNT(*) AS n_docs_sampled,
+        |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens_sampled,
+        |  MIN(mix.token_target) AS token_target,
+        |  round(CAST(CAST(SUM(d.n_tok) AS BIGINT) AS DOUBLE) / MIN(mix.token_target), 3) AS fill
+        |FROM d JOIN mix ON d.source = mix.source
+        |WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000
+        |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
     // contributions rounded to 8dp and summed as DECIMAL so the
     // score is term-order-independent in both engines

@@ -468,8 +468,10 @@ object CorpusOps {
     * partition-order-independent, and each derived float is rounded
     * before it feeds the next step so both engines walk the same
     * IEEE values (oracle-exact). */
-  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 100000L // pinned token budget (also in the oracle)
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeights(spark, dir, budget = 100000L)
+
+  def mixWeights(spark: SparkSession, dir: String, budget: Long): DataFrame = {
     val per = Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -488,6 +490,35 @@ object CorpusOps {
           col("token_target").cast("double") / col("n_tokens")), 6))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("weight"), col("token_target"), col("rate"))
+      .orderBy(col("source"))
+  }
+
+  /** q112: the mix EXECUTED — q111's plan applied as deterministic
+    * per-source hash sampling (the q78 hash family at doc
+    * granularity, scaled to each source's rate), reporting achieved
+    * vs planned tokens. The rate table broadcasts (|sources| rows);
+    * the corpus side is one scan + map-side filter — no shuffle
+    * until the |sources|-row rollup. Budget 10 000 so the sampling
+    * is REAL (rates < 1) at the sf0.01 gate and above; the fill
+    * ratio divides two already-exact longs, so the oracle chain
+    * stays IEEE-identical. */
+  def mixApply(spark: SparkSession, dir: String): DataFrame = {
+    val rates = mixWeights(spark, dir, budget = 10000L)
+      .select(col("source"), col("token_target"), col("rate"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tok"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("pr",
+        pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 1000000L)
+      .filter(col("pr") < floor(col("rate") * 1000000.0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_sampled"),
+        sum(col("n_tok")).as("n_tokens_sampled"),
+        min(col("token_target")).as("token_target"))
+      .withColumn("fill",
+        round(col("n_tokens_sampled").cast("double") /
+          col("token_target"), 3))
       .orderBy(col("source"))
   }
 
