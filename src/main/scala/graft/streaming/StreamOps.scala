@@ -562,6 +562,37 @@ object StreamOps {
         col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
   }
 
+  /** Sampling-at-ingest: the q111/q112 mix plan applied at the
+    * stream boundary. The rate table is a bounded (|sources|-row)
+    * artifact derived once from the STATIC store; each arriving doc
+    * passes the same deterministic hash test row-locally via a
+    * stream-static broadcast join — no state, no shuffle on the
+    * stream side. Stream == batch doc-for-doc (MlStreamSpec). */
+  def mixSampleStream(spark: SparkSession, docsDir: String,
+      storeDir: String): DataFrame =
+    mixSample(streamDocs(spark, docsDir), storeRates(spark, storeDir))
+
+  /** Batch twin over the static table (the doc-level frame q112
+    * aggregates). */
+  def mixSampleBatch(spark: SparkSession, dir: String): DataFrame =
+    mixSample(graft.Tables.documents(spark, dir), storeRates(spark, dir))
+
+  private def storeRates(spark: SparkSession, storeDir: String): DataFrame =
+    // budget 1000: real sampling (rates < 1) at every test scale
+    graft.operators.CorpusOps.mixWeights(spark, storeDir, budget = 1000L)
+      .select(col("source"), col("rate"))
+
+  private def mixSample(docs: DataFrame, rates: DataFrame): DataFrame = {
+    import graft.operators.CorpusOps
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("pr",
+        pmod(col("doc_id") * CorpusOps.SampleHashC,
+          lit(CorpusOps.SampleHashP)) % 1000000L)
+      .filter(col("pr") < floor(col("rate") * 1000000.0).cast("long"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Batch twin of [[minhashCandidateStream]]: same row-local band
     * keys, bucket representative = min doc id, one candidate row per
     * (bucket, later doc). Deterministic given the fixed hash family →

@@ -194,6 +194,28 @@ class MlStreamSpec extends AnyFunSuite {
       r.getAs[Double]("avg_luma") == 9.0))
   }
 
+  test("sampling-at-ingest equals the batch mix filter doc-for-doc") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_mix_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = StreamOps.mixSampleBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val q = StreamOps.mixSampleStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_sample_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mix_sample_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // the filter must be real at this scale: not everything passes
+      assert(streamed.size < Tables.documents(spark, sf).count())
+    } finally q.stop()
+  }
+
   test("streaming quality flags equal the batch projection doc-for-doc") {
     val staged = java.nio.file.Files.createTempDirectory("graft_quality_stream")
     java.nio.file.Files.copy(
