@@ -114,6 +114,7 @@ object SparkEntry {
     "q109_curated_append" -> CorpusOps.curatedAppend _,
     "q111_mix_weights" -> ((s: SparkSession, d: String) => CorpusOps.mixWeights(s, d)),
     "q112_mix_apply" -> CorpusOps.mixApply _,
+    "q113_curated_compact" -> CorpusOps.curatedCompact _,
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
@@ -1097,6 +1098,9 @@ object SparkEntry {
     // contamination, in pipeline precedence order
     "q92_incremental_funnel" -> IncFunnelSql,
     "q109_curated_append" -> CuratedAppendSql,
+    // q113: compaction must be content-invariant — gated by the SAME
+    // composed oracle as the layout it compacts
+    "q113_curated_compact" -> CuratedAppendSql,
     // q111: τ=2 source mixing — the Σ of per-source sqrt weights goes
     // through DECIMAL(18,6) in both engines (associative, partition-
     // order-independent); every derived float is rounded before the

@@ -570,6 +570,47 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Per-(session, corpus) compacted-layout registry (q113). */
+  private val compactDirCache =
+    graft.SessionRegistry.cache[(SparkSession, String), String]()
+
+  private[graft] def compactedDir(spark: SparkSession, dir: String): Option[String] =
+    compactDirCache.get((spark, dir))
+
+  /** q113: LAYOUT COMPACTION — the maintenance op every append-based
+    * lakehouse layout needs: q109's bootstrap+append leaves one file
+    * set per write per partition, and at steady state (thousands of
+    * batches) the small-files problem makes every scan
+    * footer-bound. Compaction reads the layout once and rewrites
+    * each source partition as ONE file (`repartition(source)` +
+    * maxRecordsPerFile unset — per-partition parallelism preserved,
+    * output file count = |sources|). CONTENT IS INVARIANT: the
+    * registered query re-reads the compacted layout with q109's
+    * aggregation and is gated by the SAME composed oracle — the
+    * compaction is hash-checked to change nothing but the file
+    * layout; the spec additionally asserts the file count shrank to
+    * one per partition. */
+  def curatedCompact(spark: SparkSession, dir: String): DataFrame = {
+    // ensure the source layout exists (builds it if this session
+    // hasn't yet), then compact write-once per (session, corpus)
+    curatedAppend(spark, dir).count()
+    val src = appendDirCache.get((spark, dir)).get
+    val out = compactDirCache.getOrElseUpdate((spark, dir), {
+      val path = src + "_compact"
+      spark.read.parquet(src)
+        .repartition(col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(path)
+      path
+    })
+    spark.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(ceil(col("n_words") / ChunkSize.toDouble).cast("long")).as("n_chunks"))
+      .orderBy(col("source"))
+  }
+
   /** Dedup-AWARE train/test split (leakage guard): a plain hash
     * split leaks — near-identical docs land on opposite sides and
     * the eval set rewards memorization (the Lee et al. 2021 failure

@@ -181,6 +181,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
   }
 
+  test("compaction: content invariant, one file per source partition") {
+    val before = CorpusOps.curatedAppend(spark, sf).collect().map(_.toString).toSet
+    val after = CorpusOps.curatedCompact(spark, sf).collect().map(_.toString).toSet
+    assert(after == before, "compaction changed layout content")
+    def parquetFiles(root: String): Map[String, Int] = {
+      val base = java.nio.file.Paths.get(root)
+      java.nio.file.Files.list(base).toArray.map(_.toString)
+        .filter(_.contains("source=")).map { p =>
+          val n = java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+            .map(_.toString).count(_.endsWith(".parquet"))
+          p.substring(p.lastIndexOf('=') + 1) -> n
+        }.toMap
+    }
+    val srcFiles = parquetFiles(CorpusOps.curatedAppendDir(spark, sf).get)
+    val cpFiles = parquetFiles(CorpusOps.compactedDir(spark, sf).get)
+    assert(cpFiles.keySet == srcFiles.keySet)
+    cpFiles.foreach { case (src, n) =>
+      assert(n == 1, s"partition $src has $n files after compaction")
+    }
+    // the append layout has ≥2 files where both legs wrote — the
+    // compaction must actually merge somewhere
+    assert(srcFiles.values.sum > cpFiles.values.sum,
+      s"nothing merged: $srcFiles vs $cpFiles")
+  }
+
   test("leakage split: no near-dup pair crosses the train/test boundary") {
     val out = CorpusOps.leakageSplit(spark, sf).collect()
     assert(out.nonEmpty)
