@@ -142,6 +142,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("mix apply broadcasts the rate table: corpus side never sort-merge joins") {
+    val p = plan(graft.operators.CorpusOps.mixApply(spark, sf))
+    // the |sources|-row rate table must reach the corpus scan as a
+    // broadcast; an SMJ here would shuffle the whole corpus on source
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("balanced sampling is a map-side filter: no window, no global sort") {
     val p = plan(graft.operators.CorpusOps.sampleBalance(spark, sf))
     assert(!p.contains("Window"), p)
