@@ -209,16 +209,32 @@ object MlOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Ratings-matrix disk-artifact registry (CLAUDE.md lever: shared
+    * cross-query artifacts are parquet, not persists — they must
+    * survive cache clears). */
+  private val ratingsCache = graft.SessionRegistry
+    .cache[(SparkSession, String), String]()
+
   /** Ratings matrix for MF-family models: customer × part implicit
     * strength from ordered quantities (lineitem ⋈ orders shuffles once
     * on the order key; the aggregate shuffles on the (user,item)
-    * composite — both partial-agg friendly). */
-  def ratings(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
-      .agg(sum(col("l_quantity")).cast("float").as("rating"))
+    * composite — both partial-agg friendly). Materialized once per
+    * (session, corpus) — the reference's TrainMatrixFactorization
+    * INPUT artifact; five query families consume it. */
+  def ratings(spark: SparkSession, dir: String): DataFrame = {
+    val path = ratingsCache.getOrElseUpdate((spark, dir), {
+      val p = s"/tmp/graft_ratings_${spark.sparkContext.applicationId}_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(sum(col("l_quantity")).cast("float").as("rating"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
 
   /** Shared seed-fixed ALS fit (q52 recommendations, MF-factor item
     * similarity and the GCMC convolution all consume the same trained
