@@ -126,6 +126,7 @@ object SparkEntry {
     "q111_mix_weights" -> ((s: SparkSession, d: String) => CorpusOps.mixWeights(s, d)),
     "q112_mix_apply" -> CorpusOps.mixApply _,
     "q113_curated_compact" -> CorpusOps.curatedCompact _,
+    "q114_index_compact" -> SimilaritySearch.indexCompact _,
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,

@@ -403,6 +403,41 @@ object SimilaritySearch {
         sum(when(isBatchVec, 1L).otherwise(0L)).as("n_new"))
       .orderBy(col("cent_id"))
 
+  /** Per-(session, corpus) compacted-index registry (q114). */
+  private val compactIndexCache = graft.SessionRegistry
+    .cache[(SparkSession, String), String]()
+
+  private[graft] def compactedIndexDir(spark: SparkSession,
+      dir: String): Option[String] = compactIndexCache.get((spark, dir))
+
+  /** q114: ANN INDEX COMPACTION — q113's maintenance discipline for
+    * the q102 serving layout: every upsert batch appends one file
+    * set per touched cell directory, and at steady state the
+    * per-cell file count grows with batch count, not data — probes
+    * become footer-bound. One read + `repartition(cent_id)` rewrite
+    * → one file per cell, per-cell write parallelism preserved,
+    * partition pruning unchanged for readers. Content invariance vs
+    * the upserted layout plus the file accounting are spec-asserted
+    * (cell ids come from the seeded KMeans fit → rows-only). */
+  def indexCompact(spark: SparkSession, dir: String): DataFrame = {
+    if (upsertDirCache.get((spark, dir)).isEmpty)
+      upsertedRows(spark, dir).count() // build the source layout once
+    val src = upsertDirCache.get((spark, dir)).get
+    val out = compactIndexCache.getOrElseUpdate((spark, dir), {
+      val p = src + "_compact"
+      spark.read.parquet(src)
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(p)
+      p
+    })
+    spark.read.parquet(out)
+      .groupBy(col("cent_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(isBatchVec, 1L).otherwise(0L)).as("n_new"))
+      .orderBy(col("cent_id"))
+  }
+
   /** DimensionReductionModel.fit (dimension_reduction_model.py:21):
     * per-dimension importance = Σ v². Values are quantized to 1e-6 so
     * the aggregation is exact integer math — order-independent under

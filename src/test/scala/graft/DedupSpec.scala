@@ -47,6 +47,28 @@ class DedupSpec extends AnyFunSuite {
     assert(newTotal > 0, "batch split empty — upsert test is vacuous")
   }
 
+  test("index compaction: content invariant, one file per cell, files merged") {
+    val before = SimilaritySearch.indexUpsert(spark, sf).collect().map(_.toString).toSet
+    val after = SimilaritySearch.indexCompact(spark, sf).collect().map(_.toString).toSet
+    assert(after == before, "compaction changed index accounting")
+    def files(root: String): Map[String, Int] = {
+      java.nio.file.Files.list(java.nio.file.Paths.get(root)).toArray
+        .map(_.toString).filter(_.contains("cent_id=")).map { p =>
+          p.substring(p.lastIndexOf('=') + 1) ->
+            java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+              .map(_.toString).count(_.endsWith(".parquet"))
+        }.toMap
+    }
+    // the upsert layout path: rebuild its dir name via the registry hook
+    val compacted = SimilaritySearch.compactedIndexDir(spark, sf).get
+    val src = compacted.stripSuffix("_compact")
+    val (srcFiles, cpFiles) = (files(src), files(compacted))
+    assert(cpFiles.keySet == srcFiles.keySet)
+    cpFiles.foreach { case (cell, n) => assert(n == 1, s"cell $cell has $n files") }
+    assert(srcFiles.values.sum > cpFiles.values.sum,
+      s"nothing merged: $srcFiles vs $cpFiles")
+  }
+
   test("semantic clusters == driver union-find over the embed-LSH pairs") {
     val pairs = Dedup.embedNearDup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
