@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// One shared SparkSession serves every suite, and the registry-
+// eviction test deletes the context's disk artifacts mid-suite —
+// suites must not interleave around it.
+Test / parallelExecution := false
 run / fork := true
 // The driver parses Bench's one-line JSON metric from stdout; sbt's
 // default logger prefixes forked-process output with "[info] ", which

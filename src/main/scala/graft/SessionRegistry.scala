@@ -23,7 +23,8 @@ object SessionRegistry {
   private val all = new java.util.concurrent.CopyOnWriteArrayList[Cache[_ <: Product, _]]()
   private val hooked = TrieMap.empty[SparkContext, Boolean]
 
-  final class Cache[K <: Product, V] private[SessionRegistry] () {
+  final class Cache[K <: Product, V] private[SessionRegistry] (
+      clean: Option[V => Unit]) {
     private val m = TrieMap.empty[K, V]
     private def session(k: K): SparkSession =
       k.productElement(0).asInstanceOf[SparkSession]
@@ -33,15 +34,37 @@ object SessionRegistry {
     }
     def get(k: K): Option[V] = m.get(k)
     private[graft] def evict(sc: SparkContext): Unit =
-      m.keys.filter(k => session(k).sparkContext eq sc).foreach(m.remove)
+      m.keys.filter(k => session(k).sparkContext eq sc).foreach { k =>
+        m.remove(k).foreach(v =>
+          clean.foreach(f => scala.util.Try(f(v))))
+      }
     private[graft] def liveKeyCount(spark: SparkSession): Int =
       m.keys.count(k => session(k) eq spark)
   }
 
   def cache[K <: Product, V](): Cache[K, V] = {
-    val c = new Cache[K, V]()
+    val c = new Cache[K, V](None)
     all.add(c)
     c
+  }
+
+  /** Cache whose values own external resources (tmp artifact dirs):
+    * `clean` runs on each evicted value so a context's disk
+    * artifacts die with its registry entries. */
+  def cacheWithCleanup[K <: Product, V](clean: V => Unit): Cache[K, V] = {
+    val c = new Cache[K, V](Some(clean))
+    all.add(c)
+    c
+  }
+
+  /** Recursive delete for tmp artifact dirs (the standard cleanup). */
+  def deleteDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Sweep every registry for the context's keys (the listener body;

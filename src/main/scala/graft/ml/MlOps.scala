@@ -213,7 +213,7 @@ object MlOps {
     * cross-query artifacts are parquet, not persists — they must
     * survive cache clears). */
   private val ratingsCache = graft.SessionRegistry
-    .cache[(SparkSession, String), String]()
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   /** Ratings matrix for MF-family models: customer × part implicit
     * strength from ordered quantities (lineitem ⋈ orders shuffles once

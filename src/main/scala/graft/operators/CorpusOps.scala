@@ -421,7 +421,8 @@ object CorpusOps {
   /** Per-(session, corpus) curated-sink registry — same write-once
     * discipline as the q74 index dir. */
   private val curatedDirCache =
-    graft.SessionRegistry.cache[(SparkSession, String), String]()
+    graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   /** The written sink location, if this session has materialized it
     * (spec hook for partition-pruning asserts). */
@@ -524,7 +525,8 @@ object CorpusOps {
 
   /** Per-(session, corpus) bootstrap+append layout registry (q109). */
   private val appendDirCache =
-    graft.SessionRegistry.cache[(SparkSession, String), String]()
+    graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   /** The written append layout, if this session materialized it
     * (spec hook for the partition-pruning assert). */
@@ -572,7 +574,8 @@ object CorpusOps {
 
   /** Per-(session, corpus) compacted-layout registry (q113). */
   private val compactDirCache =
-    graft.SessionRegistry.cache[(SparkSession, String), String]()
+    graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   private[graft] def compactedDir(spark: SparkSession, dir: String): Option[String] =
     compactDirCache.get((spark, dir))

@@ -128,7 +128,7 @@ object Dedup {
     * 1000 docs×row — fine per arriving event, 100× too slow as a
     * scan); DedupSpec asserts the two produce identical signatures. */
   private val sigCache = graft.SessionRegistry
-    .cache[(SparkSession, String), String]()
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   private[graft] def groupedSig(spark: SparkSession, dir: String): DataFrame = {
     // the signature TABLE is the materialized artifact every real
@@ -282,7 +282,8 @@ object Dedup {
     * computed. Keyed by (session, dir): a restarted session must
     * never see a dead session's frame. */
   private val pairCache =
-    graft.SessionRegistry.cache[(SparkSession, String), String]()
+    graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // DISK artifact, not an in-memory persist: the pair list is the
@@ -321,7 +322,8 @@ object Dedup {
     * representative selection), and it is near-dup-sized, so one
     * persisted copy per (session, corpus) is the right lifetime. */
   private val clusterCache =
-    graft.SessionRegistry.cache[(SparkSession, String), String]()
+    graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     // same disk-artifact discipline as [[jaccardPairs]]
@@ -513,7 +515,8 @@ object Dedup {
     * the edge frame twice (symmetrization), so the LSH + exact-cosine
     * pipeline must not re-execute per consumption. */
   private val embedPairCache =
-    graft.SessionRegistry.cache[(SparkSession, String), String]()
+    graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   private[graft] def embedPairs(spark: SparkSession, dir: String): DataFrame = {
     // disk artifact like [[jaccardPairs]] — survives cache clears

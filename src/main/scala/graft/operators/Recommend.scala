@@ -20,7 +20,7 @@ object Recommend {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
   private val ratingsExactCache = graft.SessionRegistry
-    .cache[(SparkSession, String), String]()
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   /** customer × part rating matrix (decimal-exact strengths) —
     * disk artifact per (session, corpus), like MlOps.ratings: the

@@ -263,7 +263,7 @@ object SimilaritySearch {
 
   /** Written-index registry for [[knnIvfPqPersisted]]. */
   private val indexDirCache = graft.SessionRegistry
-    .cache[(SparkSession, String), String]()
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   /** The PERSISTED form of the q69 index — the actual 100 TB serving
     * layout: one parquet table, one row per corpus vector (codes +
@@ -340,7 +340,7 @@ object SimilaritySearch {
     * q74 dir: this one is bootstrapped from the STORE split only and
     * then mutated by the append). */
   private val upsertDirCache = graft.SessionRegistry
-    .cache[(SparkSession, String), String]()
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   /** q102: INCREMENTAL ANN index maintenance — the steady-state form
     * of q74's serving layout. The index is bootstrapped once from the
@@ -405,7 +405,7 @@ object SimilaritySearch {
 
   /** Per-(session, corpus) compacted-index registry (q114). */
   private val compactIndexCache = graft.SessionRegistry
-    .cache[(SparkSession, String), String]()
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
 
   private[graft] def compactedIndexDir(spark: SparkSession,
       dir: String): Option[String] = compactIndexCache.get((spark, dir))
