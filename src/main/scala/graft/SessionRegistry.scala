@@ -16,27 +16,44 @@ import scala.collection.concurrent.TrieMap
   * sweeps every registry for keys owned by that context (all
   * sessions of a context die with it).
   *
-  * API matches TrieMap's (`getOrElseUpdate(key, value)` / `get`), so
-  * registries differ from a raw TrieMap only in their declaration.
+  * API matches TrieMap's (`getOrElseUpdate(key, value)` / `get`),
+  * but with a STRONGER build contract: the by-name builder for a key
+  * runs at most once even under concurrent first access (per-key
+  * lazy slot), because builders here side-effect (they overwrite a
+  * per-key parquet path) and a double-run could hand a reader a
+  * partially rewritten artifact.
   */
 object SessionRegistry {
   private val all = new java.util.concurrent.CopyOnWriteArrayList[Cache[_ <: Product, _]]()
   private val hooked = TrieMap.empty[SparkContext, Boolean]
 
+  /** Memoized builder slot: `value` is a lazy val, so JVM lazy-init
+    * locking guarantees the by-name builder runs AT MOST ONCE per
+    * key even under concurrent first access — TrieMap's own
+    * getOrElseUpdate may evaluate the by-name argument in two racing
+    * threads and discard one result, which is unsafe for our
+    * side-effecting builders (parquet overwrites to a fixed path). */
+  private final class Slot[V](builder: () => V) {
+    @volatile private var built = false
+    lazy val value: V = { val r = builder(); built = true; r }
+    def isBuilt: Boolean = built
+  }
+
   final class Cache[K <: Product, V] private[SessionRegistry] (
       clean: Option[V => Unit]) {
-    private val m = TrieMap.empty[K, V]
+    private val m = TrieMap.empty[K, Slot[V]]
     private def session(k: K): SparkSession =
       k.productElement(0).asInstanceOf[SparkSession]
     def getOrElseUpdate(k: K, v: => V): V = {
       hook(session(k))
-      m.getOrElseUpdate(k, v)
+      val slot = new Slot[V](() => v)
+      m.putIfAbsent(k, slot).getOrElse(slot).value
     }
-    def get(k: K): Option[V] = m.get(k)
+    def get(k: K): Option[V] = m.get(k).filter(_.isBuilt).map(_.value)
     private[graft] def evict(sc: SparkContext): Unit =
       m.keys.filter(k => session(k).sparkContext eq sc).foreach { k =>
-        m.remove(k).foreach(v =>
-          clean.foreach(f => scala.util.Try(f(v))))
+        m.remove(k).foreach(s =>
+          if (s.isBuilt) clean.foreach(f => scala.util.Try(f(s.value))))
       }
     private[graft] def liveKeyCount(spark: SparkSession): Int =
       m.keys.count(k => session(k) eq spark)
@@ -56,6 +73,16 @@ object SessionRegistry {
     all.add(c)
     c
   }
+
+  /** Session-unique token for disk-artifact paths. applicationId
+    * alone is shared by every `newSession()` of one context, so two
+    * sessions' registries (keyed per-session) would map to the SAME
+    * path and the second build would mode-overwrite a dir the first
+    * session may still be lazily reading. Adding the session's
+    * identity hash makes path ownership match registry ownership. */
+  def sessionToken(spark: SparkSession): String =
+    spark.sparkContext.applicationId + "_s" +
+      Integer.toHexString(System.identityHashCode(spark))
 
   /** Recursive delete for tmp artifact dirs (the standard cleanup). */
   def deleteDir(path: String): Unit = {

@@ -1123,7 +1123,7 @@ object SparkEntry {
         |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
-        |t AS (SELECT SUM(sq) AS tot FROM w)
+        |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w)
         |SELECT source, n_docs, n_tokens,
         |  round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
         |  CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target,
@@ -1139,7 +1139,7 @@ object SparkEntry {
         |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
-        |t AS (SELECT SUM(sq) AS tot FROM w),
+        |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
         |mix AS (
         |  SELECT source,
         |    CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target,

@@ -223,7 +223,7 @@ object MlOps {
     * INPUT artifact; five query families consume it. */
   def ratings(spark: SparkSession, dir: String): DataFrame = {
     val path = ratingsCache.getOrElseUpdate((spark, dir), {
-      val p = s"/tmp/graft_ratings_${spark.sparkContext.applicationId}_" +
+      val p = s"/tmp/graft_ratings_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir),
@@ -735,10 +735,11 @@ object MlOps {
     // validation aggregation per round would otherwise re-read)
     val train = data.filter(pmod(col("vec_id"), lit(5)) =!= 0).persist()
     val valid = data.filter(pmod(col("vec_id"), lit(5)) === 0).persist()
-    // applicationId-scoped: two concurrent JVMs on the same dir (e.g.
-    // Bench alongside sbt test) must not overwrite each other's best
-    // checkpoint — a plateau restore would load the other run's model
-    val ckpt = "/tmp/graft_earlystop_" + spark.sparkContext.applicationId +
+    // session-scoped (token includes applicationId): two concurrent
+    // JVMs on the same dir (e.g. Bench alongside sbt test) — or two
+    // sessions of one context — must not overwrite each other's best
+    // checkpoint; a plateau restore would load the other run's model
+    val ckpt = "/tmp/graft_earlystop_" + graft.SessionRegistry.sessionToken(spark) +
       "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     val stopper = new EarlyStopping[LogisticRegressionModel](
       tryCount = 2, initialLearningRate = 0.1, decaySpeed = 2.0,

@@ -442,7 +442,7 @@ object CorpusOps {
       // sanitized dir string, NOT hashCode: abs(Int.MinValue) is
       // negative and two corpora with colliding hashCodes would
       // silently share (and cross-clobber) one sink path
-      val path = s"/tmp/graft_curated_${spark.sparkContext.applicationId}_" +
+      val path = s"/tmp/graft_curated_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       funnelFlags(spark, dir)
         .filter(col("sampled"))
@@ -480,7 +480,12 @@ object CorpusOps {
       .withColumn("sq",
         sqrt(col("n_tokens").cast("double"))
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-    val tot = per.agg(sum(col("sq")).as("tot"))
+    // Σ of DECIMAL(18,6) widens (Spark DECIMAL(28,6), DuckDB (38,6));
+    // re-scale to DECIMAL(18,6) BEFORE the double cast in both
+    // engines — DuckDB's wide-decimal→double cast can be one ulp off
+    // nearest (the q104 hazard; CLAUDE.md float-parity rules)
+    val tot = per.agg(sum(col("sq"))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("tot"))
     per.crossJoin(broadcast(tot))
       .withColumn("weight",
         round(col("sq").cast("double") / col("tot").cast("double"), 6))
@@ -547,7 +552,7 @@ object CorpusOps {
     * the two pipelines it composes. */
   def curatedAppend(spark: SparkSession, dir: String): DataFrame = {
     val out = appendDirCache.getOrElseUpdate((spark, dir), {
-      val path = s"/tmp/graft_curated_append_${spark.sparkContext.applicationId}_" +
+      val path = s"/tmp/graft_curated_append_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       funnelFlags(spark, dir)
         .filter(col("sampled") && !batchPredicate())

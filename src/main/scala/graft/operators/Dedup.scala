@@ -137,7 +137,7 @@ object Dedup {
     // pair/cluster artifacts — survives cache clears, shared by
     // q32/q71/q75's batch twins
     val path = sigCache.getOrElseUpdate((spark, dir), {
-      val p = s"/tmp/graft_sigs_${spark.sparkContext.applicationId}_" +
+      val p = s"/tmp/graft_sigs_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val sh = shingled(spark, dir)
         .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -292,7 +292,7 @@ object Dedup {
     // so consumers never re-run the shingle-join pyramid within a
     // session even across cache clears (Bench's between-rep hygiene)
     val path = pairCache.getOrElseUpdate((spark, dir), {
-      val p = s"/tmp/graft_pairs_${spark.sparkContext.applicationId}_" +
+      val p = s"/tmp/graft_pairs_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       jaccard(spark, dir).write.mode("overwrite").parquet(p)
       p
@@ -328,7 +328,7 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     // same disk-artifact discipline as [[jaccardPairs]]
     val path = clusterCache.getOrElseUpdate((spark, dir), {
-      val p = s"/tmp/graft_clusters_${spark.sparkContext.applicationId}_" +
+      val p = s"/tmp/graft_clusters_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       clusters(spark, dir, smallGraphEdges).write.mode("overwrite").parquet(p)
       p
@@ -521,7 +521,7 @@ object Dedup {
   private[graft] def embedPairs(spark: SparkSession, dir: String): DataFrame = {
     // disk artifact like [[jaccardPairs]] — survives cache clears
     val path = embedPairCache.getOrElseUpdate((spark, dir), {
-      val p = s"/tmp/graft_embpairs_${spark.sparkContext.applicationId}_" +
+      val p = s"/tmp/graft_embpairs_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       embedNearDup(spark, dir).write.mode("overwrite").parquet(p)
       p

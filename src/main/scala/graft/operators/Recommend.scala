@@ -28,7 +28,7 @@ object Recommend {
     * parity is unaffected while reps survive cache clears. */
   def ratingsExact(spark: SparkSession, dir: String): DataFrame = {
     val path = ratingsExactCache.getOrElseUpdate((spark, dir), {
-      val p = s"/tmp/graft_ratings_exact_${spark.sparkContext.applicationId}_" +
+      val p = s"/tmp/graft_ratings_exact_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))

@@ -283,7 +283,7 @@ object SimilaritySearch {
     val pqCents = centroidArrays(pqCodebooks(spark, dir, emb))
     val indexDir = indexDirCache.getOrElseUpdate((spark, dir), {
       val out = graft.sources.Sources.stagingDir("ivfpq", dir) +
-        "_" + spark.sparkContext.applicationId
+        "_" + graft.SessionRegistry.sessionToken(spark)
       nearestCells(emb, cents, keep = 1)
         .select(col("vec_id"),
           graft.plans.PqExprs.codes(col("embedding"), pqCents).as("codes"),
@@ -380,7 +380,7 @@ object SimilaritySearch {
     val indexDir = upsertDirCache.getOrElseUpdate((spark, dir), {
       val emb = embWithNorm(spark, dir)
       val out = graft.sources.Sources.stagingDir("ivfpq_upsert", dir) +
-        "_" + spark.sparkContext.applicationId
+        "_" + graft.SessionRegistry.sessionToken(spark)
       encodedRows(spark, dir, emb.filter(!isBatchVec)).write
         .mode("overwrite").partitionBy("cent_id").parquet(out)
       encodedRows(spark, dir, emb.filter(isBatchVec)).write

@@ -164,8 +164,11 @@ object StreamOps {
     * event-time timeouts: whenever events remain buffered the state
     * schedules a timeout at their earliest event time, and Spark's
     * no-data micro-batch fires it once the watermark advances past.
-    * Late-beyond-delay arrivals are merged into the ready set (best
-    * effort) rather than dropped. */
+    * Arrivals later than the watermark delay are DROPPED before they
+    * reach the state function (FlatMapGroupsWithStateExec applies the
+    * engine's late-data filter to the watermarked input) — standard
+    * watermark semantics; parity with [[milestoneBatch]] therefore
+    * holds only for lateness ≤ `delay`. */
   def milestoneStreamOrdered(spark: SparkSession, eventsDir: String,
       step: Double = 500.0, delay: String = "1 minute"): Dataset[Milestone] = {
     import spark.implicits._
