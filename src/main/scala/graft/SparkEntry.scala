@@ -125,6 +125,7 @@ object SparkEntry {
     "q109_curated_append" -> CorpusOps.curatedAppend _,
     "q111_mix_weights" -> ((s: SparkSession, d: String) => CorpusOps.mixWeights(s, d)),
     "q112_mix_apply" -> CorpusOps.mixApply _,
+    "q117_mix_admit" -> CorpusOps.mixAdmit _,
     "q113_curated_compact" -> CorpusOps.curatedCompact _,
     "q114_index_compact" -> SimilaritySearch.indexCompact _,
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
@@ -1159,6 +1160,30 @@ object SparkEntry {
         |WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000
         |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // q117: the q112 admission chain at DOC level (same CTE fragments,
+    // final select per admitted doc instead of the per-source rollup)
+    "q117_mix_admit" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
+        |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
+        |mix AS (
+        |  SELECT source,
+        |    round(least(1.0,
+        |      CAST(CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
+        |        / n_tokens), 6) AS rate
+        |  FROM w, t),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, d.n_tok
+        |FROM d JOIN mix ON d.source = mix.source
+        |WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000
+        |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
     // contributions rounded to 8dp and summed as DECIMAL so the
     // score is term-order-independent in both engines

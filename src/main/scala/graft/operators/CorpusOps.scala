@@ -508,16 +508,8 @@ object CorpusOps {
     * is REAL (rates < 1) at the sf0.01 gate and above; the fill
     * ratio divides two already-exact longs, so the oracle chain
     * stays IEEE-identical. */
-  def mixApply(spark: SparkSession, dir: String): DataFrame = {
-    val rates = mixWeights(spark, dir, budget = 10000L)
-      .select(col("source"), col("token_target"), col("rate"))
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"),
-        TextFns.tokenCount(col("text")).as("n_tok"))
-      .join(broadcast(rates), Seq("source"))
-      .withColumn("pr",
-        pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 1000000L)
-      .filter(col("pr") < floor(col("rate") * 1000000.0).cast("long"))
+  def mixApply(spark: SparkSession, dir: String): DataFrame =
+    mixAdmitDocs(Tables.documents(spark, dir), mixRates(spark, dir))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs_sampled"),
         sum(col("n_tok")).as("n_tokens_sampled"),
@@ -526,7 +518,39 @@ object CorpusOps {
         round(col("n_tokens_sampled").cast("double") /
           col("token_target"), 3))
       .orderBy(col("source"))
-  }
+
+  /** q111's plan at the q112 budget, slimmed to the columns the
+    * admission rule consumes (shared by q112, q117 and the ingest
+    * stream). */
+  private[graft] def mixRates(spark: SparkSession, dir: String): DataFrame =
+    mixWeights(spark, dir, budget = 10000L)
+      .select(col("source"), col("token_target"), col("rate"))
+
+  /** THE per-doc mix-admission rule, in one place (shared-rule
+    * discipline): row-local token count, broadcast join against the
+    * |sources|-row rate table, q78-family hash admission. Pure
+    * row-local projection + stream-static broadcast join → runs
+    * unchanged on a streaming doc frame (the q83 pattern). */
+  private[graft] def mixAdmitDocs(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tok"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("pr",
+        pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 1000000L)
+      .filter(col("pr") < floor(col("rate") * 1000000.0).cast("long"))
+
+  /** q117: the mix admission at DOC level — the training-shard
+    * manifest q112 only reports on (which docs, with their token
+    * counts, make the τ-mix cut). Doc-level view of the SAME shared
+    * rule, so the q112 rollup and this manifest cannot drift; the
+    * ingest-stream twin (StreamOps.mixSampleStream) runs the
+    * identical rule on arriving docs. One corpus scan, no
+    * shuffle after the broadcast join (the ORDER BY is presentation
+    * only). */
+  def mixAdmit(spark: SparkSession, dir: String): DataFrame =
+    mixAdmitDocs(Tables.documents(spark, dir), mixRates(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .orderBy(col("doc_id"))
 
   /** Per-(session, corpus) bootstrap+append layout registry (q109). */
   private val appendDirCache =

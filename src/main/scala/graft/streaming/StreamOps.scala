@@ -585,16 +585,11 @@ object StreamOps {
     graft.operators.CorpusOps.mixWeights(spark, storeDir, budget = 1000L)
       .select(col("source"), col("rate"))
 
-  private def mixSample(docs: DataFrame, rates: DataFrame): DataFrame = {
-    import graft.operators.CorpusOps
-    docs.select(col("doc_id"), col("source"))
-      .join(broadcast(rates), Seq("source"))
-      .withColumn("pr",
-        pmod(col("doc_id") * CorpusOps.SampleHashC,
-          lit(CorpusOps.SampleHashP)) % 1000000L)
-      .filter(col("pr") < floor(col("rate") * 1000000.0).cast("long"))
+  private def mixSample(docs: DataFrame, rates: DataFrame): DataFrame =
+    // THE shared admission rule (also q112's rollup input and q117's
+    // manifest) — one def, per the shared-rule discipline
+    graft.operators.CorpusOps.mixAdmitDocs(docs, rates)
       .select(col("doc_id"), col("source"))
-  }
 
   /** Batch twin of [[minhashCandidateStream]]: same row-local band
     * keys, bucket representative = min doc id, one candidate row per
