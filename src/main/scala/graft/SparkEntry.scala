@@ -69,6 +69,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("vec_b"))),
     "q35_dedup_clusters" -> Dedup.clusters _,
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
+    "q116_knn_sq8" -> SimilaritySearch.knnSq8 _,
     "q41_knn_ivf" -> ((s: SparkSession, d: String) => SimilaritySearch.knnIvf(s, d)),
     "q42_dim_reduction" -> SimilaritySearch.dimReduction _,
     "q67_knn_pq" -> SimilaritySearch.knnPq _,
@@ -759,6 +760,40 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+    // q116: SQ8 is deterministic arithmetic (per-dim min/max bounds +
+    // floor-rounding), so unlike the trained-quantizer ANN variants it
+    // joins the oracle gate: DuckDB reconstructs the same quantized
+    // vectors and the cosine/rank chain is q40's verified fragment
+    "q116_knn_sq8" ->
+      """WITH d AS (
+        |  SELECT CAST(generate_subscripts(embedding,1) AS INT) AS dim, unnest(embedding) AS x
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS mns,
+        |         list(CAST(mx AS DOUBLE) ORDER BY dim) AS mxs
+        |  FROM (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim)),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding)+1), i ->
+        |      CASE WHEN s.mxs[i] = s.mns[i] THEN s.mns[i]
+        |        ELSE s.mns[i] + floor((CAST(embedding[i] AS DOUBLE) - s.mns[i]) / (s.mxs[i] - s.mns[i]) * 255 + 0.5)
+        |             * (s.mxs[i] - s.mns[i]) / 255 END) AS dq
+        |  FROM embeddings, s),
+        |n AS (
+        |  SELECT vec_id, dq,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(len(dq)), i -> dq[i+1] * dq[i+1])), (acc,v) -> acc + v)) AS nrm
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, dq AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |c AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(len(n.dq)), i -> n.dq[i+1] * q.qv[i+1])), (acc,v) -> acc + v)
+        |      / (n.nrm * q.qnrm), 6) AS cosine
+        |  FROM n, q WHERE n.vec_id != q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank" FROM c)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "q42_dim_reduction" ->
       """WITH u AS (
         |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,

