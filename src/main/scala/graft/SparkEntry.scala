@@ -49,6 +49,7 @@ object SparkEntry {
     "q25_langid" -> TextOps.langId _,
     "q26_fingerprint" -> TextOps.fingerprint _,
     "q27_bpe_tokens" -> TextOps.bpeTokens _,
+    "q115_bpe_train" -> TextOps.bpeTrain _,
     "q72_gopher_rules" -> TextOps.gopherRules _,
     "q73_repetition" -> TextOps.repetition _,
     "q30_dedup_exact" -> Dedup.exact _,
@@ -638,6 +639,10 @@ object SparkEntry {
         |c AS (SELECT fp, COUNT(*) AS cluster_size FROM f GROUP BY fp)
         |SELECT f.doc_id, f.fp, c.cluster_size
         |FROM f JOIN c USING (fp) ORDER BY doc_id""".stripMargin,
+    // q115: the oracle SQL is GENERATED from the operator's own
+    // constants (TextOps.bpeOracleSql) — k unrolled pair-count/argmax/
+    // merge CTE blocks; every merge decision is value-checked
+    "q115_bpe_train" -> TextOps.bpeOracleSql,
     "q27_bpe_tokens" ->
       """WITH d AS (
         |  SELECT source,

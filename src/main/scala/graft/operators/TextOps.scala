@@ -18,6 +18,136 @@ object TextOps {
 
   private def toks = TextFns.tokens(col("text"))
 
+  /** Merge steps q115 trains (shared with the generated oracle SQL —
+    * the lever-(a) discipline: one constant, two engines). */
+  private[graft] val BpeSteps = 8
+
+  /** Trained merge tables are scalar-sized (BpeSteps rows) →
+    * collected-rows registry entries (the q107 pattern): immune to
+    * clearCache, never re-fit warm. */
+  private val bpeCache = graft.SessionRegistry
+    .cache[(SparkSession, String), Seq[(Long, String, String, Long)]]()
+
+  /** q115: BPE MERGE-RULE TRAINING — the tokenizer-training step of
+    * an LLM data pipeline (Sennrich et al. 2016; the reference's
+    * train_dictionary.py builds the analogous vocabulary artifact for
+    * its gensim stack). Classic corpus-level BPE: each word becomes a
+    * char-symbol sequence with a `</w>` end marker, and each step
+    * merges the (count-max, tie-break lexicographic) adjacent symbol
+    * pair across the corpus, counts weighted by word frequency.
+    *
+    * Scale shape: the ONLY corpus-sized stage is the first word-count
+    * scan; everything after runs on the VOCAB table (bounded — ~1M
+    * rows at web scale), repartition(1)'d per the tiny-input rule so
+    * the 2×BpeSteps jobs don't pay 32-task scheduling. Per step, one
+    * bounded argmax row is collected (scheduler-metadata-sized driver
+    * work, the q98/q99 class) and re-enters the plan as literals in
+    * the merge-apply lambda. The greedy left-to-right merge is a fold
+    * over the symbol array — interpreted HOF, acceptable off the
+    * corpus path — and the SAME fold, token-for-token, is what the
+    * generated DuckDB oracle runs (bpeOracleSql), so the whole
+    * trainer is ORACLE-GATED: selection, tie-breaks, and application
+    * cannot drift between engines.
+    *
+    * Output: (step, pair, merged, pair_count) — the merge table a
+    * tokenizer ships as its vocab artifact. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rows = bpeCache.getOrElseUpdate((spark, dir), {
+      var vocab = Tables.documents(spark, dir)
+        .select(explode(toks).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(concat(concat_ws(" ",
+            filter(split(col("word"), ""), c => length(c) > 0)),
+          lit(" </w>")).as("sym"), col("freq"))
+        .repartition(1)
+        .persist()
+      vocab.count()
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var step = 1
+      var exhausted = false
+      while (step <= BpeSteps && !exhausted) {
+        val s = split(col("sym"), " ")
+        val best = vocab
+          .select(explode(transform(sequence(lit(0), size(s) - 2),
+            j => concat(element_at(s, j + 1), lit(" "), element_at(s, j + 2))))
+            .as("pr"), col("freq"))
+          .groupBy(col("pr")).agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pr"))
+          .limit(1).collect().headOption
+        best match {
+          case None => exhausted = true // every word fully merged
+          case Some(row) =>
+            val pr = row.getString(0)
+            val Array(a, b) = pr.split(" ", 2)
+            merges += ((step.toLong, pr, a + b, row.getLong(1)))
+            val next = vocab
+              .select(bpeMergeFold(col("sym"), a, b, a + b).as("sym"), col("freq"))
+              .persist()
+            next.count()
+            vocab.unpersist()
+            vocab = next
+        }
+        step += 1
+      }
+      vocab.unpersist()
+      merges.toSeq
+    })
+    import spark.implicits._
+    rows.toDF("step", "pair", "merged", "pair_count").orderBy(col("step"))
+  }
+
+  /** Greedy left-to-right single-rule merge over a space-joined
+    * symbol string: fold symbols, merging when the accumulated tail
+    * symbol is `a` and the incoming one is `b`. A just-merged `ab`
+    * tail never re-merges (it no longer equals `a`), which is exactly
+    * the one-pass BPE application order. Mirrored token-for-token by
+    * the oracle's list_reduce lambda. */
+  private def bpeMergeFold(sym: org.apache.spark.sql.Column, a: String,
+      b: String, ab: String): org.apache.spark.sql.Column =
+    aggregate(split(sym, " "), lit(""),
+      (acc, v) =>
+        when(acc === "", v)
+          .when((acc === a || acc.endsWith(" " + a)) && v === b,
+            when(acc === a, lit(ab))
+              .otherwise(concat(
+                acc.substr(lit(1), length(acc) - lit(a.length + 1)),
+                lit(" " + ab))))
+          .otherwise(concat(acc, lit(" "), v)))
+
+  /** The q115 oracle, GENERATED from the same constants the operator
+    * runs (BpeSteps, the symbolization, the fold): k unrolled
+    * (pair-count → argmax → merge-apply) CTE blocks. Hash-matching
+    * this SQL value-checks every merge decision the trainer made. */
+  private[graft] def bpeOracleSql: String = {
+    val mergeLambda =
+      "list_reduce(string_split(sym,' '), (acc,v) -> " +
+        "CASE WHEN (acc = split_part(pr,' ',1) OR ends_with(acc, ' ' || split_part(pr,' ',1))) " +
+        "AND v = split_part(pr,' ',2) " +
+        "THEN CASE WHEN acc = split_part(pr,' ',1) THEN replace(pr,' ','') " +
+        "ELSE left(acc, len(acc)-len(split_part(pr,' ',1))-1) || ' ' || replace(pr,' ','') END " +
+        "ELSE acc || ' ' || v END)"
+    val blocks = scala.collection.mutable.ArrayBuffer(
+      """v0 AS (
+        |  SELECT array_to_string(string_split(word,''), ' ') || ' </w>' AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  GROUP BY 1)""".stripMargin)
+    for (i <- 1 to BpeSteps) {
+      blocks += s"""p$i AS (
+        |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(string_split(sym,' '))),
+        |      j -> string_split(sym,' ')[j] || ' ' || string_split(sym,' ')[j+1])) AS pr, freq
+        |    FROM v${i - 1}) GROUP BY pr)""".stripMargin
+      blocks += s"b$i AS (SELECT pr, c FROM p$i ORDER BY c DESC, pr LIMIT 1)"
+      blocks += s"v$i AS (SELECT $mergeLambda AS sym, freq FROM v${i - 1}, b$i)"
+    }
+    val union = (1 to BpeSteps)
+      .map(i => s"SELECT $i AS step, pr AS pair, replace(pr,' ','') AS merged, c AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    "WITH " + blocks.mkString(",\n") +
+      s"\nSELECT CAST(step AS BIGINT) AS step, pair, merged, pair_count FROM ($union) ORDER BY step"
+  }
+
   /** Per-language token statistics. No explode: token counts are
     * array lengths computed row-local, then a tiny groupBy on lang. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
