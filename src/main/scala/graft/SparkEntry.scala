@@ -50,6 +50,7 @@ object SparkEntry {
     "q26_fingerprint" -> TextOps.fingerprint _,
     "q27_bpe_tokens" -> TextOps.bpeTokens _,
     "q115_bpe_train" -> TextOps.bpeTrain _,
+    "q118_bpe_encode" -> TextOps.bpeEncode _,
     "q72_gopher_rules" -> TextOps.gopherRules _,
     "q73_repetition" -> TextOps.repetition _,
     "q30_dedup_exact" -> Dedup.exact _,
@@ -643,6 +644,9 @@ object SparkEntry {
     // constants (TextOps.bpeOracleSql) — k unrolled pair-count/argmax/
     // merge CTE blocks; every merge decision is value-checked
     "q115_bpe_train" -> TextOps.bpeOracleSql,
+    // q118: the same generated chain carrying word through the merge
+    // CTEs, closed by the corpus join — train + apply value-checked
+    "q118_bpe_encode" -> TextOps.bpeEncodeOracleSql,
     "q27_bpe_tokens" ->
       """WITH d AS (
         |  SELECT source,

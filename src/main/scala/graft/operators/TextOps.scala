@@ -114,18 +114,89 @@ object TextOps {
                 lit(" " + ab))))
           .otherwise(concat(acc, lit(" "), v)))
 
+  /** q118: THE TRAINED TOKENIZER APPLIED — per-source subword
+    * compression stats under q115's merge table. The scale-correct
+    * apply never tokenizes corpus text directly: the 8 merge folds
+    * run once per VOCAB word (bounded table, the only place the
+    * interpreted fold executes), and the corpus explode joins the
+    * broadcast word→piece-count map — one scan, row-local, no
+    * per-occurrence re-encoding. pieces_per_word divides two exact
+    * longs (identical IEEE both engines). Piece counts include the
+    * `</w>` end marker's symbol. Oracle: the q115 generated chain
+    * carrying `word` through the merge CTEs (bpeEncodeOracleSql) —
+    * training AND application value-checked end to end. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .distinct()
+      .select(col("word"), concat(concat_ws(" ",
+          filter(split(col("word"), ""), c => length(c) > 0)),
+        lit(" </w>")).as("sym"))
+      .repartition(1)
+    merges.foreach { case (pr, ab) =>
+      val Array(a, b) = pr.split(" ", 2)
+      vocab = vocab.select(col("word"), bpeMergeFold(col("sym"), a, b, ab).as("sym"))
+    }
+    val pieces = vocab.select(col("word"),
+      size(split(col("sym"), " ")).cast("long").as("n_pieces"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("word"))
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** The q118 oracle: q115's generated chain with `word` carried
+    * through every merge CTE, closed by the corpus join + rollup. */
+  private[graft] def bpeEncodeOracleSql: String = {
+    val mergeLambda = bpeMergeLambdaSql
+    val blocks = scala.collection.mutable.ArrayBuffer(
+      """v0 AS (
+        |  SELECT word, array_to_string(string_split(word,''), ' ') || ' </w>' AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  GROUP BY 1)""".stripMargin)
+    for (i <- 1 to BpeSteps) {
+      blocks += s"""p$i AS (
+        |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(string_split(sym,' '))),
+        |      j -> string_split(sym,' ')[j] || ' ' || string_split(sym,' ')[j+1])) AS pr, freq
+        |    FROM v${i - 1}) GROUP BY pr)""".stripMargin
+      blocks += s"b$i AS (SELECT pr, c FROM p$i ORDER BY c DESC, pr LIMIT 1)"
+      blocks += s"v$i AS (SELECT word, $mergeLambda AS sym, freq FROM v${i - 1}, b$i)"
+    }
+    "WITH " + blocks.mkString(",\n") + s"""
+      |, enc AS (SELECT word, CAST(len(string_split(sym,' ')) AS BIGINT) AS n_pieces FROM v$BpeSteps),
+      |d AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(enc.n_pieces) AS BIGINT) AS n_pieces,
+      |  round(CAST(CAST(SUM(enc.n_pieces) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE), 6) AS pieces_per_word
+      |FROM d JOIN enc ON d.word = enc.word
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
+  /** The shared merge-apply lambda fragment of both generated
+    * oracles. */
+  private def bpeMergeLambdaSql: String =
+    "list_reduce(string_split(sym,' '), (acc,v) -> " +
+      "CASE WHEN (acc = split_part(pr,' ',1) OR ends_with(acc, ' ' || split_part(pr,' ',1))) " +
+      "AND v = split_part(pr,' ',2) " +
+      "THEN CASE WHEN acc = split_part(pr,' ',1) THEN replace(pr,' ','') " +
+      "ELSE left(acc, len(acc)-len(split_part(pr,' ',1))-1) || ' ' || replace(pr,' ','') END " +
+      "ELSE acc || ' ' || v END)"
+
   /** The q115 oracle, GENERATED from the same constants the operator
     * runs (BpeSteps, the symbolization, the fold): k unrolled
     * (pair-count → argmax → merge-apply) CTE blocks. Hash-matching
     * this SQL value-checks every merge decision the trainer made. */
   private[graft] def bpeOracleSql: String = {
-    val mergeLambda =
-      "list_reduce(string_split(sym,' '), (acc,v) -> " +
-        "CASE WHEN (acc = split_part(pr,' ',1) OR ends_with(acc, ' ' || split_part(pr,' ',1))) " +
-        "AND v = split_part(pr,' ',2) " +
-        "THEN CASE WHEN acc = split_part(pr,' ',1) THEN replace(pr,' ','') " +
-        "ELSE left(acc, len(acc)-len(split_part(pr,' ',1))-1) || ' ' || replace(pr,' ','') END " +
-        "ELSE acc || ' ' || v END)"
+    val mergeLambda = bpeMergeLambdaSql
     val blocks = scala.collection.mutable.ArrayBuffer(
       """v0 AS (
         |  SELECT array_to_string(string_split(word,''), ' ') || ' </w>' AS sym,
