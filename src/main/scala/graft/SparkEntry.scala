@@ -133,6 +133,7 @@ object SparkEntry {
     "q114_index_compact" -> SimilaritySearch.indexCompact _,
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
+    "q119_span_dedup" -> CorpusOps.spanDedup _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
     "q96_ccnet_admission" -> CorpusOps.ccnetAdmission _,
     "q97_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitterGrams(s, d)),
@@ -647,6 +648,10 @@ object SparkEntry {
     // q118: the same generated chain carrying word through the merge
     // CTEs, closed by the corpus join — train + apply value-checked
     "q118_bpe_encode" -> TextOps.bpeEncodeOracleSql,
+    // q119: generated from CorpusOps.SpanK — Lee-et-al-style exact
+    // substring-span dedup; coverage, cut counts, and the reassembled
+    // clean_text all value-checked
+    "q119_span_dedup" -> CorpusOps.spanDedupOracleSql,
     "q27_bpe_tokens" ->
       """WITH d AS (
         |  SELECT source,

@@ -1007,4 +1007,89 @@ object CorpusOps {
         round(col("doc_nll").cast("double"), 6).as("doc_nll"), col("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  /** Span-dedup gram width: a token position is removed when it is
+    * covered by a SpanK-gram that also occurs in another document
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" ExactSubstr semantics, at token granularity with
+    * a cross-document-only rule; their suffix-array threshold of 50
+    * BPE tokens scales down to 8 words for this ~50-token corpus).
+    * The oracle SQL is GENERATED from this constant, so operator and
+    * oracle cannot drift (CLAUDE.md promote-to-oracle lever a). */
+  private[graft] val SpanK = 8
+
+  /** q119: exact substring-span dedup — the third dedup granularity
+    * next to whole-doc (q30) and chunk (q81): every token position
+    * covered by a SpanK-gram occurring in ≥2 distinct docs is cut,
+    * and the doc is reassembled from the surviving tokens in order.
+    * Scale shape: grams are row-local codegen (WordNGrams with
+    * positions via posexplode — no self-join, no suffix array); the
+    * duplicated-gram table is one gram-keyed partial-agg shuffle;
+    * cover positions travel back as GRAM-START lists per doc (≤ dup
+    * grams per doc, k× smaller than exploded positions) and expand
+    * row-local (flatten∘transform∘sequence); the rewrite itself is a
+    * row-local indexed filter — the corpus is never joined to
+    * itself. DuckDB mirrors with 1-based toks[i] slices (verified
+    * q76 fragment) — each engine's coverage set is self-consistent,
+    * and the reassembled text + counts are engine-independent. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"),
+      posexplode(WordNGrams(toks, k, distinct = false)).as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val covStarts = grams.join(dup, Seq("g"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
+    docs.join(covStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("t"),
+        coalesce(
+          array_distinct(flatten(transform(col("starts"),
+            s => sequence(s, s + lit(k - 1))))),
+          array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        array_join(
+          filter(col("t"), (w, i) => !array_contains(col("cov"), i)),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q119 oracle, generated from [[SpanK]]: the verified q76
+    * 1-based toks[i] gram fragment at width k, df≥2 over distinct
+    * docs, k-offset coverage expansion, anti-join rewrite with an
+    * ordered string_agg. */
+  private[graft] def spanDedupOracleSql: String = {
+    val k = SpanK
+    val gram = (0 until k).map {
+      case 0 => "toks[CAST(i AS BIGINT)]"
+      case j => s"toks[CAST(i AS BIGINT)+$j]"
+    }.mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, $gram AS g
+       |  FROM t, UNNEST(range(1, len(toks)-${k - 2})) AS u(i)),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + CAST(off AS BIGINT) AS pos
+       |  FROM g JOIN dup USING (g), UNNEST(range(0, $k)) AS o(off)),
+       |tok AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[CAST(p AS BIGINT)] AS w
+       |  FROM t, UNNEST(range(1, len(toks)+1)) AS u(p)),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.pos, tok.w
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  WHERE cov.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(w, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_removed,
+       |  COALESCE(agg.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 }
