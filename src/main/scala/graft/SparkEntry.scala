@@ -51,6 +51,7 @@ object SparkEntry {
     "q27_bpe_tokens" -> TextOps.bpeTokens _,
     "q115_bpe_train" -> TextOps.bpeTrain _,
     "q118_bpe_encode" -> TextOps.bpeEncode _,
+    "q121_pmi_collocations" -> TextOps.pmiCollocations _,
     "q72_gopher_rules" -> TextOps.gopherRules _,
     "q73_repetition" -> TextOps.repetition _,
     "q30_dedup_exact" -> Dedup.exact _,
@@ -72,6 +73,7 @@ object SparkEntry {
     "q35_dedup_clusters" -> Dedup.clusters _,
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
     "q116_knn_sq8" -> SimilaritySearch.knnSq8 _,
+    "q120_range_search" -> ((s: SparkSession, d: String) => SimilaritySearch.rangeSearch(s, d)),
     "q41_knn_ivf" -> ((s: SparkSession, d: String) => SimilaritySearch.knnIvf(s, d)),
     "q42_dim_reduction" -> SimilaritySearch.dimReduction _,
     "q67_knn_pq" -> SimilaritySearch.knnPq _,
@@ -648,6 +650,9 @@ object SparkEntry {
     // q118: the same generated chain carrying word through the merge
     // CTEs, closed by the corpus join — train + apply value-checked
     "q118_bpe_encode" -> TextOps.bpeEncodeOracleSql,
+    // q121: generated from TextOps' PMI constants — skip-gram pair
+    // counts, broadcast unigram joins, one double chain, round-then-rank
+    "q121_pmi_collocations" -> TextOps.pmiOracleSql,
     // q119: generated from CorpusOps.SpanK — Lee-et-al-style exact
     // substring-span dedup; coverage, cut counts, and the reassembled
     // clean_text all value-checked
@@ -774,6 +779,29 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, neighbor_id, cosine, "rank" FROM r WHERE "rank" <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+    // q120: q40's verified cosine fragment with a radius cut in place
+    // of the top-k; exact, so the radius variant stays oracle-gated
+    "q120_range_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(len(embedding)),
+        |        i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+        |      (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+        |c AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(len(e.embedding)),
+        |          i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))),
+        |        (acc, v) -> acc + v) / (e.nrm * q.qnrm), 6) AS cosine
+        |  FROM e, q WHERE e.vec_id != q.query_id),
+        |h AS (SELECT query_id, neighbor_id, cosine FROM c WHERE cosine >= 0.3)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+        |FROM h ORDER BY query_id, "rank"""".stripMargin,
     // q116: SQ8 is deterministic arithmetic (per-dim min/max bounds +
     // floor-rounding), so unlike the trained-quantizer ANN variants it
     // joins the oracle gate: DuckDB reconstructs the same quantized

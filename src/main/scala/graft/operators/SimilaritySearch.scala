@@ -62,6 +62,34 @@ object SimilaritySearch {
     topKSelect(scored, 5)
   }
 
+  /** q120: exact cosine RANGE search (radius τ instead of top-k) —
+    * the all-neighbors-within-threshold serving primitive (near-dup
+    * audits, "everything similar to this banned doc"). Same scale
+    * shape as q40: the bounded query set broadcasts, the corpus is
+    * streamed once map-side and NEVER shuffled — only the τ-passing
+    * survivors (output-sized, not corpus-sized) reach the final
+    * sort. rank materializes per query AFTER the cut, so the window
+    * sorts hits, not candidates. Unlike the ANN variants this is
+    * exact, so it joins the oracle gate on q40's verified cosine
+    * fragment with a WHERE in place of the top-k. */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embWithNorm(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Shared bounded top-k selection + rank materialization. */
   private[operators] def topKSelect(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))

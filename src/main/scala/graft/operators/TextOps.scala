@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.plans.RollingHash
+import graft.plans.{RollingHash, SkipGramPairs}
 
 /** Text-analysis operator block — the Spark-native re-expression of
   * the reference's dictionary/TF-IDF stack
@@ -526,5 +526,87 @@ object TextOps {
       .agg(sum(col("w")).as("est_count"))
       .orderBy(col("est_count").desc, col("g"))
       .limit(topN)
+  }
+
+  /** q121 constants; the oracle SQL is generated from these (lever a:
+    * window/min-count/top-k cannot drift between engines). */
+  private[graft] val PmiWindow = 3
+  private[graft] val PmiMinCount = 5
+  private[graft] val PmiTopK = 50
+
+  /** q121: PMI collocation mining (Church & Hanks 1990) — the corpus
+    * statistic behind word2vec window co-occurrence and phrase
+    * detection (word2phrase): for unordered token pairs within a
+    * ±PmiWindow skip-gram window, pmi = ln(p(ab)/(p(a)p(b))) from
+    * exact corpus counts; top-PmiTopK by (rounded) PMI among pairs
+    * seen ≥ PmiMinCount times. Scale shape: pair generation is the
+    * row-local codegen [[SkipGramPairs]] loop (never a positional
+    * self-join); pair counting is one partial-agg shuffle; the
+    * unigram table is vocab-bounded so both count joins broadcast;
+    * N/P totals are row-local array lengths summed into one scalar
+    * row, cross-joined broadcast. The single-partition rank window
+    * runs on the ≥MinCount survivors — vocab²-bounded, not
+    * corpus-bounded. Float parity: counts are exact longs, the PMI
+    * ratio is one left-to-right double chain in both engines, and
+    * rounding precedes ranking (CLAUDE.md float rules; ln() 1-ulp
+    * risk absorbed by round(,6) as in q89's BM25). */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairCol = SkipGramPairs(toks, PmiWindow)
+    val cab = docs.select(explode(pairCol).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val totals = docs.agg(
+      sum(size(toks)).cast("long").as("n_tok"),
+      sum(size(pairCol)).cast("long").as("n_pairs"))
+    cab.filter(col("n_pair") >= PmiMinCount)
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") * col("n_tok").cast("double") * col("n_tok").cast("double")) /
+          (col("n_pairs").cast("double") * col("n_a").cast("double") * col("n_b").cast("double"))), 6))
+      .select(col("pair"), col("n_pair"), col("pmi"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= PmiTopK)
+      .orderBy(col("rank"))
+  }
+
+  /** The q121 oracle, generated from the same constants. */
+  private[graft] def pmiOracleSql: String = {
+    val w = PmiWindow
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |p AS (
+       |  SELECT least(toks[CAST(i AS BIGINT)], toks[CAST(i AS BIGINT)+CAST(j AS BIGINT)])
+       |    || ' ' ||
+       |    greatest(toks[CAST(i AS BIGINT)], toks[CAST(i AS BIGINT)+CAST(j AS BIGINT)]) AS pair
+       |  FROM t, UNNEST(range(1, len(toks)+1)) AS u(i), UNNEST(range(1, $w+1)) AS v(j)
+       |  WHERE i + j <= len(toks)),
+       |cab AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair FROM p GROUP BY 1),
+       |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+       |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs FROM t),
+       |s AS (
+       |  SELECT cab.pair, cab.n_pair,
+       |    round(ln(
+       |      (CAST(cab.n_pair AS DOUBLE) * CAST(tot.n_tok AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)) /
+       |      (CAST(tot.n_pairs AS DOUBLE) * CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE))), 6) AS pmi
+       |  FROM cab
+       |  JOIN uni a ON a.w = split_part(cab.pair, ' ', 1)
+       |  JOIN uni b ON b.w = split_part(cab.pair, ' ', 2)
+       |  CROSS JOIN tot
+       |  WHERE cab.n_pair >= $PmiMinCount),
+       |r AS (
+       |  SELECT pair, n_pair, pmi,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, pair) AS BIGINT) AS "rank"
+       |  FROM s)
+       |SELECT pair, n_pair, pmi, "rank" FROM r WHERE "rank" <= $PmiTopK ORDER BY "rank"""".stripMargin
   }
 }
