@@ -52,6 +52,7 @@ object SparkEntry {
     "q115_bpe_train" -> TextOps.bpeTrain _,
     "q118_bpe_encode" -> TextOps.bpeEncode _,
     "q121_pmi_collocations" -> TextOps.pmiCollocations _,
+    "q122_keyness" -> TextOps.keyness _,
     "q72_gopher_rules" -> TextOps.gopherRules _,
     "q73_repetition" -> TextOps.repetition _,
     "q30_dedup_exact" -> Dedup.exact _,
@@ -653,6 +654,9 @@ object SparkEntry {
     // q121: generated from TextOps' PMI constants — skip-gram pair
     // counts, broadcast unigram joins, one double chain, round-then-rank
     "q121_pmi_collocations" -> TextOps.pmiOracleSql,
+    // q122: generated G² keyness chain — four CASE-guarded double
+    // terms, broadcast joins, round-then-rank per source
+    "q122_keyness" -> TextOps.keynessOracleSql,
     // q119: generated from CorpusOps.SpanK — Lee-et-al-style exact
     // substring-span dedup; coverage, cut counts, and the reassembled
     // clean_text all value-checked

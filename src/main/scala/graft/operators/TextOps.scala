@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -608,5 +608,93 @@ object TextOps {
        |    CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, pair) AS BIGINT) AS "rank"
        |  FROM s)
        |SELECT pair, n_pair, pmi, "rank" FROM r WHERE "rank" <= $PmiTopK ORDER BY "rank"""".stripMargin
+  }
+
+  /** q122 per-source keyness depth; oracle generated from it. */
+  private[graft] val KeynessTopK = 10
+
+  /** q122: corpus keyness — per-source distinctive vocabulary by
+    * Dunning's G² log-likelihood ratio (Dunning 1993), the
+    * significance-based complement to q22's raw frequencies and
+    * q24's TF-IDF weighting: for each (source, word) 2×2 contingency
+    * cell {in-source, elsewhere} × {word, other}, G² = 2·Σ k·ln(k·N /
+    * (R·C)), restricted to overrepresented words (a/Ns > cw/N), top
+    * KeynessTopK per source. The domain-mix diagnostic a 100 TB
+    * curation run reads per ingest source. Scale shape: one
+    * (source, word)-keyed partial-agg shuffle for the cell counts;
+    * the global word table and per-source totals are vocab-/
+    * source-bounded → broadcast joins; the rank window partitions by
+    * source over ≤vocab rows. Float parity: all four cells are exact
+    * longs; each engine walks the identical four-term double chain
+    * (0-cells short-circuit to 0 by CASE, never reach ln), rounds,
+    * then ranks; the overrepresentation cut compares exact-valued
+    * doubles (<2^53). */
+  def keyness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val cells = docs.select(col("source"), explode(toks).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("a"))
+    val wordTot = cells.groupBy(col("w")).agg(sum(col("a")).as("cw"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("a")).as("ns"))
+    val nTot = cells.agg(sum(col("a")).as("n"))
+    def term(k: Column, r: Column, c: Column, n: Column): Column =
+      when(k === 0, lit(0.0)).otherwise(
+        k.cast("double") * log(k.cast("double") * n.cast("double") /
+          (r.cast("double") * c.cast("double"))))
+    val scored = cells
+      .join(broadcast(wordTot), Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .filter(col("a").cast("double") * col("n").cast("double") >
+        col("cw").cast("double") * col("ns").cast("double"))
+      .withColumn("k12", col("cw") - col("a"))
+      .withColumn("k21", col("ns") - col("a"))
+      .withColumn("k22", col("n") - col("ns") - col("cw") + col("a"))
+      .withColumn("g2", round(lit(2.0) * (
+        term(col("a"), col("cw"), col("ns"), col("n")) +
+          term(col("k12"), col("cw"), col("n") - col("ns"), col("n")) +
+          term(col("k21"), col("n") - col("cw"), col("ns"), col("n")) +
+          term(col("k22"), col("n") - col("cw"), col("n") - col("ns"), col("n"))), 6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("g2").desc, col("w"))).cast("long"))
+      .filter(col("rank") <= KeynessTopK)
+      .select(col("source"), col("w").as("term"), col("a").as("n_in_source"),
+        col("g2"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** The q122 oracle, generated from [[KeynessTopK]] — the identical
+    * four-term G² chain with CASE-guarded zero cells. */
+  private[graft] def keynessOracleSql: String = {
+    def term(k: String, r: String, c: String): String =
+      s"CASE WHEN $k = 0 THEN 0.0 ELSE CAST($k AS DOUBLE) * ln(CAST($k AS DOUBLE) * CAST(n AS DOUBLE) / (CAST($r AS DOUBLE) * CAST($c AS DOUBLE))) END"
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       |cells AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM t GROUP BY 1, 2),
+       |wt AS (SELECT w, CAST(SUM(a) AS BIGINT) AS cw FROM cells GROUP BY 1),
+       |st AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM cells GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM cells),
+       |k AS (
+       |  SELECT cells.source, cells.w, cells.a, wt.cw, st.ns, nt.n,
+       |    wt.cw - cells.a AS k12, st.ns - cells.a AS k21,
+       |    nt.n - st.ns - wt.cw + cells.a AS k22
+       |  FROM cells JOIN wt USING (w) JOIN st USING (source) CROSS JOIN nt
+       |  WHERE CAST(cells.a AS DOUBLE) * CAST(nt.n AS DOUBLE) >
+       |        CAST(wt.cw AS DOUBLE) * CAST(st.ns AS DOUBLE)),
+       |s AS (
+       |  SELECT source, w, a,
+       |    round(2.0 * (
+       |      ${term("a", "cw", "ns")} +
+       |      ${term("k12", "cw", "n - ns")} +
+       |      ${term("k21", "n - cw", "ns")} +
+       |      ${term("k22", "n - cw", "n - ns")}), 6) AS g2
+       |  FROM k),
+       |r AS (
+       |  SELECT source, w AS term, a AS n_in_source, g2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY g2 DESC, w) AS BIGINT) AS "rank"
+       |  FROM s)
+       |SELECT source, term, n_in_source, g2, "rank" FROM r WHERE "rank" <= $KeynessTopK
+       |ORDER BY source, "rank"""".stripMargin
   }
 }
