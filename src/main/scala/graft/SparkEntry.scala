@@ -137,6 +137,7 @@ object SparkEntry {
     "q93_minhash_lsh_exact" -> Dedup.minhashExact _,
     "q94_boilerplate" -> CorpusOps.boilerplate _,
     "q119_span_dedup" -> CorpusOps.spanDedup _,
+    "q123_incremental_span" -> CorpusOps.incrementalSpanDedup _,
     "q95_ccnet_buckets" -> CorpusOps.ccnetBuckets _,
     "q96_ccnet_admission" -> CorpusOps.ccnetAdmission _,
     "q97_heavy_hitters" -> ((s: SparkSession, d: String) => TextOps.heavyHitterGrams(s, d)),
@@ -661,6 +662,9 @@ object SparkEntry {
     // substring-span dedup; coverage, cut counts, and the reassembled
     // clean_text all value-checked
     "q119_span_dedup" -> CorpusOps.spanDedupOracleSql,
+    // q123: the q119 chain against the store gram set (steady-state
+    // scrub), generated from the same constants
+    "q123_incremental_span" -> CorpusOps.incrementalSpanOracleSql,
     "q27_bpe_tokens" ->
       """WITH d AS (
         |  SELECT source,

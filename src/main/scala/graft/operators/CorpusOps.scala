@@ -1042,11 +1042,20 @@ object CorpusOps {
       .filter(col("df") >= 2).select(col("g"))
     val covStarts = grams.join(dup, Seq("g"))
       .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
+    spanRewrite(docs, covStarts)
+  }
+
+  /** Shared q119/q123 rewrite: expand per-doc cover-START lists
+    * row-local (flatten∘transform∘sequence, k× cheaper on the wire
+    * than exploded positions) and cut the covered tokens with an
+    * indexed filter — one doc_id-keyed join, everything else
+    * row-local. */
+  private def spanRewrite(docs: DataFrame, covStarts: DataFrame): DataFrame =
     docs.join(covStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), toks.as("t"),
         coalesce(
           array_distinct(flatten(transform(col("starts"),
-            s => sequence(s, s + lit(k - 1))))),
+            s => sequence(s, s + lit(SpanK - 1))))),
           array().cast("array<int>")).as("cov"))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -1055,18 +1064,48 @@ object CorpusOps {
           filter(col("t"), (w, i) => !array_contains(col("cov"), i)),
           " ").as("clean_text"))
       .orderBy(col("doc_id"))
+
+  /** q123: INCREMENTAL span dedup — q119's scrub in steady state
+    * (the q86/q92/q96 division): arriving batch docs are cut against
+    * the STORE's gram set, never against themselves and never
+    * re-scanning the lake per batch. Any store occurrence is
+    * cross-document by construction, so the store side is the
+    * per-doc-distinct gram SET (no df threshold); the batch side
+    * keeps positions. The gram-keyed equi join is the only
+    * corpus-sized shuffle; AQE picks the strategy (the store-gram
+    * table grows with the lake — never broadcast it). The stream
+    * twin ([[graft.streaming.StreamOps.spanCoverStream]]) emits the
+    * same cover starts per arriving doc; parity asserted in
+    * MlStreamSpec. */
+  def incrementalSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val docs = Tables.documents(spark, dir)
+    val isBatch = batchPredicate()
+    val store = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val storeGrams = store.select(explode(WordNGrams(toks, k)).as("g")).distinct()
+    val covStarts = batch
+      .select(col("doc_id"),
+        posexplode(WordNGrams(toks, k, distinct = false)).as(Seq("pos", "g")))
+      .join(storeGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("starts"))
+    spanRewrite(batch, covStarts)
   }
 
   /** The q119 oracle, generated from [[SpanK]]: the verified q76
     * 1-based toks[i] gram fragment at width k, df≥2 over distinct
     * docs, k-offset coverage expansion, anti-join rewrite with an
     * ordered string_agg. */
+  /** Shared 1-based toks[i] gram chain of the generated span
+    * oracles. */
+  private def spanGramSql: String = (0 until SpanK).map {
+    case 0 => "toks[CAST(i AS BIGINT)]"
+    case j => s"toks[CAST(i AS BIGINT)+$j]"
+  }.mkString(" || ' ' || ")
+
   private[graft] def spanDedupOracleSql: String = {
     val k = SpanK
-    val gram = (0 until k).map {
-      case 0 => "toks[CAST(i AS BIGINT)]"
-      case j => s"toks[CAST(i AS BIGINT)+$j]"
-    }.mkString(" || ' ' || ")
+    val gram = spanGramSql
     s"""WITH t AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
        |g AS (
@@ -1091,5 +1130,45 @@ object CorpusOps {
        |  CAST(len(toks) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_removed,
        |  COALESCE(agg.clean_text, '') AS clean_text
        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q123 oracle: q119's chain with the store gram SET replacing
+    * the df≥2 table, generated from SpanK + the batch-residue
+    * constants. */
+  private[graft] def incrementalSpanOracleSql: String = {
+    val k = SpanK
+    val gram = spanGramSql
+    val res = PipelineConfig.default.batchResidue
+    val hash = s"((doc_id * $SampleHashC) % $SampleHashP) % 10"
+    s"""WITH tb AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE $hash = $res),
+       |ts AS (
+       |  SELECT string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE $hash <> $res),
+       |sg AS (
+       |  SELECT DISTINCT $gram AS g
+       |  FROM ts, UNNEST(range(1, len(toks)-${k - 2})) AS u(i)),
+       |bg AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, $gram AS g
+       |  FROM tb, UNNEST(range(1, len(toks)-${k - 2})) AS u(i)),
+       |cov AS (
+       |  SELECT DISTINCT bg.doc_id, bg.pos + CAST(off AS BIGINT) AS pos
+       |  FROM bg JOIN sg USING (g), UNNEST(range(0, $k)) AS o(off)),
+       |tok AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[CAST(p AS BIGINT)] AS w
+       |  FROM tb, UNNEST(range(1, len(toks)+1)) AS u(p)),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.pos, tok.w
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  WHERE cov.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(w, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY 1)
+       |SELECT tb.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_removed,
+       |  COALESCE(agg.clean_text, '') AS clean_text
+       |FROM tb LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 }

@@ -546,6 +546,33 @@ object StreamOps {
           .cast("decimal(18,6)").as("nll"))
   }
 
+  /** Span-scrub-at-ingest (q123's stream side): each arriving doc's
+    * gram starts are matched against the STORE's gram set via a
+    * stateless stream-static inner join (the static side is
+    * re-planned per micro-batch, exactly how a published dedup
+    * artifact is consumed), emitting (doc_id, pos) cover-START
+    * events the moment the doc arrives. The row-local rewrite
+    * (expand + cut, CorpusOps.spanRewrite) is the downstream
+    * consumer's rollup, same division of labor as
+    * [[ccnetNllStream]]. Parity of the rolled-up starts with q123's
+    * batch cover set is asserted in MlStreamSpec. */
+  def spanCoverStream(spark: SparkSession, docsDir: String,
+      storeDir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    import graft.plans.WordNGrams
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val storeGrams = graft.Tables.documents(spark, storeDir)
+      .filter(!CorpusOps.batchPredicate())
+      .select(explode(WordNGrams(toks, CorpusOps.SpanK)).as("g")).distinct()
+    streamDocs(spark, docsDir)
+      .filter(CorpusOps.batchPredicate())
+      .select(col("doc_id"),
+        posexplode(WordNGrams(toks, CorpusOps.SpanK, distinct = false))
+          .as(Seq("pos", "g")))
+      .join(storeGrams, Seq("g"))
+      .select(col("doc_id"), col("pos"))
+  }
+
   /** Quality-filter-at-ingest: q72's Gopher signals and rules are
     * pure row-local array math, so the SAME shared columns
     * (TextOps.gopherSignalCols/gopherRuleCols) run unchanged on a

@@ -350,6 +350,40 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span-cover starts equal q123's batch cover set") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_span_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = StreamOps.spanCoverStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("span_cover_test")
+      .start()
+    try {
+      q.processAllAvailable() // stateless stream-static join: drains
+      val streamed = spark.table("span_cover_test")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // batch twin: re-derive the cover STARTS the same way q123 does
+      // before its rewrite (the rewrite is row-local and shared)
+      import graft.operators.CorpusOps
+      import graft.plans.WordNGrams
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      val docs = graft.Tables.documents(spark, sf)
+      val storeGrams = docs.filter(!CorpusOps.batchPredicate())
+        .select(explode(WordNGrams(toks, CorpusOps.SpanK)).as("g")).distinct()
+      val batchCov = docs.filter(CorpusOps.batchPredicate())
+        .select(col("doc_id"),
+          posexplode(WordNGrams(toks, CorpusOps.SpanK, distinct = false))
+            .as(Seq("pos", "g")))
+        .join(storeGrams, Seq("g"))
+        .select(col("doc_id"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(batchCov.nonEmpty) // planted dups guarantee store hits
+      assert(streamed == batchCov)
+    } finally q.stop()
+  }
+
   test("streaming perplexity scores roll up to q96's batch admission scores") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft_ccnet_stream")
