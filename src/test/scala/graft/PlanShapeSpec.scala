@@ -156,4 +156,45 @@ class PlanShapeSpec extends AnyFunSuite {
     // corpus joins only against broadcast rate tables
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("span dedup generates pairs row-local: no positional self-join, no cross join") {
+    for (df <- Seq(graft.operators.CorpusOps.spanDedup(spark, sf),
+        graft.operators.CorpusOps.incrementalSpanDedup(spark, sf))) {
+      val p = plan(df)
+      // the scale rule: coverage comes from a gram-keyed equi-join,
+      // never from joining the corpus to itself on position ranges
+      assert(!p.contains("NestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // cover starts travel as lists and expand row-local
+      assert(p.contains("collect_list"), p)
+    }
+  }
+
+  test("pmi: unigram count joins broadcast, rank window sees only MinCount survivors") {
+    val p = plan(TextOps.pmiCollocations(spark, sf))
+    // the vocab-bounded unigram table must reach the pair table as a
+    // broadcast — an SMJ would shuffle every surviving pair twice
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the n_pair >= MinCount cut must sit below the rank window
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, p)
+    assert(p.substring(wIdx).contains("HashAggregate") ||
+      p.substring(0, wIdx).contains(s">= ${TextOps.PmiMinCount}"), p)
+  }
+
+  test("range search streams the corpus map-side against broadcast queries") {
+    val p = plan(SimilaritySearch.rangeSearch(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus is never shuffled before the radius cut: the only
+    // Exchange feeds the rank window over tau-passing survivors
+    val pre = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!pre.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("keyness: word/source/total tables broadcast against the cell table") {
+    val p = plan(TextOps.keyness(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
