@@ -30,6 +30,8 @@ object SparkEntry {
     "q09_anti_semi_join" -> FrameOps.antiJoinCustomers _,
     "q10_sessionize" -> FrameOps.sessionize _,
     "q11_event_rollup" -> FrameOps.eventRollup _,
+    "q124_rfm_segments" -> FrameOps.rfmSegments _,
+    "q125_session_transitions" -> FrameOps.sessionTransitions _,
     "q12_source_roundtrip" -> graft.sources.Sources.roundTrip _,
     "q13_categorize" -> FrameOps.categorize _,
     "q14_median_by_group" -> FrameOps.medianByGroup _,
@@ -441,6 +443,52 @@ object SparkEntry {
         |FROM e
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // q124: per-user RFM quintiles — ntile over the user-bounded
+    // aggregate with user_id tie-breaks; monetary re-scaled to
+    // DECIMAL(18,4) before the double cast (q104 rule)
+    "q124_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(MAX(epoch(date_trunc('second', ts))) AS BIGINT) AS last_sec,
+        |    COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS mon
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT user_id, n_events, mon, last_sec,
+        |    CAST(NTILE(5) OVER (ORDER BY last_sec, user_id) AS BIGINT) AS r_score,
+        |    CAST(NTILE(5) OVER (ORDER BY n_events, user_id) AS BIGINT) AS f_score,
+        |    CAST(NTILE(5) OVER (ORDER BY mon, user_id) AS BIGINT) AS m_score
+        |  FROM u)
+        |SELECT user_id, n_events,
+        |  CAST(CAST(mon AS DECIMAL(18,4)) AS DOUBLE) AS monetary, last_sec,
+        |  r_score, f_score, m_score,
+        |  r_score*100 + f_score*10 + m_score AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
+    // q125: first-order Markov transitions within q10's verified
+    // session rule (explicit ROWS frame == Spark's rowsBetween)
+    "q125_session_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
+        |  FROM s),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
     "q11_event_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n,

@@ -154,11 +154,12 @@ object FrameOps {
       .orderBy(col("n_name"))
   }
 
-  /** Event sessionization: classic lag-gap + cumulative-sum session
-    * ids. Two window passes over ONE shuffle on user_id. Timestamps
-    * are truncated to whole seconds before the gap compare so the
-    * engine's sub-second precision (ns vs µs) cannot flip a boundary. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** THE session-id rule (q10 + q125 share it — shared-rule
+    * discipline): lag-gap + cumulative-sum session ids, two window
+    * passes over ONE shuffle on user_id. Timestamps are truncated to
+    * whole seconds before the gap compare so the engine's sub-second
+    * precision (ns vs µs) cannot flip a boundary. */
+  private def sessioned(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val sec = unix_timestamp(date_trunc("second", col("ts")))
@@ -168,11 +169,79 @@ object FrameOps {
         when(gap.isNull || gap > 1800, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Event sessionization (q10): per-user session/event counts over
+    * [[sessioned]]. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessioned(spark, dir)
       .groupBy(col("user_id"))
       .agg(
         max(col("session_id")).as("n_sessions"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
+
+  /** q124: RFM user segmentation (Hughes 1994; the feature block a
+    * recommender pipeline derives from raw events before model
+    * training — redshells' click-log preprocessing domain): per-user
+    * Recency/Frequency/Monetary aggregates scored into quintiles,
+    * segment = R·100 + F·10 + M. Scale shape: the event log collapses
+    * to ONE per-user row in a single partial-agg shuffle; the ntile
+    * windows run over that user-bounded table, not the log. The
+    * unpartitioned ntile serializes through one task — at 1e9 users
+    * swap in q98's range-partitioned parallel ranking (same repo,
+    * same contract); at any tested SF the user table is thousands of
+    * rows. Monetary goes through DECIMAL(18,4) (oracle float rule);
+    * ntile ties break deterministically on user_id. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(sec).as("last_sec"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).as("mon"))
+    val r = ntile(5).over(Window.orderBy(col("last_sec").asc, col("user_id").asc))
+    val f = ntile(5).over(Window.orderBy(col("n_events").asc, col("user_id").asc))
+    val m = ntile(5).over(Window.orderBy(col("mon").asc, col("user_id").asc))
+    perUser
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .select(col("user_id"), col("n_events"),
+        // re-scale the widened decimal sum to (18,4) BEFORE the double
+        // cast in both engines (q104's one-ulp wide-cast rule)
+        col("mon").cast(DecimalType(18, 4)).cast("double").as("monetary"),
+        col("last_sec"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q125: session transition matrix — first-order Markov statistics
+    * over event types within [[sessioned]] sessions (the classic
+    * clickstream model behind sequence recommenders): for each
+    * ordered in-session transition a→b, its count and conditional
+    * probability P(b|a). Scale shape: the transition pairs come from
+    * ONE lead() pass over the SAME user_id shuffle the session ids
+    * already need (no second shuffle of the log); the aggregate is
+    * |event_types|²-bounded, so the per-from totals broadcast back.
+    * P divides two exact longs, rounded — identical IEEE both
+    * engines. */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = sessioned(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(bySession))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", round(col("n").cast("double") / col("tot").cast("double"), 6))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** ConvertTypeToCategory (data_frame_utils.py:141): dictionary-
