@@ -125,6 +125,7 @@ object SparkEntry {
     "q85_curation_funnel" -> CorpusOps.curationFunnel _,
     "q86_incremental_dedup" -> CorpusOps.incrementalDedup _,
     "q87_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
+    "q126_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.perceptualDedup(s, d)),
     "q88_embed_balance" -> SimilaritySearch.cellBalance _,
     "q89_bm25" -> TextOps.bm25 _,
     "q90_leakage_split" -> CorpusOps.leakageSplit _,

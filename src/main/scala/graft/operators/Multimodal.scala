@@ -66,6 +66,32 @@ object Multimodal {
       out
     }
 
+    /** Perceptual average-hash (aHash) of the decoded asset —
+      * codec-independent pixel math, so it lives on the trait: resize
+      * the plane to 8×8, integer gray per pixel (mean of the three
+      * channels), bit i set iff gray(i) > plane mean. Near-duplicate
+      * assets (same dims, small pixel deltas) keep the hash while the
+      * exact byte fingerprint changes; a real codec inherits this
+      * unchanged on top of its own decodePixels. */
+    def aHash(payload: Array[Byte]): Long = {
+      val (w, h, px) = decodePixels(payload)
+      val small = resize(px, w, h, 8, 8)
+      val gray = new Array[Int](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        gray(i) = ((small(3 * i) & 0xff) + (small(3 * i + 1) & 0xff) +
+          (small(3 * i + 2) & 0xff)) / 3
+        sum += gray(i)
+        i += 1
+      }
+      val mean = sum.toDouble / 64
+      var hsh = 0L
+      i = 0
+      while (i < 64) { if (gray(i) > mean) hsh |= (1L << i); i += 1 }
+      hsh
+    }
+
     /** Sample every `every`-th frame of a video payload → per-frame
       * (frame_idx, byte offset, frame bytes, luma). */
     def sampleFrames(payload: Array[Byte], every: Int,
@@ -275,6 +301,61 @@ object Multimodal {
         count(lit(1)).as("n_frames"),
         sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_frames"),
         countDistinct(when(col("n_docs_with") > 1, col("doc_id"))).as("n_assets_with_dup"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-asset perceptual + exact hash pair. */
+  case class AssetHashes(doc_id: Long, source: String, ahash: Long, fp: Long)
+
+  /** Core of q126 on an explicit asset frame (specs plant near-dup
+    * twins here): one decode pass emits (aHash, exact FNV fingerprint)
+    * per asset — pixel bytes never leave the scan partition. */
+  def perceptualHashes(spark: SparkSession, assets: DataFrame,
+      codec: AssetCodec): DataFrame = {
+    import spark.implicits._
+    assets.select(col("doc_id"), col("source"),
+        col("payload").cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec
+        it.map { case (id, source, payload) =>
+          AssetHashes(id, source, c.aHash(payload),
+            c.frameFingerprint(payload, 0, payload.length))
+        }
+      }.toDF()
+  }
+
+  /** q126: perceptual ASSET dedup (the image-corpus analogue of
+    * aHash dedup in any large crawl pipeline; lifts q30's exact digest
+    * groupBy to a lossy perceptual key): every asset is hashed once
+    * into (aHash, exact fingerprint); assets sharing an aHash with
+    * another asset are perceptual duplicates, assets sharing the byte
+    * fingerprint are exact duplicates — perceptual ⊇ exact by
+    * construction under any codec (equal bytes ⇒ equal pixels ⇒ equal
+    * aHash). Per-source rollup of both counts. Scale shape: one
+    * decode pass over the scan, then only 32-byte hash rows shuffle —
+    * two slim groupBys and a join back; no pairwise comparison
+    * anywhere, no pixel bytes past the scan partition. */
+  def perceptualDedup(spark: SparkSession, dir: String,
+      codec: AssetCodec = DeterministicFakeCodec): DataFrame = {
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text").as("payload"))
+    // persisted: consumed by both cluster-size aggs and the join back
+    // (the decode pass, dominant under a real codec, must run once)
+    val hashes = perceptualHashes(spark, assets, codec).persist()
+    val byAhash = hashes.groupBy(col("ahash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_ahash"))
+    val byFp = hashes.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_fp"))
+    hashes
+      .join(byAhash, Seq("ahash"))
+      .join(byFp, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        countDistinct(col("ahash")).as("n_hash_values"),
+        sum(when(col("n_docs_ahash") > 1, 1L).otherwise(0L)).as("n_perceptual_dup"),
+        sum(when(col("n_docs_fp") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
       .orderBy(col("source"))
   }
 }

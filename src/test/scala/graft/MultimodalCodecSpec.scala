@@ -122,4 +122,70 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
     assert(checked > 0)
   }
+
+  /** Plane positions the 8×8 aHash resize samples, mod payload
+    * length — a perturbation OUTSIDE this set cannot change the hash
+    * (the perceptual property, exactly). */
+  private def sampledIndices(n: Int): Set[Int] = {
+    val w = 64 + n % 512
+    val h = 64 + (n * 7) % 512
+    (for {
+      y <- 0 until 8; x <- 0 until 8; c <- 0 until 3
+      sy = (y.toLong * h / 8).toInt
+      sx = (x.toLong * w / 8).toInt
+    } yield (3 * (sy * w + sx) + c) % n).toSet
+  }
+
+  test("q126 aHash: near-dup payloads keep the hash, exact fingerprint changes") {
+    val c = DeterministicFakeCodec
+    val a = payload(42, 1000)
+    // perturb a byte the 8×8 resize never samples: perceptual twin
+    val unsampled = (0 until 1000).find(i => !sampledIndices(1000)(i)).get
+    val twin = a.clone()
+    twin(unsampled) = (twin(unsampled) + 97).toByte
+    assert(!(twin sameElements a))
+    assert(c.aHash(twin) == c.aHash(a), "near-dup must keep the perceptual hash")
+    assert(c.frameFingerprint(twin, 0, 1000) != c.frameFingerprint(a, 0, 1000),
+      "exact fingerprint must see the byte change")
+    // exact duplicate: equal bytes => equal hash AND equal fingerprint
+    assert(c.aHash(a.clone()) == c.aHash(a))
+    // an unrelated payload lands elsewhere (deterministic seed)
+    val b = payload(7, 1000)
+    assert(c.aHash(b) != c.aHash(a))
+  }
+
+  test("q126 perceptual dedup: planted twins cluster, perceptual ⊇ exact") {
+    import spark.implicits._
+    val c = DeterministicFakeCodec
+    val a = payload(42, 1000)
+    val unsampled = (0 until 1000).find(i => !sampledIndices(1000)(i)).get
+    val twin = a.clone()
+    twin(unsampled) = (twin(unsampled) + 97).toByte
+    val planted = Seq(
+      (1L, "s0", a),           // original
+      (2L, "s0", twin),        // perceptual (not exact) dup of 1
+      (3L, "s0", a.clone()),   // exact dup of 1
+      (4L, "s0", payload(7, 997))) // unrelated
+      .toDF("doc_id", "source", "payload")
+    val h = Multimodal.perceptualHashes(spark, planted, c)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(h(1)._1 == h(2)._1 && h(1)._1 == h(3)._1, "1,2,3 share the aHash")
+    assert(h(1)._2 == h(3)._2, "1,3 share the exact fingerprint")
+    assert(h(1)._2 != h(2)._2, "twin differs on the exact fingerprint")
+    assert(h(4)._1 != h(1)._1, "unrelated asset is outside the cluster")
+  }
+
+  test("q126 rollup on testdata: perceptual dup count dominates exact, totals conserved") {
+    val rows = Multimodal.perceptualDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, hv, pd, ed) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hv <= n, s"${r.getString(0)}: distinct hashes bounded by assets")
+      assert(pd >= ed, s"${r.getString(0)}: perceptual dups must cover exact dups")
+      assert(pd <= n && ed >= 0)
+      total += n
+    }
+    assert(total == Tables.documents(spark, sf).count())
+  }
 }
