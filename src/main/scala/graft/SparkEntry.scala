@@ -40,6 +40,7 @@ object SparkEntry {
     "q16_distinct_exact" -> FrameOps.distinctExact _,
     "q17_distinct_sketch" -> FrameOps.distinctSketch _,
     "q18_asof_custom" -> FrameOps.asofJoinCustom _,
+    "q127_interval_join" -> FrameOps.intervalJoin _,
     "q19_partitioned_sink" -> graft.sources.Sources.partitionedSink _,
     "q28_json_extract" -> FrameOps.jsonExtract _,
     "q29_sql_api" -> FrameOps.sqlApi _,
@@ -485,11 +486,10 @@ object SparkEntry {
         |    LEAD(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
         |  FROM s),
         |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n,
-        |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
-        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "q11_event_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n,
@@ -538,6 +538,28 @@ object SparkEntry {
         |  MAX(last_order) AS latest_order_seen
         |FROM m WHERE side = 1
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q127: the oracle states the SEMANTICS as a plain range-predicate
+    // join (DuckDB's IEJoin handles it at oracle scale); the Spark
+    // side is the bucketed equi-join — same answer, scalable plan
+    "q127_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |w AS (SELECT event_id AS w_id, sec AS w_sec FROM e WHERE event_type = 'error'),
+        |m AS (
+        |  SELECT e.event_id, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_windows
+        |  FROM e JOIN w ON abs(e.sec - w.w_sec) <= 900
+        |  GROUP BY 1, 2),
+        |t AS (SELECT event_type, COUNT(*) AS n_events FROM e GROUP BY 1),
+        |i AS (SELECT event_type, COUNT(*) AS n_in_window,
+        |    CAST(SUM(n_windows) AS BIGINT) AS n_matches
+        |  FROM m GROUP BY 1)
+        |SELECT t.event_type, t.n_events,
+        |  COALESCE(i.n_in_window, 0) AS n_in_window,
+        |  COALESCE(i.n_matches, 0) AS n_matches
+        |FROM t LEFT JOIN i USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q16_distinct_exact" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -225,21 +225,21 @@ object FrameOps {
     * ordered in-session transition a→b, its count and conditional
     * probability P(b|a). Scale shape: the transition pairs come from
     * ONE lead() pass over the SAME user_id shuffle the session ids
-    * already need (no second shuffle of the log); the aggregate is
-    * |event_types|²-bounded, so the per-from totals broadcast back.
-    * P divides two exact longs, rounded — identical IEEE both
-    * engines. */
+    * already need (no second shuffle of the log); the per-from
+    * normalizer is a window sum over the |event_types|²-bounded count
+    * table — a totals self-join here would re-derive the whole window
+    * pyramid a second time (caught by PlanShapeSpec). P divides two
+    * exact longs, rounded — identical IEEE both engines. */
   def sessionTransitions(spark: SparkSession, dir: String): DataFrame = {
     val bySession = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = sessioned(spark, dir)
+    sessioned(spark, dir)
       .withColumn("to_type", lead(col("event_type"), 1).over(bySession))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
-    pairs.join(broadcast(totals), Seq("from_type"))
-      .withColumn("p", round(col("n").cast("double") / col("tot").cast("double"), 6))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
       .select(col("from_type"), col("to_type"), col("n"), col("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
@@ -324,6 +324,48 @@ object FrameOps {
         sum(when(col("last_order").isNotNull, 1L).otherwise(0L)).as("n_with_prior_order"),
         max(col("last_order")).as("latest_order_seen"))
       .orderBy(col("user_id"))
+  }
+
+  /** q127: KEYLESS interval join — the other classic temporal join
+    * ([[asofJoin]] is the keyed one). Every `error` event opens a
+    * ±900 s incident window; for each event type, how many events
+    * (any user — there is NO equi-key) fall inside at least one
+    * window, and how many (event, window) matches occur. The naive
+    * plan is a cartesian with a range predicate — the scale path
+    * discretizes time into W-second buckets (W = the half-window, so
+    * each window covers exactly 3 buckets): windows explode to their
+    * covered buckets, events keep their single bucket, the join
+    * becomes a bucket equi-join + precise |Δt| ≤ W filter. Each
+    * (event, window) pair meets in exactly one bucket (the event's),
+    * so no post-join dedup is needed. Hot buckets (event storms) are
+    * ordinary equi-join skew — AQE skew-join / salting territory, not
+    * a cartesian. A window-defining event matches its own window by
+    * construction (|Δt| = 0); both engines count it. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 900L
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), sec.as("sec"))
+      .withColumn("bucket", floor(col("sec") / W))
+    val win = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("w_id"), sec.as("w_sec"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("w_sec") - W) / W), floor((col("w_sec") + W) / W))))
+    val perEvent = ev.join(win, Seq("bucket"))
+      .filter(abs(col("sec") - col("w_sec")) <= W)
+      .groupBy(col("event_id"), col("event_type"))
+      // pairs are unique (one bucket per event) — plain count is the
+      // distinct-window count
+      .agg(count(lit(1)).as("n_windows"))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .join(
+        perEvent.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_in_window"),
+          sum(col("n_windows")).as("n_matches")),
+        Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_in_window", "n_matches"))
+      .orderBy(col("event_type"))
   }
 
   /** Same as-of semantics as [[asofJoin]] but through the CUSTOM

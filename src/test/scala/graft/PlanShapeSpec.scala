@@ -197,4 +197,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("rfm: the log collapses in one user shuffle before the quintile windows") {
+    val p = plan(FrameOps.rfmSegments(spark, sf))
+    // partial agg (map-side combine) then ONE log-sized exchange on
+    // user_id; the serialized ntile windows see only per-user rows
+    assert(p.split("hashpartitioning\\(user_id").length - 1 == 1, p)
+    val aggIdx = p.indexOf("Exchange hashpartitioning(user_id")
+    assert(aggIdx >= 0 && p.substring(aggIdx).contains("partial"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("session transitions reuse the session rule's single user shuffle") {
+    val p = plan(FrameOps.sessionTransitions(spark, sf))
+    // lag + cumulative-sum + lead windows all ride ONE exchange on
+    // user_id (the (user_id, session_id) window is satisfied by the
+    // subset rule); only |types|^2-bounded rows shuffle after it
+    assert(p.split("hashpartitioning\\(user_id").length - 1 == 1, p)
+    // the per-from normalizer is a window over the count table — a
+    // totals self-join would re-derive the window pyramid twice
+    assert(!p.contains("Join"), p)
+  }
+
+  test("keyless interval join runs as a bucket equi-join, never a cartesian") {
+    val p = plan(FrameOps.intervalJoin(spark, sf))
+    // the naive keyless range join is BroadcastNestedLoop/Cartesian;
+    // the bucket discretization must turn it into an equi-join
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("perceptual dedup shuffles hash rows, never pixel bytes") {
+    val p = plan(graft.operators.Multimodal.perceptualDedup(spark, sf))
+    // one decode pass; cluster sizes come from slim hash-keyed aggs
+    assert(p.contains("Exchange hashpartitioning(ahash"), p)
+    assert(p.contains("Exchange hashpartitioning(fp"), p)
+    // no pairwise comparison anywhere
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // no EXCHANGE line carries the payload: binary bytes stay in
+    // their scan partition (payload appears only in the cached decode
+    // stage's lineage text, below the persist boundary)
+    p.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("payload"), l)
+    }
+  }
 }
