@@ -117,6 +117,7 @@ object SparkEntry {
     "q76_contamination" -> CorpusOps.contamination _,
     "q77_chunk_pack" -> CorpusOps.chunkPack _,
     "q78_sample_balance" -> CorpusOps.sampleBalance _,
+    "q128_weighted_sample" -> CorpusOps.weightedSample _,
     "q79_bigram_lm" -> CorpusOps.bigramLm _,
     "q80_cluster_best" -> CorpusOps.clusterBest _,
     "q81_chunk_dedup" -> CorpusOps.chunkDedup _,
@@ -1057,6 +1058,23 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN pr % n_before < target THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN pr % n_before < target THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // q128: the oracle STATES the selection as a window rank; the
+    // Spark plan computes the same set via the bounded-heap TopK
+    // aggregate (no per-source sort). u is the same exact rational in
+    // both engines; ln's 1-ulp risk absorbed by round(,12) pre-rank
+    "q128_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    round(-ln((CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE) + 1.0) / 1000000008.0)
+        |      / CAST(n_chars AS DOUBLE), 12) AS prio
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT source, doc_id, prio,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn
+        |  FROM d)
+        |SELECT source, CAST(rn AS BIGINT) AS smp_rank, doc_id, prio
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, smp_rank""".stripMargin,
     // q79: per-bigram nll rounded then summed as DECIMAL so every
     // mean is order-independent (CLAUDE.md float-parity rules);
     // divisions happen in DOUBLE on exact decimal sums in both engines

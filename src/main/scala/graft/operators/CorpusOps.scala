@@ -268,6 +268,41 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** q128: deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis 2006 priority sampling): per source, the k
+    * docs with the smallest priority −ln(u)/w, where w = n_chars
+    * (longer docs proportionally likelier) and u ∈ (0,1) is the
+    * doc's uniform from q78's SampleHash family (shared constants) —
+    * the reference's seeded `df.sample` made engine-reproducible and
+    * weight-aware. Scale shape: priorities are row-local arithmetic;
+    * selection is the bounded-heap TopKByKey aggregate — map-side
+    * partial top-k, at most k rows per (partition × source) cross
+    * the shuffle, and NOTHING is ever sorted per source (the
+    * window-rank formulation the oracle states would sort every doc
+    * per source at 100 TB; plan-asserted window-free). Float
+    * discipline: u is the same exact rational in both engines
+    * (literal 1000000008.0 divisor); ln()'s 1-ulp cross-engine risk
+    * is absorbed by round(,12) BEFORE ranking; ties break on doc_id
+    * (round-before-rank rule). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val pr = pmod(col("doc_id") * SampleHashC, lit(SampleHashP))
+    val u = (pr.cast("double") + lit(1.0)) / lit(1000000008.0)
+    val prio = round(-log(u) / col("n_chars").cast("double"), 12)
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), prio.as("prio"))
+      .groupBy(col("source"))
+      // score = −prio: TopKAgg keeps score desc = prio asc, tie id asc
+      .agg(graft.plans.TopKByKey.topK(k)(col("doc_id"), -col("prio")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"),
+        (col("pos") + 1).cast("long").as("smp_rank"),
+        col("col.id").as("doc_id"),
+        (-col("col.score")).as("prio"))
+      .orderBy(col("source"), col("smp_rank"))
+  }
+
   /** Bigram-LM quality scoring (the CCNet-style "perplexity under a
     * corpus LM" quality axis, reduced to an add-one-smoothed bigram
     * model the corpus itself defines): per-doc mean negative log2

@@ -227,6 +227,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bucket"), p)
   }
 
+  test("weighted sampling selects via bounded-heap agg, never a per-source sort") {
+    val p = plan(graft.operators.CorpusOps.weightedSample(spark, sf))
+    // the oracle STATES a window rank; the plan must not contain one —
+    // selection is the partial TopK aggregate (k rows per partition
+    // cross the shuffle, nothing per-source is ever sorted)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("perceptual dedup shuffles hash rows, never pixel bytes") {
     val p = plan(graft.operators.Multimodal.perceptualDedup(spark, sf))
     // one decode pass; cluster sizes come from slim hash-keyed aggs
