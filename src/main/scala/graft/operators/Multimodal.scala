@@ -158,6 +158,45 @@ object Multimodal {
       (w.toLong, h.toLong, (q * total + prefix).toDouble / plane)
     }
 
+    /** Closed form of the trait's aHash — O(192) instead of O(w·h·3):
+      * the 8×8 resize reads exactly 192 plane positions, and under
+      * the tiling model plane(i) = payload(i mod n), so the sampled
+      * gray values are computed directly without materializing the
+      * plane (the full-plane derivation allocates ~1 MB per asset and
+      * was the whole suite's slowest query). Bit-identical to the
+      * trait derivation — same positions, same integer gray math,
+      * same mean threshold; spec-checked against a derivation-only
+      * codec. */
+    override def aHash(payload: Array[Byte]): Long = {
+      val n = payload.length
+      val w = 64 + n % 512
+      val h = 64 + (n * 7) % 512
+      val gray = new Array[Int](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * h / 8).toInt
+        var x = 0
+        while (x < 8) {
+          val sx = (x.toLong * w / 8).toInt
+          val base = 3 * (sy * w + sx)
+          val g =
+            if (n == 0) 0
+            else (((payload(base % n) & 0xff) + (payload((base + 1) % n) & 0xff) +
+              (payload((base + 2) % n) & 0xff)) / 3)
+          gray(y * 8 + x) = g
+          sum += g
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum.toDouble / 64
+      var hsh = 0L
+      var i = 0
+      while (i < 64) { if (gray(i) > mean) hsh |= (1L << i); i += 1 }
+      hsh
+    }
+
     override def sampleFrames(payload: Array[Byte], every: Int,
         frameSize: Int): Iterator[(Long, Long, Long, Double)] = {
       val nFrames = payload.length / frameSize

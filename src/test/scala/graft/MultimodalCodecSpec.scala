@@ -136,6 +136,22 @@ class MultimodalCodecSpec extends AnyFunSuite {
     } yield (3 * (sy * w + sx) + c) % n).toSet
   }
 
+  test("q126 aHash closed form equals the full-plane trait derivation") {
+    // a codec with NO aHash override: the trait materializes the
+    // plane and resizes — the reference derivation
+    object DerivedOnly extends Multimodal.AssetCodec {
+      override def decodePixels(p: Array[Byte]) =
+        DeterministicFakeCodec.decodePixels(p)
+      override def sampleFrames(p: Array[Byte], every: Int, frameSize: Int) =
+        DeterministicFakeCodec.sampleFrames(p, every, frameSize)
+    }
+    for ((seed, n) <- Seq((11, 1), (12, 17), (13, 513), (14, 4096), (15, 100000)))
+      assert(DeterministicFakeCodec.aHash(payload(seed, n)) ==
+        DerivedOnly.aHash(payload(seed, n)), s"n=$n")
+    assert(DeterministicFakeCodec.aHash(Array.empty[Byte]) ==
+      DerivedOnly.aHash(Array.empty[Byte]))
+  }
+
   test("q126 aHash: near-dup payloads keep the hash, exact fingerprint changes") {
     val c = DeterministicFakeCodec
     val a = payload(42, 1000)
