@@ -41,6 +41,8 @@ object SparkEntry {
     "q17_distinct_sketch" -> FrameOps.distinctSketch _,
     "q18_asof_custom" -> FrameOps.asofJoinCustom _,
     "q127_interval_join" -> FrameOps.intervalJoin _,
+    "q129_resample_ffill" -> FrameOps.resampleFfill _,
+    "q130_cohort_retention" -> FrameOps.cohortRetention _,
     "q19_partitioned_sink" -> graft.sources.Sources.partitionedSink _,
     "q28_json_extract" -> FrameOps.jsonExtract _,
     "q29_sql_api" -> FrameOps.sqlApi _,
@@ -561,6 +563,57 @@ object SparkEntry {
         |  COALESCE(i.n_matches, 0) AS n_matches
         |FROM t LEFT JOIN i USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q129: hour grid = range(h0, h1+1) (exclusive end == Spark's
+    // inclusive sequence); the argmax is ROW_NUMBER desc == Spark's
+    // max_by struct ordering; h0 always has an observation so ffill
+    // never sees a leading null
+    "q129_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 3600) AS BIGINT) AS hid
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, hid, value AS obs_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, hid ORDER BY sec DESC, event_id DESC) AS rn
+        |  FROM e),
+        |obs AS (SELECT user_id, hid, obs_value FROM o WHERE rn = 1),
+        |g AS (SELECT user_id, MIN(hid) AS h0, MAX(hid) AS h1 FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(u.h AS BIGINT) AS hid
+        |  FROM g, UNNEST(range(h0, h1 + 1)) AS u(h)),
+        |f AS (
+        |  SELECT grid.user_id, grid.hid, obs.obs_value,
+        |    LAST_VALUE(obs.obs_value IGNORE NULLS) OVER (
+        |      PARTITION BY grid.user_id ORDER BY grid.hid
+        |      ROWS UNBOUNDED PRECEDING) AS ffill_value
+        |  FROM grid LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.hid = obs.hid)
+        |SELECT user_id, COUNT(*) AS n_hours,
+        |  CAST(SUM(CASE WHEN obs_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+        |  CAST(SUM(CASE WHEN obs_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(CAST(SUM(CAST(ffill_value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS filled_sum
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q130: retention divides two exact longs; denominator via a
+    // window over the bounded (cohort, offset) table (q125's lever)
+    "q130_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        |  FROM w),
+        |a AS (
+        |  SELECT cohort_wk, CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM c GROUP BY 1, 2),
+        |s AS (
+        |  SELECT cohort_wk, week_offset, n_active,
+        |    CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_wk) AS BIGINT) AS cohort_size
+        |  FROM a)
+        |SELECT cohort_wk, week_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
+        |FROM s ORDER BY cohort_wk, week_offset""".stripMargin,
     "q16_distinct_exact" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -244,6 +244,78 @@ object FrameOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q129: time-series RESAMPLE + FORWARD FILL — the gap-filling
+    * step every per-entity time-series feature pipeline runs before
+    * modeling (pandas `resample('1H').ffill()` made distributed):
+    * each user's event stream becomes a dense hourly grid from their
+    * first to last event, carrying the last observed value forward
+    * across empty hours. Scale shape: the grid is generated per user
+    * with `sequence` (linear in OUTPUT rows, no cross join against a
+    * calendar table); observed per-hour values reduce in one
+    * partial-agg shuffle; grid ⋈ observed and the ffill window both
+    * ride the same user_id clustering. The last-in-hour pick is a
+    * deterministic argmax by (sec, event_id); filled sums go through
+    * DECIMAL (float rule). */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), sec.as("sec"))
+      .withColumn("hid", floor(col("sec") / 3600L).cast("long"))
+    // last observed value per (user, hour): argmax by (sec, event_id);
+    // re-clustered to user_id so the grid join AND the ffill window
+    // both ride user partitioning — the generated grid (already
+    // user-partitioned by its agg) is never re-shuffled
+    val obs = ev.groupBy(col("user_id"), col("hid"))
+      .agg(max_by(col("value"), struct(col("sec"), col("event_id"))).as("obs_value"))
+      .repartition(col("user_id"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hid")).as("h0"), max(col("hid")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hid"))
+    val filled = grid.join(obs, Seq("user_id", "hid"), "left")
+      .withColumn("ffill_value",
+        last(col("obs_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("hid"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    filled.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("obs_value").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+        sum(when(col("obs_value").isNull, 1L).otherwise(0L)).as("n_filled"),
+        sum(col("ffill_value").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).cast("double").as("filled_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q130: COHORT RETENTION — the classic event-analytics triangle
+    * (users cohorted by first-activity week; what share is still
+    * active k weeks later). Scale shape: the log reduces to DISTINCT
+    * (user, week) pairs in one partial-agg shuffle; each user's
+    * cohort week is a min() window over the SAME user clustering (no
+    * second log scan); the (cohort, offset) aggregate is
+    * weeks²-bounded, and the retention denominator is a window over
+    * that bounded table (q125's lever — never a self-join).
+    * Retention divides two exact longs → identical IEEE, round 6. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), floor(sec / 604800L).cast("long").as("wk"))
+      .distinct()
+    val withCohort = weeks
+      .withColumn("cohort_wk", min(col("wk")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("week_offset", (col("wk") - col("cohort_wk")).cast("long"))
+    withCohort
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(
+          Window.partitionBy(col("cohort_wk"))))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size").cast("double"), 6))
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
   /** ConvertTypeToCategory (data_frame_utils.py:141): dictionary-
     * encode a string column to dense ids. The category table is the
     * DISTINCT set (tiny) ranked deterministically; at scale it

@@ -227,6 +227,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bucket"), p)
   }
 
+  test("resample grid is generated in place, never cross-joined or re-shuffled") {
+    val p = plan(FrameOps.resampleFfill(spark, sf))
+    // the hour grid comes from sequence+explode over the per-user
+    // bounds (linear in output), not a calendar cross join
+    assert(p.contains("Generate explode(sequence"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"), p)
+    // grid agg (u) + obs agg (u,hid) + obs re-cluster (u): the
+    // user-partitioned grid itself is never exchanged again
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 3, p)
+  }
+
+  test("cohort retention: denominator is a window over the bounded table, no join") {
+    val p = plan(FrameOps.cohortRetention(spark, sf))
+    assert(!p.contains("Join"), p)
+  }
+
   test("weighted sampling selects via bounded-heap agg, never a per-source sort") {
     val p = plan(graft.operators.CorpusOps.weightedSample(spark, sf))
     // the oracle STATES a window rank; the plan must not contain one —
