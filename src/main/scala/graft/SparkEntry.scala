@@ -43,6 +43,7 @@ object SparkEntry {
     "q127_interval_join" -> FrameOps.intervalJoin _,
     "q129_resample_ffill" -> FrameOps.resampleFfill _,
     "q130_cohort_retention" -> FrameOps.cohortRetention _,
+    "q131_session_window" -> FrameOps.sessionWindow _,
     "q19_partitioned_sink" -> graft.sources.Sources.partitionedSink _,
     "q28_json_extract" -> FrameOps.jsonExtract _,
     "q29_sql_api" -> FrameOps.sqlApi _,
@@ -592,6 +593,37 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN obs_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
         |  CAST(CAST(SUM(CAST(ffill_value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS filled_sum
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q131: session_window merges ADJACENT windows — an event at
+    // exactly prev+gap lands in the same session (merge iff gap <=
+    // 1800, split iff > 1800; the same boundary as q10's lag rule) —
+    // verified at sf0.1 where an exact-1800s gap occurs; duration =
+    // last - first + 1800 (window end = last + gap)
+    "q131_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, value, sec,
+        |    CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |      OR LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, value, sec,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |p AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events_w,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS val_w,
+        |    MAX(sec) - MIN(sec) + 1800 AS dur_secs
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events_w) AS BIGINT) AS n_events,
+        |  CAST(MAX(dur_secs) AS BIGINT) AS longest_secs,
+        |  CAST(CAST(SUM(val_w) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q130: retention divides two exact longs; denominator via a
     // window over the bounded (cohort, offset) table (q125's lever)
     "q130_cohort_retention" ->

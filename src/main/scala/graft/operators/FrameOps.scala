@@ -244,6 +244,35 @@ object FrameOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q131: sessionization through Spark's NATIVE `session_window`
+    * operator (the engine-managed merging-interval aggregation that
+    * also powers streaming session state) — the idiomatic alternative
+    * to q10's lag+cumsum windows. Boundary semantics pinned in the
+    * oracle: session_window merges ADJACENT windows, so an event at
+    * exactly prev+gap joins the same session (split iff gap > 1800 —
+    * the SAME boundary as q10's lag rule; verified at sf0.1 where an
+    * exact-1800 s gap occurs). One shuffle on user_id; the per-session frame is
+    * session-bounded, the per-user rollup slim. Durations are exact
+    * longs (end = last + gap); values through DECIMAL. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = Tables.events(spark, dir)
+      .withColumn("tss", date_trunc("second", col("ts")))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events_w"),
+        sum(col("value").cast(DecimalType(18, 4))).as("val_w"))
+      .select(col("user_id"), col("n_events_w"), col("val_w"),
+        (unix_timestamp(col("w.end")) - unix_timestamp(col("w.start")))
+          .as("dur_secs"))
+    perSession.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events_w")).as("n_events"),
+        max(col("dur_secs")).as("longest_secs"),
+        sum(col("val_w")).cast(DecimalType(18, 4)).cast("double").as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** q129: time-series RESAMPLE + FORWARD FILL — the gap-filling
     * step every per-entity time-series feature pipeline runs before
     * modeling (pandas `resample('1H').ffill()` made distributed):

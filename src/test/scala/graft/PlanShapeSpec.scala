@@ -227,6 +227,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bucket"), p)
   }
 
+  test("native session windows: one user shuffle, rollup reuses the clustering") {
+    val p = plan(FrameOps.sessionWindow(spark, sf))
+    assert(p.split("hashpartitioning\\(user_id").length - 1 == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("resample grid is generated in place, never cross-joined or re-shuffled") {
     val p = plan(FrameOps.resampleFfill(spark, sf))
     // the hour grid comes from sequence+explode over the per-user
