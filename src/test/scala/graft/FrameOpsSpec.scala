@@ -45,6 +45,20 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(n == Tables.orders(spark, sf).count())
   }
 
+  test("native session_window agrees with the lag+cumsum rule user for user") {
+    // q10 and q131 implement the SAME split boundary (gap > 1800 s)
+    // through different operators — their per-user session and event
+    // counts must be identical
+    val lagRule = operators.FrameOps.sessionize(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number]("n_sessions").longValue,
+        r.getAs[Number]("n_events").longValue))).toMap
+    val native = operators.FrameOps.sessionWindow(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number]("n_sessions").longValue,
+        r.getAs[Number]("n_events").longValue))).toMap
+    assert(lagRule.keySet == native.keySet)
+    lagRule.foreach { case (u, v) => assert(native(u) == v, s"user $u") }
+  }
+
   test("sessionize: session count never exceeds event count") {
     val rows = operators.FrameOps.sessionize(spark, sf).collect()
     rows.foreach { r =>
