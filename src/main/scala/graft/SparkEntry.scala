@@ -802,6 +802,27 @@ object SparkEntry {
         |c AS (SELECT fp, COUNT(*) AS cluster_size FROM f GROUP BY fp)
         |SELECT f.doc_id, f.fp, c.cluster_size
         |FROM f JOIN c USING (fp) ORDER BY doc_id""".stripMargin,
+    // q87: promoted to the oracle gate (round 7) by switching the
+    // codec's default frame fingerprint to q26's poly-31 family —
+    // the 32-char frame slices are byte-exact because the corpus is
+    // ASCII (verified at all three scales); frames at offsets
+    // f*32, f in range(0, len//32, 4), mirror sampleFrames exactly
+    "q87_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, d.source,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substr(d.text, CAST(u.f * 32 + 1 AS BIGINT), 32), ''),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fhash
+        |  FROM documents d, UNNEST(range(0, len(d.text) // 32, 4)) AS u(f)),
+        |sh AS (SELECT fhash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+        |  FROM fr GROUP BY 1)
+        |SELECT fr.source, COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN sh.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
+        |  CAST(COUNT(DISTINCT CASE WHEN sh.n_docs_with > 1 THEN fr.doc_id END) AS BIGINT) AS n_assets_with_dup
+        |FROM fr JOIN sh USING (fhash)
+        |GROUP BY fr.source ORDER BY fr.source""".stripMargin,
     // q115: the oracle SQL is GENERATED from the operator's own
     // constants (TextOps.bpeOracleSql) — k unrolled pair-count/argmax/
     // merge CTE blocks; every merge decision is value-checked

@@ -99,13 +99,19 @@ object Multimodal {
 
     /** Content fingerprint of the frame at [off, off+len) — a real
       * codec overrides this with a PERCEPTUAL hash (near-dup frames
-      * collide); the default is FNV-1a over the raw bytes, so only
-      * exact-dup frames collide. */
+      * collide); the default is an exact byte hash, so only exact-dup
+      * frames collide. The hash family is q26's poly-31 mod 1e9+7
+      * rolling hash (plans/RollingHash) rather than FNV: the SAME
+      * value is expressible in DuckDB via the verified list_reduce
+      * fragment, which puts q87's whole frame-dedup rollup on the
+      * oracle gate (CLAUDE.md lever (a)). Both engines agree
+      * bit-for-bit, so even the rare mod-1e9+7 collision is counted
+      * identically on both sides. */
     def frameFingerprint(payload: Array[Byte], off: Int, len: Int): Long = {
-      var h = 0xcbf29ce484222325L
+      var h = 0L
       var i = off
       val end = math.min(off + len, payload.length)
-      while (i < end) { h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      while (i < end) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
       h
     }
   }
