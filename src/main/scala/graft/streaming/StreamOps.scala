@@ -28,17 +28,64 @@ object StreamOps {
       .orderBy(col("window_start"), col("event_type"))
 
   /** Shared events stream source: explicit schema (FileStreamSource
-    * can't infer), nanos read as long, converted to µs timestamps.
+    * can't infer). Testdata generations have shipped ts as
+    * TIMESTAMP(NANOS) (read as long via the legacy conf, ÷1000 to µs)
+    * or as plain TIMESTAMP(MICROS) — sniff the type with a one-file
+    * batch read (footer-only driver work) and declare the matching
+    * stream schema so both encodings produce identical timestamps.
     * Every streaming op derives from this one definition. */
   private def streamEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileTsType = spark.read.parquet(eventsDir).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", fileTsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    fileTsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // UTC session (GraftSession) → NTZ cast is the identity on micros
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
+
+  /** q133's stream side: keyless interval matching AT INGEST — q127's
+    * bucket discretization as a watermarked stream-stream join. Both
+    * sides derive from the same event stream: arriving events keep
+    * their single W-second bucket; arriving `error` events open a ±W
+    * incident window exploded to its 3 covered buckets. The bucket
+    * equality gives the stateful join its shuffle key (Spark cannot
+    * partition a keyless time join), the ts range condition lets the
+    * engine age join state out once the other side's watermark passes
+    * ts+W, and the precise |Δt| ≤ W filter keeps semantics identical
+    * to the batch rule (shared constants: FrameOps.intervalW/
+    * intervalSec). Emits one (event_id, event_type, w_id) row per
+    * match as soon as both sides have arrived; the per-event rollup
+    * is the downstream consumer's aggregation (batch twin = q133
+    * FrameOps.intervalMatches; parity asserted in MlStreamSpec). */
+  def intervalMatchStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import graft.operators.FrameOps
+    val W = FrameOps.intervalW
+    val e = streamEvents(spark, eventsDir)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        FrameOps.intervalSec(col("ts")).as("sec"))
+      .withColumn("bucket", floor(col("sec") / W))
+      .withWatermark("ts", "2 hours")
+    val w = streamEvents(spark, eventsDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("w_id"), col("ts").as("w_ts"),
+        FrameOps.intervalSec(col("ts")).as("w_sec"))
+      .withColumn("bucket", explode(sequence(
+        floor((col("w_sec") - W) / W), floor((col("w_sec") + W) / W))))
+      .withWatermark("w_ts", "2 hours")
+    e.join(w,
+      e("bucket") === w("bucket") &&
+        abs(col("sec") - col("w_sec")) <= W &&
+        col("w_ts") >= col("ts") - expr(s"INTERVAL $W SECONDS") &&
+        col("w_ts") <= col("ts") + expr(s"INTERVAL $W SECONDS"))
+      .select(col("event_id"), col("event_type"), col("w_id"))
   }
 
   /** The real streaming pipeline: readStream over a DIRECTORY of

@@ -440,7 +440,13 @@ class MlStreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val agg = raw.agg(min(col("ts")), max(col("ts"))).head()
+    // ts ships as NANOS-as-long in some testdata generations and as
+    // TIMESTAMP(MICROS) in others; do the split arithmetic in the
+    // file's native encoding so staged halves keep their encoding
+    val nanos = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsAsLong = if (nanos) col("ts")
+      else unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val agg = raw.agg(min(tsAsLong), max(tsAsLong)).head()
     val (mn, mx) = (agg.getLong(0), agg.getLong(1))
     val mid = mn + (mx - mn) / 2
     def stageInto(df: org.apache.spark.sql.DataFrame, staged: java.nio.file.Path,
@@ -455,7 +461,7 @@ class MlStreamSpec extends AnyFunSuite {
     // the LATE half of the timeline arrives FIRST (its own batch),
     // then the early half, then a far-future sentinel whose watermark
     // advance flushes the buffers via the event-time timeout path
-    stageInto(raw.filter(col("ts") >= mid), staged, "a_late_half.parquet")
+    stageInto(raw.filter(tsAsLong >= mid), staged, "a_late_half.parquet")
     // delay covers the full staged time span so the early half is
     // in-contract late (lateness ≤ watermark delay), not dropped
     val q = StreamOps.milestoneStreamOrdered(spark, staged.toString,
@@ -466,11 +472,13 @@ class MlStreamSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       assert(spark.table("milestone_ooo_test").count() == 0) // all buffered
-      stageInto(raw.filter(col("ts") < mid), staged, "b_early_half.parquet")
+      stageInto(raw.filter(tsAsLong < mid), staged, "b_early_half.parquet")
       q.processAllAvailable()
       val sentinel = spark.range(1).select(
         lit(-1L).as("event_id"),
-        lit(mx + 631152000L * 1000000000L).as("ts"), // +20y, nanos
+        (if (nanos) lit(mx + 631152000L * 1000000000L) // +20y, nanos
+           else timestamp_micros(lit(mx + 631152000L * 1000000L))
+             .cast(raw.schema("ts").dataType)).as("ts"), // file-native encoding
         lit(-1L).as("user_id"), lit("click").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
       stageInto(sentinel, staged, "c_sentinel.parquet")

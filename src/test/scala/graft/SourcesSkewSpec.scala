@@ -182,4 +182,73 @@ class SourcesSkewSpec extends AnyFunSuite {
     val n = out.agg(sum("n_events")).head.getLong(0)
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("z-order layout: box query intersects fewer row-group stat ranges than the time-sorted control") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ZOrder
+    val base = ZOrder.layouts(spark, sf)
+    val (ulo, uhi, tlo, thi) = ZOrder.box(spark, sf)
+    // count row groups whose [min,max] column stats CAN contain box
+    // rows — exactly the set a stats-driven reader must fetch
+    def intersecting(dir: String): (Int, Int) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      val files = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      var total = 0
+      var hit = 0
+      files.foreach { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rd.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          def range(name: String): (Long, Long) = {
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == name).get
+            val st = c.getStatistics
+              .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+            (st.getMin, st.getMax)
+          }
+          val (umn, umx) = range("user_id")
+          val (tmn, tmx) = range("sec")
+          if (!(umx < ulo || umn > uhi || tmx < tlo || tmn > thi)) hit += 1
+        } finally rd.close()
+      }
+      (hit, total)
+    }
+    val (zHit, zTot) = intersecting(s"$base/z")
+    val (lHit, lTot) = intersecting(s"$base/linear")
+    // both layouts hold the same rows in the same number of files
+    assert(zTot >= 8 && lTot >= 8, s"layouts too few row groups: z=$zTot linear=$lTot")
+    // the time-sorted control prunes on time only — every surviving
+    // file still spans the full user range; z-order clusters both
+    // dims so the same pushed-down predicates touch strictly fewer
+    // row groups
+    assert(zHit < lHit, s"z=$zHit/$zTot linear=$lHit/$lTot")
+    // and the z layout's read set is a small fraction of the table —
+    // the 100 TB claim in one number
+    assert(zHit.toDouble / zTot <= 0.25, s"z=$zHit/$zTot")
+  }
+
+  test("streaming interval matcher equals the q133 batch rule event-for-event") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_ivm")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = graft.streaming.StreamOps.intervalMatchStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("interval_match_test")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val pairs = spark.table("interval_match_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // each (event, window) pair meets in exactly one bucket — no dups
+    assert(pairs.length == pairs.toSet.size)
+    val rolled = pairs.groupBy(p => (p._1, p._2))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = FrameOps.intervalMatches(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rolled == batch)
+  }
 }
