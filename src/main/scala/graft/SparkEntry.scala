@@ -42,6 +42,7 @@ object SparkEntry {
     "q18_asof_custom" -> FrameOps.asofJoinCustom _,
     "q127_interval_join" -> FrameOps.intervalJoin _,
     "q132_zorder_scan" -> graft.sources.ZOrder.zorderScan _,
+    "q134_zorder_append" -> graft.sources.ZOrder.zorderAppendScan _,
     "q133_interval_matches" -> FrameOps.intervalMatches _,
     "q129_resample_ffill" -> FrameOps.resampleFfill _,
     "q130_cohort_retention" -> FrameOps.cohortRetention _,
@@ -363,6 +364,25 @@ object SparkEntry {
         |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  private val zorderBoxSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+      |             min(sec) AS tmin, max(sec) AS tmax FROM e),
+      |b AS (SELECT umin + (umax - umin) // 4 AS ulo,
+      |             umin + (umax - umin) // 2 AS uhi,
+      |             tmin + (tmax - tmin) // 4 AS tlo,
+      |             tmin + (tmax - tmin) // 2 AS thi FROM s)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+      |FROM e, b
+      |WHERE user_id BETWEEN b.ulo AND b.uhi
+      |  AND sec BETWEEN b.tlo AND b.thi
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -571,25 +591,11 @@ object SparkEntry {
     // DuckDB // on non-negative ranges) over the ORIGINAL events
     // table; Spark answers it from the z-ordered re-layout, proving
     // the layout content-preserving. Skipping is measured in
-    // SourcesSkewSpec, not here.
-    "q132_zorder_scan" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, value,
-        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
-        |  FROM events),
-        |s AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
-        |             min(sec) AS tmin, max(sec) AS tmax FROM e),
-        |b AS (SELECT umin + (umax - umin) // 4 AS ulo,
-        |             umin + (umax - umin) // 2 AS uhi,
-        |             tmin + (tmax - tmin) // 4 AS tlo,
-        |             tmin + (tmax - tmin) // 2 AS thi FROM s)
-        |SELECT event_type, COUNT(*) AS n,
-        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
-        |FROM e, b
-        |WHERE user_id BETWEEN b.ulo AND b.uhi
-        |  AND sec BETWEEN b.tlo AND b.thi
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // SourcesSkewSpec, not here. q134 answers the SAME box from the
+    // store+delta appended layout (store ∪ batch = whole table) —
+    // one oracle, two write paths, like q15/q18.
+    "q132_zorder_scan" -> zorderBoxSql,
+    "q134_zorder_append" -> zorderBoxSql,
     // q133: per-event granularity of q127's range join (the oracle
     // states the plain range predicate; Spark runs the bucketed
     // equi-join — same shared rule as q127)

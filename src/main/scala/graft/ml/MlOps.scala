@@ -455,7 +455,13 @@ object MlOps {
     * word⊙item features) keeping top-5. Words = probe vocabulary
     * vectors from word2vec; items = mean-token doc embeddings. The
     * word set broadcasts; the corpus streams once per stage. */
-  def wordItemSearch(spark: SparkSession, dir: String): DataFrame = {
+  def wordItemSearch(spark: SparkSession, dir: String): DataFrame =
+    // seed-fixed fit + eval with a |words|×5-row output → trained-
+    // experiment registry (lever (j)); each warm call was re-running
+    // the LBFGS fit and the corpus prequery (~1.9 s at sf0.1)
+    experiment(spark, dir, "q45")(wordItemSearchRun(spark, dir))
+
+  private def wordItemSearchRun(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = tokenized(spark, dir)
     val w2v = word2vecModel(spark, dir, 16)
@@ -752,11 +758,15 @@ object MlOps {
     * by model similarity; the MSE-improves-over-cosine-alone claim is
     * asserted in FeatureAggSpec. */
   def featureAggSimilarity(spark: SparkSession, dir: String): DataFrame =
+    // the ORDER BY + LIMIT live INSIDE the experiment so the registry
+    // holds 25 rows, not the corpus-scaled pair table (collecting the
+    // full pair list was linear-in-corpus — against the registry's
+    // scalar-output rule — and re-sorted it per rep)
     experiment(spark, dir, "q64")(featureAggScored(spark, dir)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"),
-        round(col("sim"), 6).as("sim"), col("score")))
+        round(col("sim"), 6).as("sim"), col("score"))
       .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
-      .limit(25)
+      .limit(25))
 
   /** Shared pair-scoring pipeline for featureAggSimilarity and its
     * spec: (doc_a, doc_b, cos, sim, score) for every candidate pair. */

@@ -48,12 +48,16 @@ object ZOrder {
   /** 32-bit z-value of two dimensions normalized onto a 2^16 grid.
     * Normalization only steers the LAYOUT (a cell-boundary ulp here
     * moves a row to the neighboring file, never changes an answer),
-    * so double division is fine. */
+    * so double division is fine. Values OUTSIDE the anchor range
+    * clamp to the edge cells: an appended batch keyed with the
+    * store's FROZEN grid (q134) must land at the grid border, not
+    * wrap around the bit mask. */
   private[graft] def zkey(x: Column, xMin: Long, xMax: Long,
       y: Column, yMin: Long, yMax: Long): Column = {
     def norm(c: Column, mn: Long, mx: Long): Column =
-      floor(((c - lit(mn)) * lit(65535L)).cast("double") /
-        lit(math.max(mx - mn, 1L).toDouble)).cast("long")
+      greatest(lit(0L), least(lit(65535L),
+        floor(((c - lit(mn)) * lit(65535L)).cast("double") /
+          lit(math.max(mx - mn, 1L).toDouble)).cast("long")))
     spread16(norm(x, xMin, xMax))
       .bitwiseOR(shiftleft(spread16(norm(y, yMin, yMax)), 1))
   }
@@ -108,6 +112,67 @@ object ZOrder {
     val (umin, umax, tmin, tmax) = stats(spark, dir)
     (umin + (umax - umin) / 4, umin + (umax - umin) / 2,
       tmin + (tmax - tmin) / 4, tmin + (tmax - tmin) / 2)
+  }
+
+  /** Hash residue marking the "arriving batch" slice of events for
+    * the incremental q134 — the same batch-membership convention as
+    * the corpus operators (CorpusOps.batchPredicate), on event_id. */
+  private[graft] def eventBatchPredicate: Column =
+    pmod(xxhash64(col("event_id")), lit(10)) === 3
+
+  /** q134's disk artifact: the STORE z-layout (everything except the
+    * arriving batch) plus the batch appended as its own z-clustered
+    * delta files — keyed with the store's FROZEN grid anchors (a
+    * moving grid would silently re-map every existing cell; clamping
+    * handles out-of-range arrivals). Every file in the merged dir —
+    * original or delta — covers a tight z range, so box skipping
+    * survives the append without rewriting the store
+    * (SourcesSkewSpec measures the merged layout). This is the
+    * steady-state write side of the layout, the same role q109 plays
+    * for the curated funnel. */
+  private val appendCache = graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
+  private[graft] def appendedLayout(spark: SparkSession, dir: String): String =
+    appendCache.getOrElseUpdate((spark, dir), {
+      val base = s"/tmp/graft_zappend_${graft.SessionRegistry.sessionToken(spark)}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ev = eventsWithSec(spark, dir)
+      val store = ev.filter(!eventBatchPredicate)
+      val batch = ev.filter(eventBatchPredicate)
+      // frozen anchors = the store's ranges (one bounded 4-long agg)
+      val s = store.agg(min(col("user_id")), max(col("user_id")),
+        min(col("sec")), max(col("sec"))).head()
+      val (umin, umax, tmin, tmax) =
+        (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+      def withZ(df: DataFrame): DataFrame = df.withColumn("zkey",
+        zkey(col("user_id"), umin, umax, col("sec"), tmin, tmax))
+      withZ(store)
+        .repartitionByRange(ZFiles, col("zkey"))
+        .sortWithinPartitions("zkey").drop("zkey")
+        .write.mode("overwrite").parquet(s"$base/merged")
+      withZ(batch)
+        .repartitionByRange(math.max(ZFiles / 4, 2), col("zkey"))
+        .sortWithinPartitions("zkey").drop("zkey")
+        .write.mode("append").parquet(s"$base/merged")
+      base
+    })
+
+  /** q134 query: q132's box aggregate answered from the APPENDED
+    * layout (store + delta files = the whole events table, so the
+    * answer hash-matches q132's oracle on the original table —
+    * read-back fidelity of the incremental write path). */
+  def zorderAppendScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = appendedLayout(spark, dir)
+    val (ulo, uhi, tlo, thi) = box(spark, dir)
+    spark.read.parquet(s"$base/merged")
+      .filter(col("user_id").between(ulo, uhi) &&
+        col("sec").between(tlo, thi))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
   }
 
   /** q132 query: aggregate over the box READ FROM THE Z LAYOUT with

@@ -258,6 +258,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("z-order scan pushes the box predicates to the parquet scan") {
+    val df = graft.sources.ZOrder.zorderScan(spark, sf)
+    // data skipping starts with pushdown: BOTH box dimensions must
+    // reach the scan (row-group stat pruning happens in the reader).
+    // Read the scan's metadata, not the plan string — toString elides
+    // long PushedFilters lists.
+    val pushed = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata("PushedFilters")
+      }.get
+    Seq("GreaterThanOrEqual(user_id", "LessThanOrEqual(user_id",
+      "GreaterThanOrEqual(sec", "LessThanOrEqual(sec").foreach(f =>
+      assert(pushed.contains(f), s"$f not pushed: $pushed"))
+    // and the aggregate reads only the columns it needs
+    val p = plan(df)
+    val scanLine = p.split("\n").find(_.contains("ReadSchema")).get
+    assert(!scanLine.contains("event_id"), scanLine)
+  }
+
+  test("per-event interval matches run as a bucket equi-join, never a cartesian") {
+    val p = plan(FrameOps.intervalMatches(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"), p)
+    // equi-join on the bucket key: broadcast at small SF (the window
+    // side is bounded by the error rate), hash-partitioned otherwise
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("Exchange hashpartitioning(bucket"), p)
+  }
+
   test("perceptual dedup shuffles hash rows, never pixel bytes") {
     val p = plan(graft.operators.Multimodal.perceptualDedup(spark, sf))
     // one decode pass; cluster sizes come from slim hash-keyed aggs

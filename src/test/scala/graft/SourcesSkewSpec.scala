@@ -219,6 +219,13 @@ class SourcesSkewSpec extends AnyFunSuite {
     }
     val (zHit, zTot) = intersecting(s"$base/z")
     val (lHit, lTot) = intersecting(s"$base/linear")
+    // the incremental append (q134): store z-files + batch delta
+    // z-files keyed with the store's frozen grid — skipping must
+    // survive the append without a store rewrite
+    val merged = graft.sources.ZOrder.appendedLayout(spark, sf)
+    val (aHit, aTot) = intersecting(s"$merged/merged")
+    assert(aTot > zTot, s"append produced no delta files: $aTot vs $zTot")
+    assert(aHit.toDouble / aTot <= 0.35, s"appended layout stopped skipping: $aHit/$aTot")
     // both layouts hold the same rows in the same number of files
     assert(zTot >= 8 && lTot >= 8, s"layouts too few row groups: z=$zTot linear=$lTot")
     // the time-sorted control prunes on time only — every surviving
