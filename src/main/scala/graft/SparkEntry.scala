@@ -43,6 +43,7 @@ object SparkEntry {
     "q127_interval_join" -> FrameOps.intervalJoin _,
     "q132_zorder_scan" -> graft.sources.ZOrder.zorderScan _,
     "q134_zorder_append" -> graft.sources.ZOrder.zorderAppendScan _,
+    "q135_profile" -> FrameOps.profile _,
     "q133_interval_matches" -> FrameOps.intervalMatches _,
     "q129_resample_ffill" -> FrameOps.resampleFfill _,
     "q130_cohort_retention" -> FrameOps.cohortRetention _,
@@ -596,6 +597,36 @@ object SparkEntry {
     // one oracle, two write paths, like q15/q18.
     "q132_zorder_scan" -> zorderBoxSql,
     "q134_zorder_append" -> zorderBoxSql,
+    // q135: the oracle states the same metrics column-by-column; the
+    // Spark side computes ALL of them in one scan (EXPAND distincts)
+    "q135_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_null,
+        |    COUNT(DISTINCT l_quantity) AS qty_distinct,
+        |    MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+        |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_null,
+        |    COUNT(DISTINCT l_extendedprice) AS price_distinct,
+        |    MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS price_sum,
+        |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS disc_null,
+        |    COUNT(DISTINCT l_discount) AS disc_distinct,
+        |    MIN(l_discount) AS disc_min, MAX(l_discount) AS disc_max,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS disc_sum
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS col_name, CAST(n AS DOUBLE) AS n,
+        |  CAST(disc_null AS DOUBLE) AS n_null, CAST(disc_distinct AS DOUBLE) AS n_distinct,
+        |  CAST(disc_min AS DOUBLE) AS min_v, CAST(disc_max AS DOUBLE) AS max_v, disc_sum AS sum_v
+        |FROM a
+        |UNION ALL SELECT 'l_extendedprice', CAST(n AS DOUBLE),
+        |  CAST(price_null AS DOUBLE), CAST(price_distinct AS DOUBLE),
+        |  price_min, price_max, price_sum FROM a
+        |UNION ALL SELECT 'l_quantity', CAST(n AS DOUBLE),
+        |  CAST(qty_null AS DOUBLE), CAST(qty_distinct AS DOUBLE),
+        |  CAST(qty_min AS DOUBLE), CAST(qty_max AS DOUBLE),
+        |  CAST(qty_sum AS DOUBLE) FROM a
+        |ORDER BY col_name""".stripMargin,
     // q133: per-event granularity of q127's range join (the oracle
     // states the plain range predicate; Spark runs the bucketed
     // equi-join — same shared rule as q127)

@@ -688,4 +688,53 @@ object FrameOps {
         (col("base") + col("rn")).as("new_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** q135: SINGLE-SCAN data profiling — the data-quality gate every
+    * training pipeline runs before a model sees the table
+    * (completeness / cardinality / range metrics per column; the
+    * validation role of the reference's data_frame_utils checks,
+    * deequ-style). All plain aggregates fuse into one partial-agg
+    * pass and the three exact distinct counts ride Spark's EXPAND
+    * (map-side row ×3, still ONE scan) — at 100 TB the difference
+    * between one pass over the table and one pass per metric. Long
+    * format via stack() keeps the output bounded by column count.
+    * Sums cross the decimal bridge (and are re-scaled to
+    * DECIMAL(18,4) before the double cast — the q104 wide-decimal
+    * rule); min/max are raw values, exact in both engines. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L))
+    val agg = li.agg(
+      count(lit(1)).as("n"),
+      nulls("l_quantity").as("qty_null"),
+      countDistinct(col("l_quantity")).as("qty_distinct"),
+      min(col("l_quantity")).as("qty_min"),
+      max(col("l_quantity")).as("qty_max"),
+      sum(col("l_quantity")).as("qty_sum"),
+      nulls("l_extendedprice").as("price_null"),
+      countDistinct(col("l_extendedprice")).as("price_distinct"),
+      min(col("l_extendedprice")).as("price_min"),
+      max(col("l_extendedprice")).as("price_max"),
+      sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+        .cast(DecimalType(18, 4)).cast("double").as("price_sum"),
+      nulls("l_discount").as("disc_null"),
+      countDistinct(col("l_discount")).as("disc_distinct"),
+      min(col("l_discount")).as("disc_min"),
+      max(col("l_discount")).as("disc_max"),
+      sum(col("l_discount").cast(DecimalType(18, 4)))
+        .cast(DecimalType(18, 4)).cast("double").as("disc_sum"))
+    agg.selectExpr(
+      """stack(3,
+        |  'l_discount', cast(n as double), cast(disc_null as double),
+        |    cast(disc_distinct as double), cast(disc_min as double),
+        |    cast(disc_max as double), disc_sum,
+        |  'l_extendedprice', cast(n as double), cast(price_null as double),
+        |    cast(price_distinct as double), price_min, price_max, price_sum,
+        |  'l_quantity', cast(n as double), cast(qty_null as double),
+        |    cast(qty_distinct as double), cast(qty_min as double),
+        |    cast(qty_max as double), cast(qty_sum as double)
+        |) as (col_name, n, n_null, n_distinct, min_v, max_v, sum_v)""".stripMargin)
+      .orderBy(col("col_name"))
+  }
 }

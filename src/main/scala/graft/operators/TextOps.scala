@@ -558,9 +558,11 @@ object TextOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
     val uni = docs.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val totals = docs.agg(
-      sum(size(toks)).cast("long").as("n_tok"),
-      sum(size(pairCol)).cast("long").as("n_pairs"))
+    // totals fold out of the two aggregated tables (Σ n_w = token
+    // count, Σ n_pair pre-filter = pair count) — a third corpus scan
+    // re-ran tokenization AND the skip-gram kernel just to size-sum
+    val totals = uni.agg(sum(col("n_w")).cast("long").as("n_tok"))
+      .crossJoin(cab.agg(sum(col("n_pair")).cast("long").as("n_pairs")))
     cab.filter(col("n_pair") >= PmiMinCount)
       .withColumn("w1", split(col("pair"), " ").getItem(0))
       .withColumn("w2", split(col("pair"), " ").getItem(1))

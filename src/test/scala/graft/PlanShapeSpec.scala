@@ -287,6 +287,14 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("Exchange hashpartitioning(bucket"), p)
   }
 
+  test("profile computes every metric in ONE table scan") {
+    val p = plan(FrameOps.profile(spark, sf))
+    // all metrics (incl. 3 exact distincts via EXPAND) fuse into a
+    // single pass — one FileScan in the whole plan
+    assert(p.split("FileScan parquet").length - 1 == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
   test("perceptual dedup shuffles hash rows, never pixel bytes") {
     val p = plan(graft.operators.Multimodal.perceptualDedup(spark, sf))
     // one decode pass; cluster sizes come from slim hash-keyed aggs
