@@ -44,6 +44,8 @@ object SparkEntry {
     "q132_zorder_scan" -> graft.sources.ZOrder.zorderScan _,
     "q134_zorder_append" -> graft.sources.ZOrder.zorderAppendScan _,
     "q135_profile" -> FrameOps.profile _,
+    "q136_decayed_recency" -> FrameOps.decayedRecency _,
+    "q137_histogram" -> FrameOps.histogram _,
     "q133_interval_matches" -> FrameOps.intervalMatches _,
     "q129_resample_ffill" -> FrameOps.resampleFfill _,
     "q130_cohort_retention" -> FrameOps.cohortRetention _,
@@ -639,6 +641,31 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM e JOIN w ON abs(e.sec - w.w_sec) <= ${FrameOps.intervalW}
         |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin,
+    // q136: newest-first age via ROW_NUMBER (same tie-break), decay
+    // weights 0.1*0.9^age over the trailing 8 events only — the
+    // bounded term count is what makes round(,6) absorb both pow's
+    // 1-ulp cross-engine risk and double-sum order variance
+    "q136_decayed_recency" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) - 1 AS age
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  round(SUM(CASE WHEN age < 8 THEN 0.1 * pow(0.9, age) * value ELSE 0.0 END), 6) AS decay_score
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q137: integer bucket arithmetic (// == div on the 1..50
+    // domain); share = IEEE division of two exact ints (correctly
+    // rounded, bit-identical cross-engine)
+    "q137_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bucket, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+        |SELECT bucket, CAST(bucket * 5 + 1 AS BIGINT) AS lo,
+        |  CAST(bucket * 5 + 5 AS BIGINT) AS hi,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM b, t ORDER BY bucket""".stripMargin,
     // q129: hour grid = range(h0, h1+1) (exclusive end == Spark's
     // inclusive sequence); the argmax is ROW_NUMBER desc == Spark's
     // max_by struct ordering; h0 always has an observation so ffill

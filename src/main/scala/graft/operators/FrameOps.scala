@@ -689,6 +689,61 @@ object FrameOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q136: time-DECAYED recency feature per user (the EWMA-family
+    * feature every event-driven recommender/scoring pipeline derives
+    * from a click log; the reference's click-log preprocessing domain
+    * next to q124's RFM). Each user's trailing [[DecayK]] events
+    * contribute 0.1·0.9^age (age = events-ago, newest first): one
+    * row_number window on the SAME user shuffle the rollup reuses,
+    * map-side pow, then the bounded sum. The trailing-K cap is what
+    * keeps the float sum oracle-exact: K=8 doubles summed in any
+    * order differ by ≤ ~1e-15 relative, absorbed by round(,6) BEFORE
+    * output (lever (i)); an unbounded per-user history would make
+    * the round-boundary argument length-dependent. */
+  private val DecayK = 8
+  def decayedRecency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("age", row_number().over(w) - 1)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(when(col("age") < DecayK,
+          lit(0.1) * pow(lit(0.9), col("age")) * col("value"))
+          .otherwise(lit(0.0))), 6).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q137: equi-width HISTOGRAM of a numeric column (the
+    * distribution half of q135's profile — data-quality gate for
+    * drift/skew checks before training). Bucketing is exact integer
+    * arithmetic ((q-1) div width over l_quantity's 1..50 domain), so
+    * the whole histogram is one map-side bucket projection + one
+    * bounded groupBy — no sort, no pass per bucket; the share is one
+    * IEEE double division of two exact integers (correctly rounded →
+    * bit-identical cross-engine, no decimal bridge needed). */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val total = li.agg(count(lit(1)).as("total"))
+    // l_quantity ships as integral DOUBLEs (1..50): (q-1)/5 is a
+    // correctly-rounded IEEE division whose floor is exact on this
+    // domain (true quotients that are integers are exact doubles)
+    li.select(floor((col("l_quantity") - 1) / 5).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        (col("bucket") * 5 + 1).as("lo"),
+        (col("bucket") * 5 + 5).as("hi"),
+        col("n"),
+        // IEEE double division of two exact integers is correctly
+        // rounded — bit-identical in any engine, no decimal bridge
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("bucket"))
+  }
+
   /** q135: SINGLE-SCAN data profiling — the data-quality gate every
     * training pipeline runs before a model sees the table
     * (completeness / cardinality / range metrics per column; the
