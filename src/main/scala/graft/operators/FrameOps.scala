@@ -700,7 +700,7 @@ object FrameOps {
     * order differ by ≤ ~1e-15 relative, absorbed by round(,6) BEFORE
     * output (lever (i)); an unbounded per-user history would make
     * the round-boundary argument length-dependent. */
-  private val DecayK = 8
+  private[graft] val DecayK = 8
   def decayedRecency(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)

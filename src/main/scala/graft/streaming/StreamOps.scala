@@ -305,6 +305,44 @@ object StreamOps {
       }
   }
 
+  case class RecencyState(n: Long, obs: List[(Long, Long, Double)])
+  case class UserRecency(user_id: Long, n_events: Long, decay_score: Double)
+
+  /** q136's ONLINE twin — the feature-store serving pattern: the
+    * per-user decayed-recency score maintained incrementally at
+    * ingest instead of recomputed from the log. State per user is
+    * O(DecayK): total count + the trailing K (ts_micros, event_id,
+    * value) observations newest-first; each micro-batch merges its
+    * arrivals, truncates to K, and emits the user's refreshed score
+    * (update mode — the downstream feature store upserts it). The
+    * emitted score crosses the same round(6) bridge as the batch
+    * rule and its oracle (bounded-term-count argument in
+    * FrameOps.decayedRecency's Scaladoc), so stream == batch
+    * user-for-user — asserted in MlStreamSpec. */
+  def decayedRecencyStream(spark: SparkSession,
+      eventsDir: String): Dataset[UserRecency] = {
+    import spark.implicits._
+    val K = graft.operators.FrameOps.DecayK
+    streamEvents(spark, eventsDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RecencyState, UserRecency](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[RecencyState]) =>
+          val prev = state.getOption.getOrElse(RecencyState(0L, Nil))
+          val arrived = rows.toSeq
+          val merged = (prev.obs ++ arrived.map(r => (r._3, r._2, r._4)))
+            .sortBy(t => (-t._1, -t._2)).take(K)
+          val s = RecencyState(prev.n + arrived.size, merged)
+          state.update(s)
+          val score = merged.iterator.zipWithIndex
+            .map { case ((_, _, v), i) => 0.1 * math.pow(0.9, i) * v }.sum
+          UserRecency(user, s.n,
+            BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   case class BucketState(rep: Long)
   case class DupCandidate(band: Int, key: Long, rep_doc: Long, doc_id: Long)
 

@@ -155,6 +155,28 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("online decayed-recency state matches the q136 batch feature user-for-user") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_recency")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.decayedRecencyStream(spark, staged.toString)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("recency_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("recency_test")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.last("n_events").as("n_events"),
+          org.apache.spark.sql.functions.last("decay_score").as("decay_score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = operators.FrameOps.decayedRecency(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming minhash candidate pairs match the batch twin on a replayed batch") {
     val staged = java.nio.file.Files.createTempDirectory("graft_minhash_stream")
     java.nio.file.Files.copy(
