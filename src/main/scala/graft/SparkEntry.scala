@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlOps
-import graft.operators.{CorpusOps, Dedup, FrameOps, Multimodal, Recommend, SimilaritySearch, TextOps, WordItemApp}
+import graft.operators.{CorpusOps, Dedup, FrameOps, GraphOps, Multimodal, Recommend, SimilaritySearch, TextOps, WordItemApp}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -164,6 +164,14 @@ object SparkEntry {
     "q104_rollup" -> FrameOps.rollupSummary _,
     "q105_pivot" -> FrameOps.pivotLangMix _,
     "q106_set_algebra" -> CorpusOps.setAlgebra _,
+    "q138_scd2_intervals" -> FrameOps.scd2Intervals _,
+    "q139_hopping_window" -> FrameOps.hoppingWindow _,
+    "q140_psi_drift" -> CorpusOps.psiDrift _,
+    "q141_trending" -> FrameOps.trendingTypes _,
+    "q142_cooccur_sim" -> WordItemApp.coClickCosine _,
+    "q143_anomaly_mad" -> FrameOps.anomalyMad _,
+    "q144_funnel_steps" -> FrameOps.funnelSteps _,
+    "q145_pagerank" -> GraphOps.pagerank _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1892,7 +1900,236 @@ object SparkEntry {
         |  (SELECT doc_id FROM qual INTERSECT SELECT doc_id FROM bpkeep)
         |  EXCEPT SELECT doc_id FROM contam)
         |ORDER BY doc_id""".stripMargin,
+    // q138: gaps-and-islands SCD2 — identical lag/cumsum/lead chain;
+    // open intervals carry the 9999999999 sentinel in both engines
+    // (no null-ordering hazard in the hash gate)
+    "q138_scd2_intervals" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, event_type, sec,
+        |    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |           OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, event_type, sec,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM c),
+        |r AS (
+        |  SELECT user_id, version, MIN(event_type) AS state,
+        |    MIN(sec) AS valid_from, COUNT(*) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, state, valid_from,
+        |  COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+        |    ${graft.operators.FrameOps.Scd2OpenEnd}) AS valid_to,
+        |  n_events,
+        |  (COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+        |    ${graft.operators.FrameOps.Scd2OpenEnd}) = ${graft.operators.FrameOps.Scd2OpenEnd}) AS is_current
+        |FROM r ORDER BY user_id, version""".stripMargin,
+    // q139: each event belongs to exactly 3 epoch-aligned hopping
+    // windows — starts (sec//600 - k)*600 for k in 0..2 (half-open
+    // [start, start+1800) == Spark's window() semantics)
+    "q139_hopping_window" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    user_id, value
+        |  FROM events),
+        |x AS (
+        |  SELECT (sec // 600 - CAST(u.k AS BIGINT)) * 600 AS w_start, user_id, value
+        |  FROM e, UNNEST(range(3)) AS u(k))
+        |SELECT w_start, w_start + 1800 AS w_end,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+        |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin,
+    // q140: smoothed shares divide exact integers (correctly-rounded
+    // IEEE, identical both engines); only ln is 1-ulp-risky and the
+    // PSI sum is bounded by the bucket count → round(,6) absorbs it
+    "q140_psi_drift" ->
+      """WITH d AS (
+        |  SELECT source, LEAST(n_chars // 50, 11) AS bucket FROM documents),
+        |c AS (SELECT source, bucket, COUNT(*) AS n_sb FROM d GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |g AS (SELECT source, CAST(u.b AS BIGINT) AS bucket
+        |  FROM srcs, UNNEST(range(12)) AS u(b)),
+        |dense AS (
+        |  SELECT g.source, g.bucket, COALESCE(c.n_sb, 0) AS n_sb
+        |  FROM g LEFT JOIN c ON g.source = c.source AND g.bucket = c.bucket),
+        |m AS (
+        |  SELECT source, bucket, n_sb,
+        |    CAST(SUM(n_sb) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+        |    CAST(SUM(n_sb) OVER (PARTITION BY bucket) AS BIGINT) AS n_b,
+        |    CAST(SUM(n_sb) OVER () AS BIGINT) AS n
+        |  FROM dense),
+        |t AS (
+        |  SELECT source, n_s,
+        |    ((CAST(n_sb AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + 0.5 * 12)
+        |     - (CAST(n_b - n_sb AS DOUBLE) + 0.5) / (CAST(n - n_s AS DOUBLE) + 0.5 * 12))
+        |    * ln(((CAST(n_sb AS DOUBLE) + 0.5) / (CAST(n_s AS DOUBLE) + 0.5 * 12))
+        |       / ((CAST(n_b - n_sb AS DOUBLE) + 0.5) / (CAST(n - n_s AS DOUBLE) + 0.5 * 12))) AS term
+        |  FROM m)
+        |SELECT source, MAX(n_s) AS n_docs, round(SUM(term), 6) AS psi
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // q141: dense (day × type) grid so zero-count days damp the lift;
+    // lift = 7·n / trailing-sum — exact-integer IEEE division
+    "q141_trending" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |    event_type
+        |  FROM events),
+        |c AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |g AS (SELECT day, event_type FROM days, types),
+        |dense AS (
+        |  SELECT g.day, g.event_type, COALESCE(c.n, 0) AS n
+        |  FROM g LEFT JOIN c ON g.day = c.day AND g.event_type = c.event_type),
+        |t AS (
+        |  SELECT day, event_type, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_n,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+        |  FROM dense)
+        |SELECT day, event_type, CAST(n AS BIGINT) AS n, trail_n,
+        |  round(CAST(n AS DOUBLE) * 7.0 / CAST(trail_n AS DOUBLE), 6) AS lift
+        |FROM t WHERE n_prior = 7 AND trail_n > 0
+        |ORDER BY day, event_type""".stripMargin,
+    // q142: q48's verified pair CTE extended with item marginals;
+    // support/√(n_a·n_b) is correctly-rounded IEEE on exact integers
+    "q142_cooccur_sim" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+        |ic AS (SELECT item, COUNT(*) AS n_users FROM uif GROUP BY 1),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+        |  FROM uif a JOIN uif b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, CAST(support AS BIGINT) AS support,
+        |  ia.n_users AS n_a, ib.n_users AS n_b,
+        |  round(CAST(support AS DOUBLE) /
+        |    sqrt(CAST(ia.n_users * ib.n_users AS DOUBLE)), 6) AS cosine
+        |FROM p JOIN ic ia ON p.item_a = ia.item JOIN ic ib ON p.item_b = ib.item
+        |WHERE support >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+    // q143: exact medians as (lo+hi)/2 in PLAIN doubles (a decimal
+    // bridge would round the full-precision deviations, where the two
+    // engines' rounding can differ); dev/3·mad compares are
+    // correctly-rounded IEEE on identical operands → exact outlier set
+    "q143_anomaly_mad" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |m1 AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type, (MIN(value) + MAX(value)) / 2 AS med
+        |  FROM m1 WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |  GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, med.med,
+        |    abs(e.value - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)),
+        |m2 AS (
+        |  SELECT event_type, event_id, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, (MIN(dev) + MAX(dev)) / 2 AS mad
+        |  FROM m2 WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |  GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n, MIN(d.med) AS med, MIN(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_share
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // q144: chained first-step-at-or-after minimums; rates divide
+    // exact integers (identical IEEE)
+    "q144_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |b AS (SELECT COUNT(DISTINCT user_id) AS n0 FROM e),
+        |u1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, MIN(e.sec) AS t2 FROM e JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.event_type = 'click' AND e.sec >= u1.t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, MIN(e.sec) AS t3 FROM e JOIN u2 ON e.user_id = u2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.sec >= u2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT n0 FROM b) AS n0, (SELECT COUNT(*) FROM u1) AS n1,
+        |  (SELECT COUNT(*) FROM u2) AS n2, (SELECT COUNT(*) FROM u3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS step, 'all_users' AS step_name, n0 AS n_users,
+        |    round(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate_vs_prev,
+        |    round(CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate_vs_base FROM c
+        |  UNION ALL SELECT CAST(1 AS BIGINT), 'signup', n1,
+        |    round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6),
+        |    round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM c
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click_after_signup', n2,
+        |    round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6),
+        |    round(CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM c
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase_after_click', n3,
+        |    round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6),
+        |    round(CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) FROM c)
+        |ORDER BY step""".stripMargin,
+    // q145: GENERATED unrolled-iteration PageRank oracle — see
+    // pagerankSql (constants shared with GraphOps: iterations,
+    // damping, per-step rounding scale, support threshold)
+    "q145_pagerank" -> pagerankSql,
   )
+
+  /** q145 oracle GENERATED from GraphOps' own constants (iteration
+    * count, damping, per-step rounding scale, support threshold) —
+    * the PageRank recurrence unrolled as r0→r[[GraphOps.PrIters]]
+    * chained CTEs (a recursive CTE cannot aggregate over its own
+    * recursive reference, and unrolling keeps the oracle a plain
+    * value-level statement of the same IEEE chain the Spark loop
+    * walks: contributions rounded to PrScale decimals, exact
+    * DECIMAL(18,PrScale) sums, damping update re-rounded per step). */
+  private def pagerankSql: String = {
+    import operators.GraphOps.{PrIters, PrScale, PrSupport}
+    val unit = math.pow(10, PrScale).toLong
+    val base = unit * 15L / 100L // 0.15 in fixed-point units, exact
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT ed.dst AS item,
+         |    (SELECT $base // n FROM nn) +
+         |      (85 * CAST(SUM(r${k - 1}.r // dg.deg) AS BIGINT)) // 100 AS r
+         |  FROM ed JOIN dg ON ed.src = dg.src JOIN r${k - 1} ON ed.src = r${k - 1}.item
+         |  GROUP BY ed.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
+       |  FROM events WHERE event_type = 'click'),
+       |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+       |p AS (
+       |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+       |  FROM uif a JOIN uif b ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |ed AS (
+       |  SELECT item_a AS src, item_b AS dst FROM p WHERE support >= $PrSupport
+       |  UNION ALL
+       |  SELECT item_b, item_a FROM p WHERE support >= $PrSupport),
+       |dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dg),
+       |r0 AS (SELECT src AS item, (SELECT $unit // n FROM nn) AS r FROM dg),
+       |$iters
+       |SELECT item, r AS pr_scaled,
+       |  CAST(r AS DOUBLE) / $unit.0 AS pr
+       |FROM r$PrIters ORDER BY item""".stripMargin
+  }
 
   /** q93 oracle fragments generated from the operator's own constants
     * (single source of truth for the hash family AND the bucket cap —

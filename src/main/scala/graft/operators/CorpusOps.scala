@@ -1225,4 +1225,55 @@ object CorpusOps {
        |  COALESCE(agg.clean_text, '') AS clean_text
        |FROM tb LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  /** q140: PSI (Population Stability Index) DRIFT per source vs the
+    * rest of the corpus — the distribution-drift gate a training
+    * pipeline runs on every new ingest (did this source's length
+    * profile shift away from the corpus?). Spark shape: ONE corpus
+    * scan → a (source × bucket)-bounded count table; source/corpus
+    * marginals are windows over that bounded table (never a totals
+    * self-join — lever (g)); the PSI fold runs on |sources|·|buckets|
+    * rows. Floats: bucket shares are add-0.5-smoothed divisions of
+    * exact values (correctly-rounded IEEE, bit-identical both
+    * engines); only ln carries 1-ulp cross-engine risk, and the PSI
+    * sum has ≤ [[PsiBuckets]] terms, so round(,6) absorbs it (the
+    * q136 boundedness argument). */
+  private[graft] val PsiBuckets = 12
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val overall = Window.partitionBy(lit(1))
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        least(floor(col("n_chars") / 50L), lit(PsiBuckets - 1L)).cast("long")
+          .as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_sb"))
+      // dense bucket grid per source: missing buckets must contribute
+      // their smoothed share, so expand to the full 0..B-1 domain
+      // (bounded: |sources|·B rows) before the marginals
+    val grid = Tables.documents(spark, dir).select(col("source")).distinct()
+      .crossJoin(broadcast(
+        spark.range(0, PsiBuckets.toLong).select(col("id").as("bucket"))))
+    val dense = grid.join(counts, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("n_sb"))
+    val withMarginals = dense
+      .withColumn("n_s", sum(col("n_sb")).over(bySrc))
+      .withColumn("n_b", sum(col("n_sb")).over(Window.partitionBy(col("bucket"))))
+      .withColumn("n", sum(col("n_sb")).over(overall))
+    // p_s = smoothed in-source share of the bucket; p_r = smoothed
+    // rest-of-corpus share. All inputs exact integers (+0.5) →
+    // divisions are correctly-rounded IEEE on identical operands.
+    val pS = (col("n_sb").cast("double") + 0.5d) /
+      (col("n_s").cast("double") + 0.5d * PsiBuckets)
+    val pR = ((col("n_b") - col("n_sb")).cast("double") + 0.5d) /
+      ((col("n") - col("n_s")).cast("double") + 0.5d * PsiBuckets)
+    withMarginals
+      .withColumn("term", (pS - pR) * log(pS / pR))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_docs"),
+        round(sum(col("term")), 6).as("psi"))
+      .orderBy(col("source"))
+  }
 }

@@ -792,4 +792,198 @@ object FrameOps {
         |) as (col_name, n, n_null, n_distinct, min_v, max_v, sum_v)""".stripMargin)
       .orderBy(col("col_name"))
   }
+
+  /** q138: SCD TYPE-2 interval compression of the event log — the
+    * warehouse "slowly changing dimension" build (consecutive
+    * same-state runs collapse to one validity interval; only CHANGES
+    * create versions). The reference's pipelines snapshot per-entity
+    * state the same way before joining facts to it. Scale shape: the
+    * change flag (lag), the version id (running sum), the run rollup
+    * (groupBy user+version) and the valid_to lookup (lead over the
+    * run table) all ride ONE hashpartitioning(user_id) — the groupBy
+    * keys are a superset of the window's clustering, so Catalyst
+    * reuses the exchange (plan-asserted: one shuffle of the log, no
+    * join; the gaps-and-islands classic without a self-join). Open
+    * intervals carry a sentinel valid_to so the row is
+    * oracle-hashable without null-ordering hazards. */
+  private[graft] val Scd2OpenEnd = 9999999999L
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        min(col("event_type")).as("state"), // constant within the run
+        min(col("sec")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    runs
+      .withColumn("valid_to",
+        coalesce(
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("version"))),
+          lit(Scd2OpenEnd)))
+      .withColumn("is_current", (col("valid_to") === Scd2OpenEnd).cast("boolean"))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** q139: HOPPING (sliding) window rollup — the overlapping-window
+    * twin of q11's tumbling rollup, through Spark's NATIVE
+    * `window(ts, size, slide)` generator: each event lands in exactly
+    * size/slide = 3 windows, expanded MAP-SIDE before the one
+    * bounded groupBy (never a window-table join). This is also the
+    * exact shape Structured Streaming runs for sliding aggregations,
+    * so the stream twin shares the rule. n_users is an exact distinct
+    * per window (EXPAND, q135's machinery); values cross DECIMAL. */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        window(date_trunc("second", col("ts")), "30 minutes", "10 minutes").as("w"),
+        col("user_id"), col("value"))
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).cast("double").as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("w_start"),
+        unix_timestamp(col("w.end")).as("w_end"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("w_start"))
+
+  /** q141: TRENDING detection — per-day event-type counts scored
+    * against their own trailing-7-day mean (the burst/lift rule
+    * behind "rising queries/items" features). The log collapses to a
+    * (day × type)-bounded count table in one partial-agg shuffle;
+    * the dense day grid (so zero-count days damp the lift — a
+    * rows-preceding window over sparse counts would silently skip
+    * them) comes from crossing the two TINY dimension aggregates,
+    * broadcast — never a calendar join against the log. Lift divides
+    * two exact integers (7·n vs trailing sum) — identical IEEE
+    * division in both engines; round(,6) only for presentation. */
+  def trendingTypes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(floor(unix_timestamp(date_trunc("second", col("ts"))) / 86400L)
+        .cast("long").as("day"), col("event_type"))
+    val counts = ev.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+    val days = ev.select(col("day")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    grid.join(counts, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("trail_n", sum(col("n")).over(trail))
+      .withColumn("n_prior", count(lit(1)).over(trail))
+      .filter(col("n_prior") === 7 && col("trail_n") > 0)
+      .select(col("day"), col("event_type"), col("n"), col("trail_n"),
+        round(col("n").cast("double") * 7.0d / col("trail_n").cast("double"), 6)
+          .as("lift"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Exact per-group median of a double column as (lo+hi)/2 over the
+    * middle rank(s) — PLAIN double arithmetic, no decimal bridge:
+    * lo+hi is one correctly-rounded IEEE addition and /2 is exact, so
+    * the value is bit-identical cross-engine even when the inputs
+    * are arbitrary doubles (a DECIMAL(18,4) bridge here would ROUND
+    * sub-4-decimal deviations, where Spark's HALF_UP and DuckDB's
+    * cast rounding can differ). Shared by q143's median and its MAD
+    * (median of |v − med|, whose inputs are full-precision doubles —
+    * the case the decimal bridge can't carry). */
+  private def medianBy(df: DataFrame, key: String, v: String, tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(v), col(tie))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor(col("cnt") / 2) + 1)
+      .groupBy(col(key))
+      .agg(((min(col(v)) + max(col(v))) / 2.0d).as("med"))
+  }
+
+  /** q143: ROBUST anomaly detection — per-type median + MAD (median
+    * absolute deviation) with a 3·MAD outlier rule, the
+    * data-quality/drift gate that mean±3σ can't do on heavy-tailed
+    * pipelines (one wild value drags the mean; the median shrugs).
+    * Scale shape: two rank-selection passes over the SAME
+    * event_type clustering (exact medians — q68's percentile_approx
+    * sketch is the documented 100 TB path for both); the per-type
+    * med/mad tables are |types|-bounded broadcasts back onto the
+    * log. Floats: med and mad are (lo+hi)/2 in PLAIN doubles
+    * ([[medianBy]] — bit-identical cross-engine); dev, 3·mad and the
+    * compare are correctly-rounded IEEE on identical operands → the
+    * outlier SET is exact, no epsilon. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val med = medianBy(e, "event_type", "value", "event_id")
+    val withDev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = medianBy(
+      withDev.select(col("event_type"), col("event_id"), col("dev")),
+      "event_type", "dev", "event_id")
+      .withColumnRenamed("med", "mad")
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0d) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** q144: ordered FUNNEL-STEP conversion (signup → click →
+    * purchase): each step's first timestamp must be AT OR AFTER the
+    * previous step's — the event-analytics sequel to q85's corpus
+    * funnel and q10's sessions. Scale shape: the log collapses to
+    * per-user step times through three chained min-aggregations; the
+    * step joins are user-keyed equi-joins of user-bounded tables
+    * (they ride one user_id clustering — never a window over the raw
+    * log per step); the summary crosses four single-row aggregates,
+    * broadcast by construction. Rates divide exact integers → round
+    * only for presentation. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val sec = unix_timestamp(date_trunc("second", col("ts")))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), sec.as("sec"))
+    val base = e.select(col("user_id")).distinct()
+    val u1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+    val u2 = e.filter(col("event_type") === "click")
+      .join(u1, Seq("user_id")).filter(col("sec") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+    val u3 = e.filter(col("event_type") === "purchase")
+      .join(u2, Seq("user_id")).filter(col("sec") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+    val counts = base.agg(count(lit(1)).as("n0"))
+      .crossJoin(u1.agg(count(lit(1)).as("n1")))
+      .crossJoin(u2.agg(count(lit(1)).as("n2")))
+      .crossJoin(u3.agg(count(lit(1)).as("n3")))
+    counts.selectExpr(
+      """stack(4,
+        |  0L, 'all_users', n0, round(cast(n0 as double) / cast(n0 as double), 6),
+        |    round(cast(n0 as double) / cast(n0 as double), 6),
+        |  1L, 'signup', n1, round(cast(n1 as double) / cast(n0 as double), 6),
+        |    round(cast(n1 as double) / cast(n0 as double), 6),
+        |  2L, 'click_after_signup', n2, round(cast(n2 as double) / cast(n1 as double), 6),
+        |    round(cast(n2 as double) / cast(n0 as double), 6),
+        |  3L, 'purchase_after_click', n3, round(cast(n3 as double) / cast(n2 as double), 6),
+        |    round(cast(n3 as double) / cast(n0 as double), 6)
+        |) as (step, step_name, n_users, rate_vs_prev, rate_vs_base)""".stripMargin)
+      .orderBy(col("step"))
+  }
 }

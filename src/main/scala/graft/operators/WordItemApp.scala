@@ -83,23 +83,61 @@ object WordItemApp {
       .orderBy(col("split"))
   }
 
-  /** MakeSimilarityData: co-click item pairs with support, via
-    * per-user posting arrays (one shuffle on user, pair explosion
-    * from the sorted item array — no self-join). */
-  def similarityData(spark: SparkSession, dir: String): DataFrame = {
-    val ui = Tables.events(spark, dir)
+  /** THE distinct (user, item) click set — the shared base of q48's
+    * co-click pairs and q142's cosine similarity (shared-rule
+    * discipline: one def, the pair list and the item marginals cannot
+    * drift). */
+  private[operators] def userItemClicks(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"), itemFromProps.as("item"))
       .filter(col("item").isNotNull)
       .distinct()
-    ui.groupBy(col("user_id"))
+
+  /** THE co-click pair rule (q48 + q142 share it): support counts via
+    * per-user posting arrays — one shuffle on user, pair explosion
+    * from the sorted item array, never a self-join of the click log. */
+  private[operators] def coClickPairs(spark: SparkSession, dir: String): DataFrame =
+    userItemClicks(spark, dir)
+      .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("item"))).as("items"))
       .select(explode(flatten(transform(col("items"), (a, i) =>
         transform(slice(col("items"), i + 2, size(col("items"))),
           b => struct(a.as("item_a"), b.as("item_b")))))).as("p"))
       .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("support"))
+
+  /** MakeSimilarityData: co-click item pairs with support. */
+  def similarityData(spark: SparkSession, dir: String): DataFrame =
+    coClickPairs(spark, dir)
       .filter(col("support") >= 2)
+      .orderBy(col("item_a"), col("item_b"))
+
+  /** q142: co-click COSINE item similarity — the count-based
+    * item-item similarity the reference computes from MF factors
+    * (calculate_similarity_with_matrix_factorization.py:21) expressed
+    * directly on the interaction sets: cos(a,b) = |U_a ∩ U_b| /
+    * √(|U_a|·|U_b|) over distinct click sets. Scale shape: the
+    * intersection counts are [[coClickPairs]] (posting arrays, no
+    * self-join); the per-item marginals are a second bounded agg of
+    * the SAME distinct click set, broadcast onto the pair table.
+    * Floats: |U_a|·|U_b| is an exact integer, √ and ÷ are
+    * correctly-rounded IEEE on identical operands → bit-identical
+    * cross-engine with no decimal bridge; round(,6) only for
+    * presentation. */
+  def coClickCosine(spark: SparkSession, dir: String): DataFrame = {
+    val itemCounts = userItemClicks(spark, dir)
+      .groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+    coClickPairs(spark, dir)
+      .filter(col("support") >= 2)
+      .join(broadcast(itemCounts.select(col("item").as("item_a"),
+        col("n_users").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemCounts.select(col("item").as("item_b"),
+        col("n_users").as("n_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"),
+        round(col("support").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("cosine"))
       .orderBy(col("item_a"), col("item_b"))
   }
 }

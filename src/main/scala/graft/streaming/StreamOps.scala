@@ -105,6 +105,26 @@ object StreamOps {
         col("n"), col("total_value"))
   }
 
+  /** q139's stream side: SLIDING-window aggregation at ingest — the
+    * same native `window(ts, 30m, 10m)` generator as the batch rule
+    * (each event expands map-side into its 3 windows; state is one
+    * row per open window, closed by the watermark). Exact distinct
+    * users is not a streaming-supported aggregate, so the stream twin
+    * carries the count/sum half of q139 — parity with the batch rule
+    * on exactly those columns is asserted in MlStreamSpec. */
+  def hoppingStream(spark: SparkSession, eventsDir: String): DataFrame =
+    streamEvents(spark, eventsDir)
+      .withColumn("tss", date_trunc("second", col("ts")))
+      .withWatermark("tss", "1 hour")
+      .groupBy(window(col("tss"), "30 minutes", "10 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).cast("double").as("total_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("w_start"),
+        col("n_events"), col("total_value"))
+
   /** Streaming dedup: dropDuplicatesWithinWatermark on the event key —
     * the training-pipeline "ingest exactly once" building block. The
     * watermark bounds the dedup state store (keys older than the

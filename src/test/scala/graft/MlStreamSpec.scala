@@ -552,6 +552,28 @@ class MlStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming hopping windows match the q139 batch rule window-for-window") {
+    val batch = graft.operators.FrameOps.hoppingWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), math.round(r.getDouble(4) * 10000)))
+      .toSet
+    val staged = java.nio.file.Files.createTempDirectory("graft_hop_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.hoppingStream(spark, staged.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_hopping_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_hopping_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 10000)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming rollup matches its batch twin exactly") {
     val batch = StreamOps.rollup10m(spark, sf).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),

@@ -278,6 +278,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!scanLine.contains("event_id"), scanLine)
   }
 
+  test("scd2 intervals: lag/cumsum/rollup/lead all ride one user shuffle, no join") {
+    val p = plan(FrameOps.scd2Intervals(spark, sf))
+    // the gaps-and-islands chain must reuse ONE hashpartitioning(user_id)
+    // exchange end-to-end (groupBy(user, version) is satisfied by the
+    // subset rule; a self-join formulation would shuffle the log twice)
+    assert(p.split("hashpartitioning\\(user_id").length - 1 == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("hopping windows expand map-side, never join a window table") {
+    val p = plan(FrameOps.hoppingWindow(spark, sf))
+    assert(!p.contains("Join"), p)
+    // the 3-windows-per-event expansion happens before the first
+    // exchange (map-side), as an Expand/Generate over the scan
+    val firstExchange = p.indexOf("Exchange")
+    val expand = math.max(p.indexOf("Expand"), p.indexOf("Generate"))
+    assert(expand > firstExchange, p) // executedPlan prints root-first:
+    // the expansion node sits BELOW (later in the string than) every
+    // exchange above it
+  }
+
+  test("co-click cosine: marginals broadcast onto the pair table, no corpus SMJ") {
+    val p = plan(graft.operators.WordItemApp.coClickCosine(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("psi drift: marginals are windows over the bounded count table") {
+    val p = plan(graft.operators.CorpusOps.psiDrift(spark, sf))
+    // corpus scans: one for the bucket counts + one distinct-source
+    // scan for the dense grid — never a third, and no totals self-join
+    // of the corpus (the only joins run on |sources|·|buckets| rows)
+    assert(p.split("FileScan parquet").length - 1 <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("per-event interval matches run as a bucket equi-join, never a cartesian") {
     val p = plan(FrameOps.intervalMatches(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"), p)
