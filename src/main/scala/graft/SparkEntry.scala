@@ -172,6 +172,18 @@ object SparkEntry {
     "q143_anomaly_mad" -> FrameOps.anomalyMad _,
     "q144_funnel_steps" -> FrameOps.funnelSteps _,
     "q145_pagerank" -> GraphOps.pagerank _,
+    "q146_snapshot_diff" -> FrameOps.snapshotDiffDocs _,
+    "q147_cube" -> FrameOps.cubeSummary _,
+    "q148_edit_dedup" -> ((s: SparkSession, d: String) => Dedup.editDedup(s, d)),
+    "q149_dsir_weights" -> CorpusOps.dsirWeights _,
+    "q150_cond_entropy" -> CorpusOps.condEntropy _,
+    "q151_token_budget" -> CorpusOps.tokenBudget _,
+    "q152_ngram_coverage" -> CorpusOps.ngramCoverage _,
+    "q153_hits" -> GraphOps.hits _,
+    "q154_quantile_bands" -> FrameOps.quantileBands _,
+    "q155_degree_profile" -> GraphOps.degreeProfile _,
+    "q156_tfidf_cosine" -> ((s: SparkSession, d: String) => Dedup.tfidfCosine(s, d)),
+    "q157_rec_eval" -> WordItemApp.recEval _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2087,6 +2099,272 @@ object SparkEntry {
     // pagerankSql (constants shared with GraphOps: iterations,
     // damping, per-step rounding scale, support threshold)
     "q145_pagerank" -> pagerankSql,
+    // q146: md5 hex of ASCII text is byte-identical cross-engine;
+    // status derives from key presence + fingerprint equality only
+    "q146_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 1 THEN text || ' rev' ELSE text END) AS old_fp
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |n AS (SELECT doc_id, md5(text) AS new_fp FROM documents WHERE doc_id % 19 <> 5)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_fp <> new_fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_fp, new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q147: per-column GROUPING flags (0/1 each) sidestep engine
+    // grouping_id bit-order conventions; NULLS FIRST pinned
+    "q147_cube" ->
+      """SELECT CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  o_year, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_price
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority, o_totalprice FROM orders)
+        |GROUP BY CUBE (o_year, o_orderpriority)
+        |ORDER BY g_year, g_pri, o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // q148: q31's verified shingle-candidate CTE + support floor +
+    // levenshtein verify — dist/mlen are exact ints, the admission
+    // compare is one IEEE division on identical operands
+    "q148_edit_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    levenshtein(da.text, db.text) AS dist,
+        |    greatest(len(da.text), len(db.text)) AS mlen
+        |  FROM cand c
+        |  JOIN documents da ON c.doc_a = da.doc_id
+        |  JOIN documents db ON c.doc_b = db.doc_id
+        |  WHERE c.inter >= 3)
+        |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
+        |  round(CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE), 6) AS edit_ratio
+        |FROM p WHERE CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE) <= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q149: GENERATED from CorpusOps' DSIR constants (bucket count,
+    // smoothing, admission cap, hash family) — see dsirOracleSql
+    "q149_dsir_weights" -> CorpusOps.dsirOracleSql,
+    // q150: per-gram term rounded then decimal-summed; the source
+    // total factors out of the sum → single window marginal
+    "q150_cond_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, tok || ' ' || lead1 AS g FROM (
+        |    SELECT doc_id, source, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1
+        |    FROM tok) WHERE lead1 IS NOT NULL),
+        |c2 AS (
+        |  SELECT source, g, COUNT(*) AS c2,
+        |    string_split(g, ' ')[1] AS w1
+        |  FROM bg GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, g, c2,
+        |    CAST(SUM(c2) OVER (PARTITION BY source, w1) AS BIGINT) AS c1
+        |  FROM c2),
+        |t AS (
+        |  SELECT source, c2,
+        |    CAST(round(CAST(c2 AS DOUBLE) *
+        |      ln(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+        |  FROM m)
+        |SELECT source, CAST(SUM(c2) AS BIGINT) AS n_bigrams,
+        |  COUNT(*) AS n_types,
+        |  CAST(CAST(SUM(term) AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(SUM(c2) AS DOUBLE) AS cond_entropy
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // q151: window cumsum in priority order (longest first); the
+    // admission compare is integer-exact
+    "q151_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM d)
+        |SELECT doc_id, source, tok, cum_tok, cum_tok <= 512 AS admitted
+        |FROM w ORDER BY source, doc_id""".stripMargin,
+    // q152: q76's verified 5-gram CTE re-rolled per doc as a
+    // coverage ratio; thresholds compare the rounded value
+    "q152_ngram_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+4] AS g
+        |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> 'src0'),
+        |s AS (
+        |  SELECT tg.doc_id, tg.source, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM tg LEFT JOIN ev ON tg.g = ev.g
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT doc_id, source, n_grams, n_hit,
+        |    round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS coverage
+        |  FROM s)
+        |SELECT doc_id, source, n_grams, n_hit, coverage,
+        |  CASE WHEN n_hit = 0 THEN 'clean'
+        |       WHEN coverage < 0.2 THEN 'low'
+        |       WHEN coverage < 0.5 THEN 'medium'
+        |       ELSE 'high' END AS severity
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q153: GENERATED unrolled fixed-point HITS oracle — see hitsSql
+    "q153_hits" -> hitsSql,
+    // q154: nearest-rank selection — rank targets are exact integer
+    // ceil-divisions, band values are picked (never interpolated)
+    "q154_quantile_bands" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n,
+        |  MIN(CASE WHEN rn = (25 * cnt + 99) // 100 THEN value END) AS p25,
+        |  MIN(CASE WHEN rn = (50 * cnt + 99) // 100 THEN value END) AS p50,
+        |  MIN(CASE WHEN rn = (75 * cnt + 99) // 100 THEN value END) AS p75,
+        |  MIN(CASE WHEN rn = (90 * cnt + 99) // 100 THEN value END) AS p90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q155: q142/q145's verified co-click pair CTE rolled into a
+    // degree histogram; shares divide exact integers
+    "q155_degree_profile" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+        |  FROM uif a JOIN uif b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |ed AS (
+        |  SELECT item_a AS src FROM p WHERE support >= 2
+        |  UNION ALL
+        |  SELECT item_b FROM p WHERE support >= 2),
+        |dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
+        |hist AS (SELECT deg, COUNT(*) AS n_items FROM dg GROUP BY 1),
+        |t AS (
+        |  SELECT deg, n_items,
+        |    CAST(SUM(n_items) OVER () AS BIGINT) AS n_total,
+        |    CAST(SUM(n_items) OVER (ORDER BY deg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM hist)
+        |SELECT CAST(deg AS BIGINT) AS deg, CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n_items AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |  CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
+        |FROM t ORDER BY deg""".stripMargin,
+    // q156: weights round(,6), micro-long products round(,8)-decimal
+    // summed, wide sums re-scaled pre-double-cast, cosine + threshold
+    // on RAW identically-derived doubles (levers c/k)
+    "q156_tfidf_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |tf AS (SELECT doc_id, sh, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+        |dft AS (SELECT sh, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, tf.sh,
+        |    round(tf * log2(CAST(n.n AS DOUBLE) / dft.df), 6) AS w
+        |  FROM tf JOIN dft USING (sh), n WHERE dft.df <= 256),
+        |nm AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(18,8)))
+        |      AS DECIMAL(18,8)) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(CAST(SUM(CAST(round(
+        |      CAST(CAST(round(a.w * 1000000) AS BIGINT) *
+        |           CAST(round(b.w * 1000000) AS BIGINT) AS DOUBLE) * 1e-12,
+        |      8) AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT doc_a, doc_b, dot, dot / (na.nrm * nb.nrm) AS cosine
+        |  FROM p JOIN nm na ON p.doc_a = na.doc_id
+        |         JOIN nm nb ON p.doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b, dot, cosine FROM c
+        |WHERE cosine >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    // q157: hash-split eval; per-user metrics divide exact ints,
+    // macro means are raw quotients of decimal sums
+    "q157_rec_eval" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+        |tagged AS (
+        |  SELECT user_id, item,
+        |    ((user_id * 1009 + item) * 2654435761) % 1000000007 % 5 = 0 AS is_test
+        |  FROM uif),
+        |train AS (SELECT user_id, item FROM tagged WHERE NOT is_test),
+        |test AS MATERIALIZED (SELECT user_id, item FROM tagged WHERE is_test),
+        |topm AS (
+        |  SELECT item, pop_rank FROM (
+        |    SELECT item, COUNT(*) AS n_clicks,
+        |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS pop_rank
+        |    FROM train GROUP BY item) WHERE pop_rank <= 20),
+        |users AS (SELECT DISTINCT user_id FROM test),
+        |recs AS (
+        |  SELECT u.user_id, t.item,
+        |    ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY t.pop_rank) AS rec_rank
+        |  FROM users u CROSS JOIN topm t
+        |  LEFT JOIN train tr ON tr.user_id = u.user_id AND tr.item = t.item
+        |  WHERE tr.item IS NULL),
+        |pu AS (
+        |  SELECT r.user_id, COUNT(*) AS n_rec,
+        |    CAST(SUM(CASE WHEN te.item IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM recs r LEFT JOIN test te
+        |    ON te.user_id = r.user_id AND te.item = r.item
+        |  WHERE r.rec_rank <= 10 GROUP BY 1),
+        |m AS (
+        |  SELECT pu.user_id, pu.n_rec, pu.n_hit, tc.n_test,
+        |    CAST(round(CAST(pu.n_hit AS DOUBLE) / CAST(pu.n_rec AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS p_u,
+        |    CAST(round(CAST(pu.n_hit AS DOUBLE) / CAST(tc.n_test AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS r_u
+        |  FROM pu JOIN (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1) tc
+        |    USING (user_id))
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_hit,
+        |  CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+        |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS hit_rate,
+        |  CAST(CAST(SUM(p_u) AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS macro_precision,
+        |  CAST(CAST(SUM(r_u) AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS macro_recall
+        |FROM m""".stripMargin,
   )
 
   /** q145 oracle GENERATED from GraphOps' own constants (iteration
@@ -2129,6 +2407,55 @@ object SparkEntry {
        |SELECT item, r AS pr_scaled,
        |  CAST(r AS DOUBLE) / $unit.0 AS pr
        |FROM r$PrIters ORDER BY item""".stripMargin
+  }
+
+  /** q153 oracle GENERATED from GraphOps' HITS constants (iteration
+    * count, fixed-point scale): the hub/authority recurrence unrolled
+    * as chained CTEs walking the SAME exact integer chain as the
+    * Spark loop — integer sums, integer L1 renormalization
+    * raw·K div S per half-step (K = unit·side size as a scalar
+    * subquery, exactly the driver scalar the Spark plan embeds). */
+  private def hitsSql: String = {
+    import operators.GraphOps.{HitsIters, HitsScale}
+    val unit = math.pow(10, HitsScale).toLong
+    // AS MATERIALIZED on every multiply-referenced CTE: DuckDB
+    // inlines CTEs by default, and the unrolled two-consumers-per-
+    // half-step chain re-evaluates its whole prefix EXPONENTIALLY
+    // without it (the SQL mirror of the Spark loop's persists)
+    val iters = (1 to HitsIters).map { k =>
+      s"""ra$k AS MATERIALIZED (
+         |  SELECT e.item, CAST(SUM(h) AS BIGINT) AS raw
+         |  FROM e JOIN h${k - 1} USING (user_id) GROUP BY 1),
+         |sa$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS s FROM ra$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT item, CAST((raw * (SELECT k FROM ni)) // (SELECT s FROM sa$k) AS BIGINT) AS a
+         |  FROM ra$k),
+         |rh$k AS MATERIALIZED (
+         |  SELECT e.user_id, CAST(SUM(a) AS BIGINT) AS raw
+         |  FROM e JOIN a$k USING (item) GROUP BY 1),
+         |sh$k AS (SELECT CAST(SUM(raw) AS BIGINT) AS s FROM rh$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT user_id, CAST((raw * (SELECT k FROM nu)) // (SELECT s FROM sh$k) AS BIGINT) AS h
+         |  FROM rh$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ui AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
+       |  FROM events WHERE event_type = 'click'),
+       |e AS MATERIALIZED (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+       |nu AS (SELECT CAST($unit * COUNT(DISTINCT user_id) AS BIGINT) AS k FROM e),
+       |ni AS (SELECT CAST($unit * COUNT(DISTINCT item) AS BIGINT) AS k FROM e),
+       |h0 AS (SELECT DISTINCT user_id, CAST($unit AS BIGINT) AS h FROM e),
+       |$iters
+       |SELECT * FROM (
+       |  SELECT 'item' AS role, item AS id, a AS score_scaled,
+       |    CAST(a AS DOUBLE) / (SELECT CAST(k AS DOUBLE) FROM ni) AS share
+       |  FROM a$HitsIters
+       |  UNION ALL
+       |  SELECT 'user', user_id, h,
+       |    CAST(h AS DOUBLE) / (SELECT CAST(k AS DOUBLE) FROM nu)
+       |  FROM h$HitsIters)
+       |ORDER BY role, id""".stripMargin
   }
 
   /** q93 oracle fragments generated from the operator's own constants

@@ -1276,4 +1276,218 @@ object CorpusOps {
         round(sum(col("term")), 6).as("psi"))
       .orderBy(col("source"))
   }
+
+  /** q151 per-source token budget. Small enough that truncation
+    * binds at every test SF; a production budget is per-domain
+    * token caps in the billions — the plan shape is identical. */
+  private[graft] val BudgetTokens = 512L
+
+  /** q151: per-source token-budget admission — every source
+    * contributes documents in priority order (longest first, doc_id
+    * tie-break) until its token budget is exhausted; the per-domain
+    * cap step of corpus mixing (the hard-cap complement of q111's
+    * proportional mix weights). Scale shape: one shuffle clusters
+    * the corpus by source; the running total is a window cumsum over
+    * that clustering (per-doc token counts are row-local array
+    * lengths — the text itself never shuffles). A single pathological
+    * domain serializes into one task here; the two-pass
+    * per-partition-offset pattern (q98 stable ids) is the documented
+    * fallback at that scale. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextFns.tokenCount(col("text")).as("tok"))
+      .withColumn("cum_tok", sum(col("tok")).over(w))
+      .withColumn("admitted", col("cum_tok") <= BudgetTokens)
+      .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"),
+        col("admitted"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** q152: per-document eval-overlap COVERAGE — the fraction of a
+    * doc's distinct 5-grams that appear in the benchmark set, with a
+    * severity class on top (q76 counts hits per source; audits need
+    * the per-doc ratio: a 3-hit 500-gram doc is noise, a 3-hit
+    * 5-gram doc is a leak). Same shared rule as q76/q83/q85
+    * ([[docGrams]] × broadcast [[evalGrams]]) folded into ONE
+    * corpus scan: the broadcast join carries a hit marker instead of
+    * inner-joining, so gram totals and hit counts come out of the
+    * same aggregation. Docs shorter than 5 tokens have no grams and
+    * are definitionally out of scope (stated in the oracle too).
+    * Coverage divides exact integers (identical IEEE); threshold
+    * compares run on the rounded value. */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val eg = evalGrams(spark, dir).withColumn("hit", lit(1L))
+    docGrams(Tables.documents(spark, dir))
+      .join(broadcast(eg), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("coverage",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("severity",
+        when(col("n_hit") === 0L, lit("clean"))
+          .when(col("coverage") < 0.2d, lit("low"))
+          .when(col("coverage") < 0.5d, lit("medium"))
+          .otherwise(lit("high")))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q149 DSIR-style hashed-bigram importance weights ----------
+
+  /** Hashed-gram bucket count (DSIR; Xie et al. 2023 use 10k buckets
+    * over hashed n-grams — 128 keeps the oracle's unrolled hash
+    * evaluation cheap while binding collisions at test scale). */
+  private[graft] val DsirBuckets = 128
+  /** Admission cap per source (top-k by importance weight). */
+  private[graft] val DsirAdmit = 5
+
+  /** q149: data-selection importance weights via hashed bigram
+    * language-model ratios (the DSIR recipe: score raw docs by how
+    * target-like their hashed n-gram distribution is, admit top-k
+    * per source). Target = the eval source's docs, raw = the rest;
+    * bucket(g) = poly-31 rolling hash mod [[DsirBuckets]] (the q26
+    * family, reproduced bit-for-bit in DuckDB); λ[b] = ln of the
+    * add-half-smoothed target/raw bucket-probability ratio; doc
+    * weight = mean λ over its (non-distinct) bigrams.
+    *
+    * Scale shape: the λ table is a [[DsirBuckets]]-bounded broadcast
+    * built from ONE gram scan's two filtered aggregations (map-side
+    * partials; the grid join is against a 128-row range); scoring is
+    * a second scan with a broadcast join and a two-level agg — no
+    * corpus-sized shuffle carries text. Float discipline: per-bucket
+    * λ is round(,6)-ed decimal (bounded ln, PSI precedent); per-doc
+    * sums are exact decimal sums re-scaled to DECIMAL(18,6) before
+    * the double division (q104 wide-decimal rule); ranking runs on
+    * the rounded weight with doc_id tie-breaks. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+      .withColumn("bucket", graft.plans.RollingHash(col("g")) % DsirBuckets)
+    val ct = grams.filter(col("source") === EvalSource)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val cr = grams.filter(col("source") =!= EvalSource)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val dense = spark.range(0, DsirBuckets.toLong)
+      .select(col("id").as("bucket"))
+      .join(ct, Seq("bucket"), "left").join(cr, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+    val tot = dense.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val pT = (col("ct").cast("double") + 0.5d) /
+      (col("nt").cast("double") + 0.5d * DsirBuckets)
+    val pR = (col("cr").cast("double") + 0.5d) /
+      (col("nr").cast("double") + 0.5d * DsirBuckets)
+    val lam = dense.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(pT / pR), 6).cast("decimal(18,6)").as("lam"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("weight").desc, col("doc_id"))
+    grams.filter(col("source") =!= EvalSource)
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      // weight stays the RAW quotient (lever c): both operands are
+      // exact (decimal sum, count), so one correctly-rounded IEEE
+      // division is bit-identical cross-engine — while round(,6)
+      // would REINTRODUCE divergence (Spark rounds the shortest
+      // decimal repr via BigDecimal.valueOf, DuckDB the full binary
+      // value; a quotient at a 6th-decimal half-boundary splits
+      // them — found live at sf0.1)
+      .agg(count(lit(1)).as("n_grams"),
+        (sum(col("lam")).cast("decimal(18,6)").cast("double") /
+          count(lit(1))).as("weight"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("admitted", col("rank") <= DsirAdmit)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** q149 oracle, GENERATED from the operator's own constants
+    * (bucket count, smoothing, admission cap, eval source, and the
+    * q26-verified rolling-hash fragment) — the hash family and every
+    * threshold share one source of truth with the Spark plan. */
+  private[graft] def dsirOracleSql: String = {
+    val b = DsirBuckets
+    val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(g, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % 1000000007) % $b"
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, tok || ' ' || lead1 AS g FROM (
+       |    SELECT doc_id, source, tok,
+       |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1
+       |    FROM tok) WHERE lead1 IS NOT NULL),
+       |bk AS (SELECT doc_id, source, $hash AS bucket FROM bg),
+       |ctr AS (SELECT bucket, COUNT(*) AS c FROM bk WHERE source = '$EvalSource' GROUP BY 1),
+       |crr AS (SELECT bucket, COUNT(*) AS c FROM bk WHERE source <> '$EvalSource' GROUP BY 1),
+       |grid AS (SELECT CAST(u.b AS BIGINT) AS bucket FROM UNNEST(range($b)) AS u(b)),
+       |dense AS (
+       |  SELECT grid.bucket, COALESCE(ctr.c, 0) AS ct, COALESCE(crr.c, 0) AS cr
+       |  FROM grid LEFT JOIN ctr USING (bucket) LEFT JOIN crr USING (bucket)),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM dense),
+       |lam AS (
+       |  SELECT bucket, CAST(round(ln(
+       |    ((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 0.5 * $b)) /
+       |    ((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * $b))), 6)
+       |    AS DECIMAL(18,6)) AS lam
+       |  FROM dense, tot),
+       |sc AS (
+       |  SELECT bk.doc_id, bk.source, COUNT(*) AS n_grams,
+       |    CAST(CAST(SUM(lam) AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*) AS weight
+       |  FROM bk JOIN lam USING (bucket) WHERE bk.source <> '$EvalSource'
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT doc_id, source, CAST(n_grams AS BIGINT) AS n_grams, weight,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY weight DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT doc_id, source, n_grams, weight, rank, rank <= $DsirAdmit AS admitted
+       |FROM r ORDER BY source, rank""".stripMargin
+  }
+
+  /** q150: per-source bigram CONDITIONAL entropy H(next|cur) — the
+    * information-theoretic repetitiveness gauge (low H = templated/
+    * boilerplate-heavy source, high H = diverse text; complements
+    * q79's likelihood under a global LM and q73's surface repetition
+    * ratios). H = Σ_g p(g)·ln(c1(w1)/c2(g)) over the per-source
+    * bigram count table. Scale shape: one corpus scan → (source,
+    * gram) counts with map-side partials; the first-token marginal
+    * and the source total are WINDOWS over that aggregated table
+    * (lever g — never a self-join that would re-derive the scan);
+    * output is |sources| rows. Floats: every division has exact
+    * integer operands (correctly-rounded IEEE, identical engines);
+    * the per-gram term is round(,6)-ed then decimal-summed
+    * (order-independent), re-scaled before the final double cast. */
+  def condEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c2 = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val wW1 = Window.partitionBy(col("source"), col("w1"))
+    // H = (1/N)·Σ_g c2·ln(c1/c2): the 1/N factors OUT of the sum, so
+    // the source total never needs its own window pass — it IS the
+    // final aggregation's n_bigrams
+    c2
+      .withColumn("c1", sum(col("c2")).over(wW1))
+      .withColumn("term",
+        round(col("c2").cast("double") *
+          log(col("c1").cast("double") / col("c2").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c2")).as("n_bigrams"),
+        count(lit(1)).as("n_types"),
+        // raw quotient of exact operands (lever c) — round(,6) here
+        // risks Spark's shortest-repr-vs-full-binary rounding split
+        (sum(col("term")).cast("decimal(18,6)").cast("double") /
+          sum(col("c2")).cast("double")).as("cond_entropy"))
+      .orderBy(col("source"))
+  }
 }

@@ -986,4 +986,95 @@ object FrameOps {
         |) as (step, step_name, n_users, rate_vs_prev, rate_vs_base)""".stripMargin)
       .orderBy(col("step"))
   }
+
+  /** Snapshot diff (the CDC primitive of every incremental pipeline:
+    * classify each key as added / removed / changed / unchanged
+    * between two snapshot states). Both sides collapse to
+    * (key, fingerprint) IN THE SCAN — the row payload never enters
+    * the shuffle, so a 100 TB snapshot diffs by moving ~48 bytes per
+    * row; the full-outer equi-join is one shuffle per side (or zero
+    * with both snapshots bucketed on the key — sources/Sources
+    * bucketed layout). Reference analog: the keep-first overwrite
+    * semantics of data_frame_utils.py:31 applied across pipeline
+    * runs (what changed since the last materialization). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      fingerprint: Column): DataFrame = {
+    val o = oldDf.select(col(key), fingerprint.as("old_fp"))
+    val n = newDf.select(col(key), fingerprint.as("new_fp"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
+  /** q146: [[snapshotDiff]] wired to two deterministically-derived
+    * views of the corpus (old = docs outside the %17 add-set, with
+    * the %13 subset's text revised; new = docs outside the %19
+    * drop-set) — every diff class exercised, every row value-checked
+    * against the DuckDB oracle. md5 of the UTF-8 text is the
+    * fingerprint (hex parity with DuckDB's md5(text)). */
+  def snapshotDiffDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 1, concat(col("text"), lit(" rev")))
+          .otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 19 =!= 5)
+    snapshotDiff(oldSnap, newSnap, "doc_id", md5(col("text").cast("binary")))
+      .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q147: CUBE over (order year, priority) with explicit per-column
+    * grouping flags — the full-lattice OLAP twin of q104's ROLLUP and
+    * q105's pivot. Flags are emitted as separate 0/1 columns (not a
+    * packed grouping_id) so the oracle never depends on an engine's
+    * bit-order convention. One shuffle; the 4-way lattice EXPAND runs
+    * map-side before the partial aggregation, so the shuffle carries
+    * only (lattice × groups × partitions) partial rows. Decimal
+    * bridge on the price sum per the parity convention. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"), col("o_totalprice"))
+    o.cube(col("o_year"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_year")).cast("long").as("g_year"),
+        grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(col("g_year"), col("g_pri"), col("o_year"),
+        col("o_orderpriority"), col("n_orders"), col("total_price"))
+      .orderBy(col("g_year"), col("g_pri"), col("o_year").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** q154: exact NEAREST-RANK quantile bands (p25/p50/p75/p90) per
+    * event type — the SLO/latency-report shape. Nearest-rank
+    * (ceil(q·n), type-1) SELECTS an observed value instead of
+    * interpolating, so there is NO float arithmetic anywhere: rank
+    * targets are exact integer ceil-divisions and the band values
+    * are order statistics picked by conditional min — bit-identical
+    * cross-engine by construction. One rank pass over the
+    * event_type clustering (same shape as q143's medians; q68's
+    * sketch remains the documented 100 TB path when exactness can
+    * be traded). */
+  def quantileBands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    def atRank(pct: Int): Column =
+      min(when(col("rn") === expr(s"($pct * cnt + 99) div 100"), col("value")))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n"),
+        atRank(25).as("p25"), atRank(50).as("p50"),
+        atRank(75).as("p75"), atRank(90).as("p90"))
+      .orderBy(col("event_type"))
+  }
 }

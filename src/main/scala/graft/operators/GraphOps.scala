@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** MlOps.experiment's discipline (CLAUDE.md lever (j)) for the
+    * graph block: both fixed-point algorithms here are DETERMINISTIC
+    * and their outputs are ITEM/USER-VOCABULARY-BOUNDED (a rank per
+    * graph node — never corpus-shaped), so each runs once per
+    * (session, corpus) and serves collected rows thereafter. This is
+    * doubly important for q153, whose normalization scalars are
+    * per-half-step eager actions. */
+  private val graphCache = graft.SessionRegistry.cache[(SparkSession, String, String),
+    (org.apache.spark.sql.types.StructType, java.util.List[org.apache.spark.sql.Row])]()
+
+  private def bounded(spark: SparkSession, dir: String, name: String)(
+      run: => DataFrame): DataFrame = {
+    val (schema, rows) = graphCache.getOrElseUpdate((spark, dir, name), {
+      val df = run
+      (df.schema, java.util.Arrays.asList(df.collect(): _*))
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
   /** PageRank iteration count / damping / per-step rounding scale.
     * The q145 oracle SQL is GENERATED from these constants
     * (SparkEntry.pagerankSql) — one source of truth, the engines
@@ -43,7 +62,10 @@ object GraphOps {
     * pattern). The reference computes item importance single-node
     * from numpy similarity matrices; this plan never materializes
     * anything denser than the edge list. */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    bounded(spark, dir, "q145")(pagerankRun(spark, dir))
+
+  private def pagerankRun(spark: SparkSession, dir: String): DataFrame = {
     val unit = math.pow(10, PrScale).toLong // 10^9 fixed-point units
     val pairs = WordItemApp.coClickPairs(spark, dir)
       .filter(col("support") >= PrSupport)
@@ -67,5 +89,106 @@ object GraphOps {
       .select(col("item"), col("r").as("pr_scaled"),
         (col("r").cast("double") / lit(unit.toDouble)).as("pr"))
       .orderBy(col("item"))
+  }
+
+  /** HITS iteration count / fixed-point scale (q153 oracle GENERATED
+    * from these — SparkEntry.hitsSql). */
+  private[graft] val HitsIters = 4
+  private[graft] val HitsScale = 6
+
+  /** q153: HITS (Kleinberg 1999) on the BIPARTITE click graph — its
+    * native habitat: users are hubs, items are authorities; an item
+    * is authoritative when broad-taste users click it, a user is a
+    * good hub when they click authoritative items. The
+    * recommendation-prior counterpart of q145's PageRank (which runs
+    * on the projected item-item graph).
+    *
+    * Fixed-point integer arithmetic like q145: scores live in
+    * 10^-[[HitsScale]] units as longs; each half-iteration is an
+    * equi-join + integer-sum aggregation followed by an L1
+    * renormalization to side mass unit·N_side — the normalizer
+    * `raw·K div S` is exact integer math, so results are
+    * bit-identical across engines and cluster sizes. Overflow bound:
+    * raw ≤ side mass K ≤ unit·N, so raw·K ≤ unit²·N² — with
+    * unit = 10^6 safe to N ≈ 3·10^3 per side; larger vocabularies
+    * lower the unit (the driver-contract constant pins today's
+    * value). Each side's total S is a single bounded aggregate
+    * scalar (the documented driver-action pattern, like q145's N);
+    * the per-level persist keeps the two consumers of each half-step
+    * (normalizer + next join) from re-deriving the lineage
+    * exponentially. Scale shape: iterations shuffle only the
+    * (user, item) distinct-click edge list — never raw events. */
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    bounded(spark, dir, "q153")(hitsRun(spark, dir))
+
+  private def hitsRun(spark: SparkSession, dir: String): DataFrame = {
+    val unit = math.pow(10, HitsScale).toLong
+    val edges = WordItemApp.userItemClicks(spark, dir).persist()
+    // one action for both side sizes (driver scalars, bounded)
+    val sizes = edges.agg(
+      countDistinct(col("user_id")).as("nu"),
+      countDistinct(col("item")).as("ni")).head
+    val (nUsers, nItems) = (sizes.getLong(0), sizes.getLong(1))
+    val kU = unit * nUsers
+    val kI = unit * nItems
+    var hub = edges.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(unit).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      // coalesce(1): the rank tables are node-vocabulary-bounded, and
+      // each normalization action otherwise schedules a task per
+      // shuffle partition (the q55 tiny-input pathology)
+      val rawA = edges.join(hub, Seq("user_id"))
+        .groupBy(col("item")).agg(sum(col("h")).as("raw"))
+        .coalesce(1).persist()
+      val sA = rawA.agg(sum(col("raw"))).head.getLong(0)
+      auth = rawA.select(col("item"), expr(s"(raw * $kI) div $sA").as("a"))
+      val rawH = edges.join(auth, Seq("item"))
+        .groupBy(col("user_id")).agg(sum(col("a")).as("raw"))
+        .coalesce(1).persist()
+      val sH = rawH.agg(sum(col("raw"))).head.getLong(0)
+      hub = rawH.select(col("user_id"), expr(s"(raw * $kU) div $sH").as("h"))
+    }
+    val items = auth.select(lit("item").as("role"), col("item").as("id"),
+      col("a").as("score_scaled"),
+      (col("a").cast("double") / lit(kI.toDouble)).as("share"))
+    val users = hub.select(lit("user").as("role"), col("user_id").as("id"),
+      col("h").as("score_scaled"),
+      (col("h").cast("double") / lit(kU.toDouble)).as("share"))
+    items.unionByName(users).orderBy(col("role"), col("id"))
+  }
+
+  /** q155: interaction-graph DEGREE PROFILE — the health dashboard
+    * of the co-click graph every graph op here consumes (q142 cosine,
+    * q145 PageRank, q153 HITS): degree histogram of the symmetrized
+    * support-filtered item graph with exact shares and a cumulative
+    * ogive. Scale shape: the pair list collapses to per-item degrees
+    * (bounded by item vocabulary), the histogram is |degrees| rows,
+    * and the cumulative share is a window over that bounded table.
+    * Shares divide exact integers → identical IEEE cross-engine. */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame =
+    bounded(spark, dir, "q155")(degreeProfileRun(spark, dir))
+
+  private def degreeProfileRun(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = WordItemApp.coClickPairs(spark, dir)
+      .filter(col("support") >= PrSupport)
+      .select(col("item_a").as("src"), col("item_b").as("dst"))
+    val sym = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_items"))
+    val w = Window.orderBy(col("deg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_total", sum(col("n_items")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("cum_items", sum(col("n_items")).over(w))
+      .select(col("deg"), col("n_items"),
+        (col("n_items").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        (col("cum_items").cast("double") / col("n_total").cast("double"))
+          .as("cum_share"))
+      .orderBy(col("deg"))
   }
 }

@@ -140,4 +140,66 @@ object WordItemApp {
           sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("cosine"))
       .orderBy(col("item_a"), col("item_b"))
   }
+
+  /** q157 constants: candidate list depth and recommendation cutoff. */
+  private[graft] val RecTopM = 20
+  private[graft] val RecK = 10
+
+  /** q157: OFFLINE RECOMMENDER EVALUATION — precision@K / recall@K /
+    * hit-rate of a popularity recommender against a held-out click
+    * split (the evaluate-before-ship loop around the reference's
+    * similarity/MF apps; its validate/optimize utilities,
+    * train/utils/utils.py:40, assume exactly this harness). Split =
+    * q78's multiplicative-hash family on the (user, item) key —
+    * deterministic, engine-reproducible, leakage-free by key. The
+    * top-M candidate list is an item-vocabulary-bounded broadcast;
+    * per-user filtering (drop already-clicked), ranking, and hit
+    * counting ride ONE user-keyed clustering of the bounded
+    * users×M candidate frame — the click log itself is scanned
+    * once. Float discipline: per-user precision/recall divide exact
+    * ints (identical IEEE), round(,6)-ed then decimal-summed; the
+    * macro means are RAW quotients of exact operands (lever (k)). */
+  def recEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = userItemClicks(spark, dir)
+    val isTest =
+      ((col("user_id") * 1009L + col("item")) * 2654435761L) % 1000000007L % 5L === 0L
+    val train = clicks.filter(!isTest)
+    val test = clicks.filter(isTest)
+    val topM = train.groupBy(col("item")).agg(count(lit(1)).as("n_clicks"))
+      .withColumn("pop_rank", row_number().over(
+        Window.orderBy(col("n_clicks").desc, col("item"))).cast("long"))
+      .filter(col("pop_rank") <= RecTopM)
+    val users = test.select(col("user_id")).distinct()
+    val recs = users.crossJoin(broadcast(topM))
+      .join(train.withColumn("in_train", lit(1L)),
+        Seq("user_id", "item"), "left")
+      .filter(col("in_train").isNull)
+      .withColumn("rec_rank", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("pop_rank"))).cast("long"))
+      .filter(col("rec_rank") <= RecK)
+    val perUser = recs
+      .join(test.withColumn("hit", lit(1L)), Seq("user_id", "item"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rec"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .join(test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test")),
+        Seq("user_id"))
+      .withColumn("p_u",
+        round(col("n_hit").cast("double") / col("n_rec").cast("double"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("r_u",
+        round(col("n_hit").cast("double") / col("n_test").cast("double"), 6)
+          .cast("decimal(18,6)"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("n_hit") > 0L, 1L).otherwise(0L)).as("n_users_hit"),
+      sum(col("n_hit")).as("total_hits"),
+      (sum(when(col("n_hit") > 0L, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("hit_rate"),
+      (sum(col("p_u")).cast("decimal(18,6)").cast("double") /
+        count(lit(1)).cast("double")).as("macro_precision"),
+      (sum(col("r_u")).cast("decimal(18,6)").cast("double") /
+        count(lit(1)).cast("double")).as("macro_recall"))
+  }
 }

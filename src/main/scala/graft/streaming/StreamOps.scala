@@ -363,6 +363,45 @@ object StreamOps {
       }
   }
 
+  case class BudgetState(cum: Long)
+  case class BudgetDecision(doc_id: Long, source: String, tok: Long,
+      cum_tok: Long, admitted: Boolean)
+
+  /** q151's INGEST twin — per-domain quota enforcement at arrival
+    * (the crawl-frontier budget gate): state per source is ONE long
+    * (the running admitted-token total, O(1) forever); each arriving
+    * doc is charged and admitted iff the source's cumulative total
+    * stays within [[graft.operators.CorpusOps.BudgetTokens]], and
+    * the decision row is emitted immediately (append mode). Within a
+    * micro-batch, arrivals are processed in the batch rule's
+    * priority order (longest first, doc_id tie) — so on a priority-
+    * ordered replay the stream's decisions equal q151's doc for doc
+    * (MlStreamSpec); under arbitrary cross-batch arrival order the
+    * QUOTA invariant (admitted tokens ≤ budget per source) still
+    * holds, which is the production guarantee a frontier needs. */
+  def tokenBudgetStream(spark: SparkSession,
+      docsDir: String): Dataset[BudgetDecision] = {
+    import spark.implicits._
+    val budget = graft.operators.CorpusOps.BudgetTokens
+    streamDocs(spark, docsDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        graft.functions.TextFns.tokenCount(col("text")).as("tok"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BudgetState, BudgetDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (src, rows, state: GroupState[BudgetState]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (-r._3, r._1)).map {
+            case (id, _, _, tok) =>
+              cum += tok
+              BudgetDecision(id, src, tok, cum, cum <= budget)
+          }
+          state.update(BudgetState(cum))
+          out.iterator
+      }
+  }
+
   case class BucketState(rep: Long)
   case class DupCandidate(band: Int, key: Long, rep_doc: Long, doc_id: Long)
 

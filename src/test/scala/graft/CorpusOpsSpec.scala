@@ -327,4 +327,61 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"source $s head share ${h._1 / n}")
     }
   }
+
+  test("dsir: eval excluded, ranks dense, weights monotone, admission capped") {
+    val out = CorpusOps.dsirWeights(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.map(_.getString(1)).contains(CorpusOps.EvalSource))
+    out.groupBy(_.getString(1)).foreach { case (s, rows) =>
+      val sorted = rows.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to rows.length).toSeq,
+        s"source $s ranks not dense")
+      val ws = sorted.map(_.getDouble(3))
+      ws.zip(ws.tail).foreach { case (a, b) => assert(a >= b, s"source $s") }
+      assert(rows.count(_.getBoolean(5)) <= CorpusOps.DsirAdmit)
+      assert(rows.filter(_.getBoolean(5)).map(_.getLong(4)).forall(_ <= CorpusOps.DsirAdmit))
+    }
+  }
+
+  test("conditional entropy is within [0, ln n_types] per source") {
+    val out = CorpusOps.condEntropy(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getDouble(3)
+      assert(h >= 0.0, s"${r.getString(0)}: H=$h")
+      assert(h <= math.log(r.getLong(2).toDouble) + 1e-6,
+        s"${r.getString(0)}: H=$h exceeds ln(n_types)")
+    }
+  }
+
+  test("token budget admits a priority-order prefix that stops at the budget") {
+    val out = CorpusOps.tokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      val admitted = rows.filter(_._5)
+      assert(admitted.nonEmpty, s"source $s admits nothing")
+      // the admitted set's token mass is its own max cumsum and obeys
+      // the budget; every rejected doc's cumsum exceeds it
+      assert(admitted.map(_._3).sum == admitted.map(_._4).max)
+      assert(admitted.map(_._4).max <= CorpusOps.BudgetTokens)
+      rows.filterNot(_._5).foreach { r =>
+        assert(r._4 > CorpusOps.BudgetTokens, s"source $s doc ${r._1}")
+      }
+    }
+  }
+
+  test("ngram coverage agrees with the contamination hit rule doc for doc") {
+    val cov = CorpusOps.ngramCoverage(spark, sf).collect()
+    cov.foreach { r =>
+      val (grams, hit, c) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(hit <= grams && c >= 0.0 && c <= 1.0)
+    }
+    val covHits = cov.filter(_.getLong(3) > 0)
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val q83 = graft.streaming.StreamOps.contamFlagBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(covHits == q83)
+  }
 }

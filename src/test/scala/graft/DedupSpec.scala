@@ -343,4 +343,56 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"ivf recall $recall")
     assert(ivf.size == brute.size)
   }
+
+  test("edit-dedup equals the brute-force all-pairs result under its blocking rule") {
+    // driver-side reference on the 50-doc corpus: every pair with
+    // >= EditMinShingles shared 3-shingles AND levenshtein ratio
+    // <= EditMaxRatio — the operator's inverted-index blocking plus
+    // posting-pair explosion must lose NOTHING relative to this
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      var cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        val t = prev.clone(); Array.copy(cur, 0, prev, 0, cur.length); cur = t
+      }
+      prev(b.length)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def shingles(t: String): Set[String] =
+      t.trim.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, t) => (id, t, shingles(t)) }
+    val brute = (for {
+      (ia, ta, sa) <- sh; (ib, tb, sb) <- sh if ia < ib
+      if (sa & sb).size >= Dedup.EditMinShingles
+      d = lev(ta, tb)
+      if d.toDouble / math.max(ta.length, tb.length) <= Dedup.EditMaxRatio
+    } yield (ia, ib)).toSet
+    val got = pairSet(Dedup.editDedup(spark, sf), "doc_a", "doc_b")
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty)
+  }
+
+  test("tfidf cosine pairs are bounded and cover the strong jaccard pairs") {
+    val rows = Dedup.tfidfCosine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cos = r.getDouble(3)
+      assert(cos >= Dedup.TfidfCosThreshold && cos <= 1.0 + 1e-9, s"cosine $cos")
+      assert(r.getDouble(2) > 0.0) // dot of admitted pairs is positive
+    }
+    // weighted cosine sees everything strong set-Jaccard sees: a pair
+    // sharing >= 50% of its shingle sets has high weighted overlap too
+    val strong = pairSet(Dedup.jaccard(spark, sf).filter(col("jaccard") >= 0.7),
+      "doc_a", "doc_b")
+    val cosSet = pairSet(Dedup.tfidfCosine(spark, sf), "doc_a", "doc_b")
+    assert(strong.subsetOf(cosSet), s"missing strong pairs: ${strong -- cosSet}")
+  }
 }

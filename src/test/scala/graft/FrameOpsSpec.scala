@@ -86,4 +86,50 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("p_size"),
       s"expected parquet pushdown in plan:\n$plan")
   }
+
+  test("snapshot diff covers every key once, exercises all classes, and is reflexive") {
+    import org.apache.spark.sql.functions._
+    val out = operators.FrameOps.snapshotDiffDocs(spark, sf)
+    val by = out.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(by.keySet),
+      s"missing diff classes in $by")
+    // output keys = union of the two snapshots' key sets, each once
+    val docs = Tables.documents(spark, sf)
+    val nKeys = docs
+      .filter(col("doc_id") % 17 =!= 3 || col("doc_id") % 19 =!= 5).count()
+    assert(out.count() == nKeys)
+    // diff of a snapshot against itself is all-unchanged
+    val self = operators.FrameOps.snapshotDiff(docs, docs, "doc_id",
+      md5(col("text").cast("binary")))
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+  }
+
+  test("quantile bands are monotone observed values straddling the exact median") {
+    import org.apache.spark.sql.functions._
+    val bands = operators.FrameOps.quantileBands(spark, sf).collect()
+    assert(bands.nonEmpty)
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)).toSet }
+    bands.foreach { r =>
+      val t = r.getString(0)
+      val bs = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      bs.zip(bs.tail).foreach { case (a, b) => assert(a <= b, s"$t bands not monotone") }
+      // nearest-rank quantiles SELECT observed values
+      bs.foreach(v => assert(values(t).contains(v), s"$t band $v not observed"))
+    }
+  }
+
+  test("cube lattice: every level re-aggregates to the same total") {
+    val out = operators.FrameOps.cubeSummary(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    def level(gy: Long, gp: Long) =
+      out.filter(r => r.getLong(0) == gy && r.getLong(1) == gp)
+    assert(level(1, 1).length == 1)
+    for ((gy, gp) <- Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))) {
+      assert(level(gy, gp).map(_.getAs[Long]("n_orders")).sum == total,
+        s"lattice level ($gy,$gp) does not cover all orders")
+    }
+  }
 }

@@ -177,6 +177,27 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest token-budget decisions match the q151 batch rule doc for doc") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_budget")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = StreamOps.tokenBudgetStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("budget_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      val batch = operators.CorpusOps.tokenBudget(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming minhash candidate pairs match the batch twin on a replayed batch") {
     val staged = java.nio.file.Files.createTempDirectory("graft_minhash_stream")
     java.nio.file.Files.copy(

@@ -345,4 +345,67 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!l.contains("payload"), l)
     }
   }
+
+  test("snapshot diff: fingerprints collapse pre-shuffle, text never enters an exchange") {
+    val p = plan(FrameOps.snapshotDiffDocs(spark, sf))
+    // one equi-join on the key, no nested loop / cartesian fallback
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // no exchange row carries the text payload — only (key, md5) moves
+    p.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text"), l)
+    }
+  }
+
+  test("cube expands the lattice map-side: Expand below one agg exchange") {
+    val p = plan(FrameOps.cubeSummary(spark, sf))
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("token budget: one source clustering, no join") {
+    val p = plan(graft.operators.CorpusOps.tokenBudget(spark, sf))
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ngram coverage: eval grams broadcast, corpus side single scan") {
+    val df = graft.operators.CorpusOps.ngramCoverage(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both sides read documents, but the TRAIN side must be exactly
+    // one scan (no re-derivation per consumer)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dsir: the lambda table broadcasts; scoring never sort-merge joins the corpus") {
+    val p = plan(graft.operators.CorpusOps.dsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // bucket-keyed lambda join must not fall back to a shuffle join
+    val scoring = p.substring(p.indexOf("Window"))
+    assert(!scoring.contains("SortMergeJoin"), p)
+  }
+
+  test("conditional entropy: marginal is a window over the aggregated table, no join") {
+    val p = plan(graft.operators.CorpusOps.condEntropy(spark, sf))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("quantile bands: one rank pass over the event_type clustering") {
+    val p = plan(FrameOps.quantileBands(spark, sf))
+    assert(!p.contains("Join"), p)
+    // both windows and the final agg ride hashpartitioning(event_type)
+    assert(p.contains("Exchange hashpartitioning(event_type"), p)
+  }
+
+  test("edit dedup: candidates from posting arrays, only the verify joins touch text") {
+    val p = plan(Dedup.editDedupDerive(spark, sf))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // exactly the two id-keyed text joins of the verify step — the
+    // candidate generation itself must contribute NO join (posting
+    // arrays, not a shingle self-join)
+    val joins = p.split("\n").count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin"))
+    assert(joins == 2, s"expected exactly 2 verify joins, got $joins:\n$p")
+  }
 }

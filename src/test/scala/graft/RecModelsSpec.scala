@@ -169,4 +169,39 @@ class RecModelsSpec extends AnyFunSuite {
     assert(testGcmc <= testBias * 1.02,
       s"composed test RMSE $testGcmc worse than baseline $testBias")
   }
+
+  test("hits: scores non-negative, each side's mass within N units of its target") {
+    val rows = operators.GraphOps.hits(spark, SparkTest.sf).collect()
+    assert(rows.nonEmpty)
+    val byRole = rows.groupBy(_.getString(0))
+    assert(byRole.keySet == Set("item", "user"))
+    byRole.foreach { case (role, rs) =>
+      rs.foreach(r => assert(r.getLong(2) >= 0L, s"$role ${r.getLong(1)}"))
+      // integer L1 renorm floors each entry: total mass K − Σ < N
+      val shareSum = rs.map(_.getDouble(3)).sum
+      assert(shareSum <= 1.0 + 1e-9 && shareSum > 1.0 - rs.length * 1e-6,
+        s"$role share mass $shareSum")
+    }
+  }
+
+  test("degree profile conserves the node count and its ogive ends at 1") {
+    val rows = operators.GraphOps.degreeProfile(spark, SparkTest.sf).collect()
+    assert(rows.nonEmpty)
+    val last = rows.last
+    assert(math.abs(last.getDouble(3) - 1.0) < 1e-12)
+    val shares = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
+  test("rec eval metrics are consistent and bounded") {
+    val r = operators.WordItemApp.recEval(spark, SparkTest.sf).collect().head
+    val (nUsers, nHit, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nUsers > 0 && nHit <= nUsers)
+    assert(total <= nUsers * operators.WordItemApp.RecK)
+    Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5)).foreach { m =>
+      assert(m >= 0.0 && m <= 1.0, s"metric $m out of range")
+    }
+    // hit users imply hits
+    assert((nHit > 0) == (total > 0))
+  }
 }
