@@ -184,6 +184,10 @@ object SparkEntry {
     "q155_degree_profile" -> GraphOps.degreeProfile _,
     "q156_tfidf_cosine" -> ((s: SparkSession, d: String) => Dedup.tfidfCosine(s, d)),
     "q157_rec_eval" -> WordItemApp.recEval _,
+    "q158_lsh_quality" -> Dedup.lshQuality _,
+    "q159_session_paths" -> FrameOps.sessionPaths _,
+    "q160_expectations" -> FrameOps.expectations _,
+    "q161_quarantine" -> StreamOps.quarantineBatch _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1673,35 +1677,7 @@ object SparkEntry {
     // operator uses (graft.operators.Dedup.{pmhK,pmhR,minhashC,
     // minhashP}) so the two engines' hash families cannot drift.
     "q93_minhash_lsh_exact" ->
-      (s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
-        |    SELECT doc_id, tok,
-        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
-        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
-        |    FROM tok) WHERE lead2 IS NOT NULL),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |gh AS (
-        |  SELECT doc_id,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(sh, ''), c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % ${operators.Dedup.minhashP}) AS x
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |${PmhSigMins}
-        |  FROM gh GROUP BY doc_id),
-        |${PmhBucketCtes},
-        |cand AS (
-        |${PmhCandUnion}),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      (s"""$PmhChain
         |SELECT c.doc_a, c.doc_b,
         |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
         |FROM cand c
@@ -1710,6 +1686,98 @@ object SparkEntry {
         |JOIN sizes sb ON c.doc_b = sb.doc_id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
         |ORDER BY c.doc_a, c.doc_b""").stripMargin,
+    // q158: the SAME generated q93 chain, closed by the exact-pair
+    // left join — recall report on the oracle gate
+    "q158_lsh_quality" ->
+      (s"""$PmhChain,
+        |ex AS (
+        |  SELECT i.doc_a, i.doc_b,
+        |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |  FROM inter i
+        |  JOIN sizes sa ON i.doc_a = sa.doc_id
+        |  JOIN sizes sb ON i.doc_b = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5)
+        |SELECT ex.doc_a, ex.doc_b, ex.jaccard,
+        |  c.doc_a IS NOT NULL AS found
+        |FROM ex LEFT JOIN cand c ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b
+        |ORDER BY ex.doc_a, ex.doc_b""").stripMargin,
+    // q159: q10's verified session fragment + in-session lead guard;
+    // counts exact, one IEEE share division
+    "q159_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e),
+        |p AS (
+        |  SELECT session_id, event_type,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3,
+        |    LEAD(session_id, 2) OVER w AS s3
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path, COUNT(*) AS n
+        |  FROM p WHERE s3 = session_id GROUP BY 1),
+        |t AS (
+        |  SELECT path, n, CAST(SUM(n) OVER () AS BIGINT) AS total,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rank
+        |  FROM c)
+        |SELECT rank, path, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM t WHERE rank <= 25 ORDER BY rank""".stripMargin,
+    // q160: exact violation counts; two checks fail by design so
+    // both verdict branches are value-checked
+    "q160_expectations" ->
+      """WITH li AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_null,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+        |    CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS qty_gt40
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS pk_dupes,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 ELSE 0 END) AS BIGINT) AS status_dom
+        |  FROM orders),
+        |f AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l.l_orderkey)),
+        |e AS (
+        |  SELECT CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS val_null,
+        |    CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS val_gt400
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'events_value_complete' AS check_name, val_null AS metric, val_null = 0 AS passed FROM e
+        |  UNION ALL SELECT 'events_value_le_400', val_gt400, val_gt400 = 0 FROM e
+        |  UNION ALL SELECT 'lineitem_discount_in_range', disc_range, disc_range = 0 FROM li
+        |  UNION ALL SELECT 'lineitem_fk_orders', fk_orphans, fk_orphans = 0 FROM f
+        |  UNION ALL SELECT 'lineitem_nonempty', n, n > 0 FROM li
+        |  UNION ALL SELECT 'lineitem_quantity_complete', qty_null, qty_null = 0 FROM li
+        |  UNION ALL SELECT 'lineitem_quantity_in_range', qty_range, qty_range = 0 FROM li
+        |  UNION ALL SELECT 'lineitem_quantity_le_40', qty_gt40, qty_gt40 = 0 FROM li
+        |  UNION ALL SELECT 'orders_orderkey_unique', pk_dupes, pk_dupes = 0 FROM o)
+        |ORDER BY check_name""".stripMargin,
+    // q161: null-skipping concat_ws of CASE markers — identical
+    // semantics in both engines; fixed check order
+    "q161_quarantine" ->
+      """WITH r AS (
+        |  SELECT event_id, concat_ws(',',
+        |    CASE WHEN value IS NULL THEN 'value_null' END,
+        |    CASE WHEN value > 400 THEN 'value_gt400' END,
+        |    CASE WHEN event_type NOT IN ('click','signup','error','view','purchase')
+        |      THEN 'type_unknown' END) AS reasons
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN reasons = '' THEN 'valid' ELSE 'quarantined' END AS verdict,
+        |  CASE WHEN reasons = '' THEN 'ok' ELSE reasons END AS reasons
+        |FROM r ORDER BY event_id""".stripMargin,
     "q94_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
@@ -2463,6 +2531,42 @@ object SparkEntry {
     * the Spark side drops band buckets above defaultMaxDf, so the
     * oracle counts each band's bucket occupancy and applies the SAME
     * bound; parity holds at any SF, capped or not). */
+  /** The full generated q93 pipeline chain (shingles → rolling-hash
+    * base → 16 min-aggs → band buckets with the df cap → candidate
+    * union → exact intersections) — shared by the q93 final SELECT
+    * and q158's quality-report join (one chain, two verdicts). `sh`
+    * is MATERIALIZED: it now has three consumers. */
+  private def PmhChain: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+       |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+       |  FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+       |    SELECT doc_id, tok,
+       |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+       |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+       |    FROM tok) WHERE lead2 IS NOT NULL),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |gh AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(sh, ''), c -> CAST(ord(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % ${operators.Dedup.minhashP}) AS x
+       |  FROM sh),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$PmhSigMins
+       |  FROM gh GROUP BY doc_id),
+       |$PmhBucketCtes,
+       |cand AS MATERIALIZED (
+       |$PmhCandUnion),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   private def PmhSigMins: String = {
     import operators.Dedup.{pmhK, minhashC, minhashP}
     (0 until pmhK).map(i =>

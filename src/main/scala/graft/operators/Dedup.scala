@@ -612,7 +612,43 @@ object Dedup {
     * self-join); exact-Jaccard re-verify via plain equi-joins (no
     * broadcast hint — AQE decides from stats, degrades to shuffle
     * join at 100 TB). */
+  private val pmhPairCache =
+    graft.SessionRegistry
+      .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
+
+  /** Disk-artifact wrapper (jaccardPairs discipline): q93's verified
+    * pair list is written once per (session, corpus) — it now has
+    * TWO consumers (the q93 query and q158's quality report). */
   def minhashExact(spark: SparkSession, dir: String): DataFrame = {
+    val path = pmhPairCache.getOrElseUpdate((spark, dir), {
+      val p = s"/tmp/graft_pmhpairs_${graft.SessionRegistry.sessionToken(spark)}_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      minhashExactDerive(spark, dir).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q158: LSH INDEX QUALITY report — every exact near-dup pair
+    * (q31's Jaccard ≥ 0.5 rule) classified by whether the
+    * deterministic MinHash-LSH index (q93) surfaced it. Both inputs
+    * are deterministic AND independently oracle-verified, so the
+    * quality report itself sits on the oracle gate — the recall
+    * console every LSH deployment watches (precision needs no
+    * report: q93 verifies candidates exactly, so it is 1 by
+    * construction). Scale shape: a left join of two near-dup-sized
+    * disk artifacts — no corpus scan at all. */
+  def lshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val exact = jaccardPairs(spark, dir)
+    val lsh = minhashExact(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("f"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("f").isNotNull.as("found"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private[graft] def minhashExactDerive(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val sh = docs
       .select(col("doc_id"), explode(col("shingles")).as("sh"))

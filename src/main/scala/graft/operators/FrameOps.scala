@@ -1051,6 +1051,94 @@ object FrameOps {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** q160: DATA-QUALITY EXPECTATIONS suite (deequ-style declarative
+    * constraint checking — the CI gate in front of every training
+    * run; completes q135's metric profile with pass/fail verdicts).
+    * Check classes: completeness (null counts), uniqueness (count vs
+    * distinct), domain (set membership), range (bound violations),
+    * and referential integrity (FK orphans via anti-join — the one
+    * check that must shuffle; everything else FUSES into one agg per
+    * table, so the suite costs three column-pruned scans + one
+    * id-only join at any scale). Two checks fail BY DESIGN on this
+    * corpus so both verdict branches are value-checked. Metrics are
+    * exact counts; `passed` = metric == 0 (violation convention) or
+    * the stated compare. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_null"),
+      sum(when(col("l_quantity") < 1.0d || col("l_quantity") > 50.0d, 1L)
+        .otherwise(0L)).as("qty_range"),
+      sum(when(col("l_discount") < 0.0d || col("l_discount") > 0.1d, 1L)
+        .otherwise(0L)).as("disc_range"),
+      sum(when(col("l_quantity") > 40.0d, 1L).otherwise(0L)).as("qty_gt40"))
+    val ordAgg = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dupes"),
+        sum(when(!col("o_orderstatus").isin("P", "O", "F"), 1L).otherwise(0L))
+          .as("status_dom"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    val evAgg = Tables.events(spark, dir)
+      .select(col("value"))
+      .agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("val_null"),
+        sum(when(col("value") > 400.0d, 1L).otherwise(0L)).as("val_gt400"))
+    liAgg.crossJoin(ordAgg).crossJoin(orphans).crossJoin(evAgg)
+      .selectExpr(
+        """stack(9,
+          |  'events_value_complete', val_null, val_null = 0L,
+          |  'events_value_le_400', val_gt400, val_gt400 = 0L,
+          |  'lineitem_discount_in_range', disc_range, disc_range = 0L,
+          |  'lineitem_fk_orders', fk_orphans, fk_orphans = 0L,
+          |  'lineitem_nonempty', n, n > 0L,
+          |  'lineitem_quantity_complete', qty_null, qty_null = 0L,
+          |  'lineitem_quantity_in_range', qty_range, qty_range = 0L,
+          |  'lineitem_quantity_le_40', qty_gt40, qty_gt40 = 0L,
+          |  'orders_orderkey_unique', pk_dupes, pk_dupes = 0L
+          |) as (check_name, metric, passed)""".stripMargin)
+      .orderBy(col("check_name"))
+  }
+
+  /** q159 path cutoff. */
+  private[graft] val PathTopN = 25
+
+  /** q159: SESSION PATH MINING — the top event-type TRIGRAM paths
+    * across sessions (higher-order sequel to q125's first-order
+    * transition matrix; the "what do users actually do" report
+    * behind sequence recommenders). Scale shape: the lead windows
+    * ride the SAME single user_id shuffle as [[sessioned]] (the
+    * session-boundary guard is a lead of session_id, not a second
+    * partitioning by (user, session) — that would re-shuffle);
+    * path counts are a types³-bounded aggregate, the total is a
+    * window over it (lever (g)), and the rank window sees only that
+    * bounded table. Counts and shares are exact ints / one IEEE
+    * division. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sessioned(spark, dir)
+      .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("s3", lead(col("session_id"), 2).over(byUser))
+      .filter(col("s3") === col("session_id"))
+      .select(concat_ws(" > ", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(lit(1))))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .filter(col("rank") <= PathTopN)
+      .select(col("rank"), col("path"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("rank"))
+  }
+
   /** q154: exact NEAREST-RANK quantile bands (p25/p50/p75/p90) per
     * event type — the SLO/latency-report shape. Nearest-rank
     * (ceil(q·n), type-1) SELECTS an observed value instead of

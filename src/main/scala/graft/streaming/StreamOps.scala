@@ -363,6 +363,86 @@ object StreamOps {
       }
   }
 
+  /** THE row-local event-validation rule (q161 batch + its ingest
+    * twin — the dead-letter-queue split in front of every pipeline):
+    * reason strings are null-skipping concat_ws of CASE markers —
+    * pure codegen, no lambda, so the identical projection runs on
+    * the batch scan AND the stream. Check order is fixed → the
+    * reasons string is deterministic. */
+  private[graft] def quarantineProjection: Seq[org.apache.spark.sql.Column] = {
+    val reasons = concat_ws(",",
+      when(col("value").isNull, lit("value_null")),
+      when(col("value") > 400.0d, lit("value_gt400")),
+      when(!col("event_type").isin("click", "signup", "error", "view", "purchase"),
+        lit("type_unknown")))
+    Seq(col("event_id"),
+      when(reasons === "", lit("valid")).otherwise(lit("quarantined")).as("verdict"),
+      when(reasons === "", lit("ok")).otherwise(reasons).as("reasons"))
+  }
+
+  /** q161: per-event VALIDATION VERDICTS (the quarantine/dead-letter
+    * classification q160's suite only counts). Row-local — one
+    * column-pruned scan, no shuffle before the presentation sort. */
+  def quarantineBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(quarantineProjection: _*)
+      .orderBy(col("event_id"))
+
+  /** q161's INGEST twin: the same projection on the event stream —
+    * stateless, so valid rows flow to the pipeline and quarantined
+    * rows to the dead-letter sink with per-row latency. Parity spec
+    * in MlStreamSpec (row-for-row == batch on a replayed file). */
+  def quarantineStream(spark: SparkSession, eventsDir: String): DataFrame =
+    streamEvents(spark, eventsDir).select(quarantineProjection: _*)
+
+  case class MgState(counters: Map[String, Long])
+  case class MgEntry(shard: Int, g: String, est: Long)
+
+  /** HEAVY-HITTERS-AT-INGEST — q97's Misra–Gries gram summary
+    * maintained incrementally on the document stream. The gram space
+    * is hash-SHARDED (xxhash64 mod `shards`): each shard's state is
+    * its own ≤ k-counter MG summary over a DISJOINT gram subspace,
+    * so per-key state is bounded forever, shards parallelize the
+    * stateful work, and the global summary is the plain union of
+    * shard summaries (disjoint supports need no counter merge —
+    * the mergeable-summaries property that makes MG scale, Agarwal
+    * et al. 2012). Every emitted estimate keeps q97's lower-bound
+    * invariant (est ≤ true count: decrements only subtract); with k
+    * ≥ the shard's distinct-gram count no decrement ever fires and
+    * the stream reproduces exact counts — both asserted in
+    * MlStreamSpec against a replayed batch. Emission is the shard's
+    * refreshed summary per micro-batch (update mode — downstream
+    * keeps the latest row per (shard, gram)). */
+  def heavyHitterStream(spark: SparkSession, docsDir: String,
+      mgK: Int = 32, shards: Int = 8): Dataset[MgEntry] = {
+    import spark.implicits._
+    streamDocs(spark, docsDir)
+      .select(explode(graft.plans.WordNGrams(
+        graft.functions.TextFns.tokens(col("text")), 3, distinct = false)).as("g"))
+      .select(col("g"), pmod(xxhash64(col("g")), lit(shards.toLong)).cast("int").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[MgState, MgEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state: GroupState[MgState]) =>
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.counters.foreach { case (k, v) => counters(k) = v })
+          rows.foreach { case (g, _) =>
+            if (counters.contains(g) || counters.size < mgK) {
+              counters(g) = counters.getOrElse(g, 0L) + 1L
+            } else {
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              counters.keysIterator.foreach { k =>
+                val c = counters(k) - 1L
+                if (c == 0L) dead += k else counters(k) = c
+              }
+              dead.foreach(counters.remove)
+            }
+          }
+          state.update(MgState(counters.toMap))
+          counters.iterator.map { case (g, c) => MgEntry(shard, g, c) }
+      }
+  }
+
   case class BudgetState(cum: Long)
   case class BudgetDecision(doc_id: Long, source: String, tok: Long,
       cum_tok: Long, admitted: Boolean)

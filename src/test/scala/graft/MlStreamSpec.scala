@@ -177,6 +177,66 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quarantine-at-ingest verdicts match the q161 batch rule row for row") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_quarantine")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.quarantineStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quarantine_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quarantine_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val batch = StreamOps.quarantineBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      // both verdict classes appear in the corpus... only when an
+      // outlier exists at this SF; the invariant that always holds:
+      assert(batch.nonEmpty)
+      assert(batch.forall { case (_, v, rs) =>
+        (v == "valid") == (rs == "ok")
+      })
+    } finally q.stop()
+  }
+
+  test("streaming Misra-Gries: lower-bound invariant at small k, exact at large k") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_mg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val exact = Tables.documents(spark, sf)
+      .select(explode(graft.plans.WordNGrams(
+        split(trim(col("text")), "\\s+"), 3, distinct = false)).as("g"))
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run(k: Int): Map[(Int, String), Long] = {
+      val q = StreamOps.heavyHitterStream(spark, staged.toString, mgK = k)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(s"mg_test_$k")
+        .start()
+      try {
+        q.processAllAvailable()
+        spark.table(s"mg_test_$k").groupBy("shard", "g")
+          .agg(org.apache.spark.sql.functions.last("est").as("est")).collect()
+          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      } finally q.stop()
+    }
+    // small k: every surviving counter is a LOWER bound (q97's invariant)
+    val small = run(8)
+    assert(small.nonEmpty)
+    small.foreach { case ((_, g), est) =>
+      assert(est <= exact(g), s"gram $g: est $est > exact ${exact(g)}")
+    }
+    // k >= any shard's distinct-gram count: no decrement fires; the
+    // sharded stream summary IS the exact count table
+    val big = run(100000)
+    assert(big.map { case ((_, g), est) => g -> est } == exact)
+  }
+
   test("ingest token-budget decisions match the q151 batch rule doc for doc") {
     val staged = java.nio.file.Files.createTempDirectory("graft_budget")
     java.nio.file.Files.copy(

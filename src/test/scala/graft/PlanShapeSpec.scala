@@ -397,6 +397,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(event_type"), p)
   }
 
+  test("session paths: leads ride the session rule's one user shuffle, no join") {
+    val p = plan(FrameOps.sessionPaths(spark, sf))
+    assert(!p.contains("Join"), p)
+    // exactly one exchange partitions the raw log (user_id); the
+    // session-boundary guard is a lead of session_id, never a second
+    // (user, session) repartition of the log
+    val logShuffles = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(logShuffles == 1, s"expected one user shuffle, got $logShuffles:\n$p")
+  }
+
   test("edit dedup: candidates from posting arrays, only the verify joins touch text") {
     val p = plan(Dedup.editDedupDerive(spark, sf))
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
