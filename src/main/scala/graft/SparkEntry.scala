@@ -188,6 +188,8 @@ object SparkEntry {
     "q159_session_paths" -> FrameOps.sessionPaths _,
     "q160_expectations" -> FrameOps.expectations _,
     "q161_quarantine" -> StreamOps.quarantineBatch _,
+    "q162_dataset_card" -> CorpusOps.datasetCard _,
+    "q163_anomaly_flags" -> FrameOps.anomalyFlags _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1778,6 +1780,71 @@ object SparkEntry {
         |  CASE WHEN reasons = '' THEN 'valid' ELSE 'quarantined' END AS verdict,
         |  CASE WHEN reasons = '' THEN 'ok' ELSE reasons END AS reasons
         |FROM r ORDER BY event_id""".stripMargin,
+    // q162: the verified funnel CTE joined to q79's verified NLL
+    // chain (disjoint CTE names — lever (d)); shares are raw
+    // quotients, avg_nll crosses q79's exact round(,4) expression
+    "q162_dataset_card" ->
+      (FunnelCte +
+      """,t9 AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g9 AS (
+        |  SELECT doc_id, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
+        |    toks[CAST(i AS BIGINT)] AS w1
+        |  FROM t9, UNNEST(range(1, len(toks))) AS u(i)),
+        |c29 AS (SELECT g, COUNT(*) AS c2 FROM g9 GROUP BY g),
+        |c19 AS (SELECT w1, COUNT(*) AS c1 FROM g9 GROUP BY w1),
+        |v9 AS (SELECT COUNT(DISTINCT tok9) AS v FROM (SELECT unnest(toks) AS tok9 FROM t9)),
+        |nll9 AS (
+        |  SELECT g9.doc_id,
+        |    CAST(round(-log2(CAST(c29.c2 + 1 AS DOUBLE) / (c19.c1 + v9.v)), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM g9 JOIN c29 ON g9.g = c29.g JOIN c19 ON g9.w1 = c19.w1, v9),
+        |pd9 AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
+        |  FROM nll9 GROUP BY 1)
+        |SELECT f4.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CASE WHEN dedup_keep THEN 0 ELSE 1 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS dup_share,
+        |  CAST(SUM(CASE WHEN quality THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS quality_rate,
+        |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS contam_share,
+        |  round(CAST(SUM(doc_nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+        |FROM f4 JOIN pd9 ON f4.doc_id = pd9.doc_id
+        |GROUP BY f4.source ORDER BY f4.source""".stripMargin),
+    // q163: q143's verified med/mad fragment + per-event flag; the
+    // 3·mad compare is exact IEEE on identical operands
+    "q163_anomaly_flags" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |m1 AS (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM e),
+        |med AS (
+        |  SELECT event_type, (MIN(value) + MAX(value)) / 2 AS med
+        |  FROM m1 WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |  GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, med.med,
+        |    abs(e.value - med.med) AS dev
+        |  FROM e JOIN med USING (event_type)),
+        |m2 AS (
+        |  SELECT event_type, event_id, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, (MIN(dev) + MAX(dev)) / 2 AS mad
+        |  FROM m2 WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |  GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  abs(e.value - med.med) > 3.0 * mad.mad AS is_outlier
+        |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
     "q94_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,

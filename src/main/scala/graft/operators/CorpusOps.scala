@@ -1277,6 +1277,39 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** q162: the DATASET CARD — the per-source datasheet every corpus
+    * release ships (Gebru et al. 2021's "Datasheets for Datasets"
+    * made executable): volume (docs, tokens, language coverage),
+    * duplication share, quality pass rate, benchmark-contamination
+    * share, and LM quality — one row per source, every number the
+    * exact rule of its standalone query. Composition, not
+    * recomputation: the dedup/quality/contamination flags come from
+    * the SHARED funnel flag DISK artifact (q85/q91/q109's frame) and
+    * the LM score is q79's docNll rule — so the card's oracle is the
+    * verified funnel CTE joined to the verified NLL chain (lever (d):
+    * the fragments' CTE names are disjoint). Shares are RAW quotients
+    * of exact ints (lever (k)); avg_nll crosses q79's exact
+    * round(,4) expression. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val flags = funnelFlags(spark, dir)
+    val nll = docNll(spark, dir).select(col("doc_id"), col("doc_nll"))
+    val n = count(lit(1))
+    flags.join(nll, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        n.as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(when(!col("dedup_keep"), 1L).otherwise(0L)).cast("double") /
+          n.cast("double")).as("dup_share"),
+        (sum(when(col("quality"), 1L).otherwise(0L)).cast("double") /
+          n.cast("double")).as("quality_rate"),
+        (sum(when(col("n_hit") > 0L, 1L).otherwise(0L)).cast("double") /
+          n.cast("double")).as("contam_share"),
+        round(sum(col("doc_nll")).cast("double") / n, 4).as("avg_nll"))
+      .orderBy(col("source"))
+  }
+
   /** q151 per-source token budget. Small enough that truncation
     * binds at every test SF; a production budget is per-domain
     * token caps in the billions — the plan shape is identical. */

@@ -138,15 +138,26 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= EditMinShingles)
     val texts = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // BANDED levenshtein: any admitted pair has dist <= ratio*mlen <=
+    // ratio*maxLen =: T, so computing the O(len*T) banded DP with the
+    // corpus-max threshold (one bounded driver scalar) returns the
+    // EXACT distance for every admitted pair and -1 (filtered) for
+    // pairs the full O(len^2) DP would reject anyway — same admitted
+    // set and values, quadratic cost only within the band
+    val maxLen = Tables.documents(spark, dir)
+      .agg(max(length(col("text")))).head.getInt(0)
+    val band = math.ceil(EditMaxRatio * maxLen).toInt
     cand
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
         Seq("doc_a"))
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
         Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("dist",
+        levenshtein(col("text_a"), col("text_b"), band).cast("long"))
       .withColumn("mlen",
         greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
-      .filter(col("dist").cast("double") / col("mlen").cast("double")
+      .filter(col("dist") >= 0L &&
+        col("dist").cast("double") / col("mlen").cast("double")
         <= EditMaxRatio)
       .select(col("doc_a"), col("doc_b"), col("dist"),
         round(col("dist").cast("double") / col("mlen").cast("double"), 6)

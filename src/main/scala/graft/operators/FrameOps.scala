@@ -923,7 +923,11 @@ object FrameOps {
     * ([[medianBy]] — bit-identical cross-engine); dev, 3·mad and the
     * compare are correctly-rounded IEEE on identical operands → the
     * outlier SET is exact, no epsilon. */
-  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+  /** THE per-type robust thresholds (med, mad) — ONE def shared by
+    * q143's rollup, q163's per-event flags, and the ingest stream
+    * (shared-rule discipline: the thresholds cannot drift). Output is
+    * |types|-bounded → broadcastable everywhere. */
+  private[graft] def madThresholds(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
     val med = medianBy(e, "event_type", "value", "event_id")
@@ -933,7 +937,29 @@ object FrameOps {
       withDev.select(col("event_type"), col("event_id"), col("dev")),
       "event_type", "dev", "event_id")
       .withColumnRenamed("med", "mad")
-    withDev.join(broadcast(mad), Seq("event_type"))
+    med.join(mad, Seq("event_type"))
+  }
+
+  /** q163: per-EVENT robust outlier flags (the row-level verdicts
+    * q143 only counts; the thresholds the ingest stream scores
+    * against). Same exact-arithmetic argument as q143: med/mad are
+    * (lo+hi)/2 plain doubles, dev and the 3·mad compare are
+    * correctly-rounded IEEE on identical operands → the flag SET is
+    * exact. One |types|-row broadcast onto the log. */
+  def anomalyFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(madThresholds(spark, dir)), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (abs(col("value") - col("med")) > lit(3.0d) * col("mad"))
+          .as("is_outlier"))
+      .orderBy(col("event_id"))
+
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .join(broadcast(madThresholds(spark, dir)), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -944,7 +970,6 @@ object FrameOps {
       .withColumn("outlier_share",
         round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
       .orderBy(col("event_type"))
-  }
 
   /** q144: ordered FUNNEL-STEP conversion (signup → click →
     * purchase): each step's first timestamp must be AT OR AFTER the

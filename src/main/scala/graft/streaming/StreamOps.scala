@@ -363,6 +363,23 @@ object StreamOps {
       }
   }
 
+  /** q163's INGEST twin: arriving events scored against the STORE's
+    * robust thresholds (q143/q163's shared med/mad rule) — the
+    * batch-artifact→stream pattern of contamFlagStream/ccnetNllStream:
+    * the |types|-bounded threshold table derives once from the static
+    * store and broadcasts against the stream (stream-static join,
+    * stateless), the flag itself is row-local IEEE math identical to
+    * the batch rule. Parity spec row-for-row in MlStreamSpec. */
+  def anomalyFlagStream(spark: SparkSession, eventsDir: String,
+      storeDir: String): DataFrame =
+    streamEvents(spark, eventsDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(graft.operators.FrameOps.madThresholds(spark, storeDir)),
+        Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (abs(col("value") - col("med")) > lit(3.0d) * col("mad"))
+          .as("is_outlier"))
+
   /** THE row-local event-validation rule (q161 batch + its ingest
     * twin — the dead-letter-queue split in front of every pipeline):
     * reason strings are null-skipping concat_ws of CASE markers —

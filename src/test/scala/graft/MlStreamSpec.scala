@@ -177,6 +177,26 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly-flags-at-ingest match the q163 batch rule row for row") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_anomaly")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.anomalyFlagStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3))).toSet
+      val batch = operators.FrameOps.anomalyFlags(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("quarantine-at-ingest verdicts match the q161 batch rule row for row") {
     val staged = java.nio.file.Files.createTempDirectory("graft_quarantine")
     java.nio.file.Files.copy(
