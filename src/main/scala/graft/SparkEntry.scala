@@ -190,6 +190,7 @@ object SparkEntry {
     "q161_quarantine" -> StreamOps.quarantineBatch _,
     "q162_dataset_card" -> CorpusOps.datasetCard _,
     "q163_anomaly_flags" -> FrameOps.anomalyFlags _,
+    "q164_time_travel" -> graft.sources.Sources.timeTravel _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1845,6 +1846,15 @@ object SparkEntry {
         |  abs(e.value - med.med) > 3.0 * mad.mad AS is_outlier
         |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+    // q164: the as-of-commit-2 state derived directly from the raw
+    // corpus with the store's own %-rules (deletes win at v2, the v3
+    // restore invisible); md5 hex byte-identical
+    "q164_time_travel" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 1 THEN 2 ELSE 1 END AS since_version,
+        |  md5(CASE WHEN doc_id % 13 = 1 THEN text || ' rev' ELSE text END) AS fp
+        |FROM documents WHERE doc_id % 17 <> 3
+        |ORDER BY doc_id""".stripMargin,
     "q94_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,

@@ -114,4 +114,61 @@ object Sources {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
   }
+
+  // ---- q164: versioned store + time-travel read (mini-lakehouse) --
+
+  private val versionedCache = graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
+
+  /** The versioned document store: three deterministic commit
+    * batches written as `version=K` partitions (the Delta-log
+    * change-file idea reduced to its queryable core — each commit
+    * appends ONLY its delta, upserts and deletes as rows):
+    * v1 = the base corpus; v2 = revisions for the %13 set, DELETES
+    * for the %17 set; v3 = the deleted docs restored. */
+  private[graft] def versionedStore(spark: SparkSession, dir: String): String =
+    versionedCache.getOrElseUpdate((spark, dir), {
+      val base = stagingDir("versioned", dir) +
+        "_" + graft.SessionRegistry.sessionToken(spark)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      def commit(v: Int, df: DataFrame): Unit =
+        df.withColumn("version", lit(v.toLong))
+          .write.mode("append").partitionBy("version").parquet(base)
+      commit(1, docs.select(col("doc_id"), col("text"), lit("upsert").as("op")))
+      commit(2, docs.filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), lit("").as("text"), lit("delete").as("op"))
+        .unionByName(docs.filter(col("doc_id") % 17 =!= 3 && col("doc_id") % 13 === 1)
+          .select(col("doc_id"), concat(col("text"), lit(" rev")).as("text"),
+            lit("upsert").as("op"))))
+      commit(3, docs.filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), concat(col("text"), lit(" back")).as("text"),
+          lit("upsert").as("op")))
+      base
+    })
+
+  /** TIME-TRAVEL read: the store AS OF `version` — per key, the
+    * last-writer-wins row among commits ≤ version, dropped if that
+    * row is a delete. The version predicate is a PARTITION filter
+    * (only the asked-for commit files are scanned — plan-asserted in
+    * SourcesSkewSpec); the winner is one argmax window over the
+    * commit-bounded delta rows, keyed by doc_id. */
+  private[graft] def readVersion(spark: SparkSession, dir: String,
+      version: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+    spark.read.parquet(versionedStore(spark, dir))
+      .filter(col("version") <= version.toLong)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select(col("doc_id"), col("version").as("since_version"),
+        md5(col("text").cast("binary")).as("fp"))
+  }
+
+  /** q164: the store read AS OF commit 2 — revisions visible,
+    * deletions applied, the v3 restore NOT yet visible; every row
+    * value-checked against a state the oracle derives directly from
+    * the raw corpus (same %-rules). */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir, 2).orderBy(col("doc_id"))
 }

@@ -258,4 +258,29 @@ class SourcesSkewSpec extends AnyFunSuite {
       .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
     assert(rolled == batch)
   }
+
+  test("time travel: as-of states are correct and the version predicate prunes partitions") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val all = docs.count()
+    val deleted = docs.filter(col("doc_id") % 17 === 3).count()
+    // v1 = the base corpus
+    val v1 = graft.sources.Sources.readVersion(spark, sf, 1)
+    assert(v1.count() == all)
+    // v2: deletions applied, revisions visible
+    val v2 = graft.sources.Sources.readVersion(spark, sf, 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("since_version").longValue).toMap
+    assert(v2.size == all - deleted)
+    assert(!v2.keySet.exists(_ % 17 == 3))
+    v2.foreach { case (id, v) => assert(v == (if (id % 13 == 1) 2L else 1L)) }
+    // v3: the deleted docs are restored with the v3 payload
+    val v3 = graft.sources.Sources.readVersion(spark, sf, 3)
+    assert(v3.count() == all)
+    assert(v3.filter(col("since_version") === 3L).count() == deleted)
+    // the as-of predicate reaches the file listing as a PARTITION
+    // filter — time travel never scans future commits
+    val plan = graft.sources.Sources.readVersion(spark, sf, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("version"), plan)
+  }
 }
