@@ -191,6 +191,7 @@ object SparkEntry {
     "q162_dataset_card" -> CorpusOps.datasetCard _,
     "q163_anomaly_flags" -> FrameOps.anomalyFlags _,
     "q164_time_travel" -> graft.sources.Sources.timeTravel _,
+    "q165_version_diff" -> graft.sources.Sources.versionDiff _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1855,6 +1856,22 @@ object SparkEntry {
         |  md5(CASE WHEN doc_id % 13 = 1 THEN text || ' rev' ELSE text END) AS fp
         |FROM documents WHERE doc_id % 17 <> 3
         |ORDER BY doc_id""".stripMargin,
+    // q165: both as-of states derived from the raw corpus with the
+    // store's %-rules; v1 = base, v3 = restore+revisions; all keys
+    // survive, so the feed is changed/unchanged only
+    "q165_version_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+        |v3 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 3 THEN text || ' back'
+        |             WHEN doc_id % 13 = 1 THEN text || ' rev'
+        |             ELSE text END) AS new_fp
+        |  FROM documents)
+        |SELECT v1.doc_id,
+        |  CASE WHEN old_fp <> new_fp THEN 'changed' ELSE 'unchanged' END AS status,
+        |  old_fp, new_fp
+        |FROM v1 JOIN v3 USING (doc_id)
+        |ORDER BY v1.doc_id""".stripMargin,
     "q94_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,

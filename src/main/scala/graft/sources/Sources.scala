@@ -171,4 +171,21 @@ object Sources {
     * the raw corpus (same %-rules). */
   def timeTravel(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, 2).orderBy(col("doc_id"))
+
+  /** q165: CHANGE FEED between two commits — q164's time-travel reads
+    * composed through q146's snapshotDiff operator ("what changed
+    * between v1 and v3"): both as-of states collapse to (key,
+    * fingerprint) partition-pruned scans, the diff is the same one
+    * full-outer equi-join. The oracle derives both states' rules
+    * directly from the raw corpus, so the feed is value-checked:
+    * %17 docs (deleted at v2, restored at v3) and %13 revisions read
+    * 'changed', everything else 'unchanged' — the delete→restore
+    * round trip is visible as a CONTENT change, not churn. */
+  def versionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = readVersion(spark, dir, 1).select(col("doc_id"), col("fp"))
+    val v3 = readVersion(spark, dir, 3).select(col("doc_id"), col("fp"))
+    graft.operators.FrameOps.snapshotDiff(v1, v3, "doc_id", col("fp"))
+      .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+      .orderBy(col("doc_id"))
+  }
 }
