@@ -1333,7 +1333,8 @@ object SparkEntry {
         |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
         |  FROM nll GROUP BY 1, 2)
         |SELECT source, COUNT(*) AS n_docs,
-        |  round(CAST(SUM(doc_nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll,
+        |  CAST(CAST(SUM(doc_nll) AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS avg_nll,
         |  round(CAST(MAX(doc_nll) AS DOUBLE), 4) AS max_nll
         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
     // q80: q35's recursive-CTE component labels + per-cluster argmax
@@ -1706,9 +1707,10 @@ object SparkEntry {
         |FROM ex LEFT JOIN cand c ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b
         |ORDER BY ex.doc_a, ex.doc_b""").stripMargin,
     // q159: q10's verified session fragment + in-session lead guard;
-    // counts exact, one IEEE share division
+    // counts exact, one IEEE share division; top-N INTERPOLATED from
+    // FrameOps.PathTopN
     "q159_session_paths" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, event_id, event_type, ts,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
         |    LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
@@ -1735,7 +1737,7 @@ object SparkEntry {
         |  FROM c)
         |SELECT rank, path, CAST(n AS BIGINT) AS n,
         |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
-        |FROM t WHERE rank <= 25 ORDER BY rank""".stripMargin,
+        |FROM t WHERE rank <= ${FrameOps.PathTopN} ORDER BY rank""".stripMargin,
     // q160: exact violation counts; two checks fail by design so
     // both verdict branches are value-checked
     "q160_expectations" ->
@@ -1784,7 +1786,9 @@ object SparkEntry {
         |FROM r ORDER BY event_id""".stripMargin,
     // q162: the verified funnel CTE joined to q79's verified NLL
     // chain (disjoint CTE names — lever (d)); shares are raw
-    // quotients, avg_nll crosses q79's exact round(,4) expression
+    // quotients, avg_nll = q79's rule (DECIMAL(18,6)-rescaled sum
+    // before the double cast — q104's wide-decimal rule — then a
+    // raw quotient of exact operands, levers c/k)
     "q162_dataset_card" ->
       (FunnelCte +
       """,t9 AS (
@@ -1814,7 +1818,8 @@ object SparkEntry {
         |    CAST(COUNT(*) AS DOUBLE) AS quality_rate,
         |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE) AS contam_share,
-        |  round(CAST(SUM(doc_nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+        |  CAST(CAST(SUM(doc_nll) AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS avg_nll
         |FROM f4 JOIN pd9 ON f4.doc_id = pd9.doc_id
         |GROUP BY f4.source ORDER BY f4.source""".stripMargin),
     // q163: q143's verified med/mad fragment + per-event flag; the
@@ -2287,20 +2292,26 @@ object SparkEntry {
         |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority, o_totalprice FROM orders)
         |GROUP BY CUBE (o_year, o_orderpriority)
         |ORDER BY g_year, g_pri, o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-    // q148: q31's verified shingle-candidate CTE + support floor +
-    // levenshtein verify — dist/mlen are exact ints, the admission
-    // compare is one IEEE division on identical operands
+    // q148: q31's verified shingle-candidate CTE (WITH the operator's
+    // hot-posting df cap — previously omitted here, non-binding at
+    // test SFs but a divergence at any scale where it binds) +
+    // support floor + levenshtein verify — dist/mlen are exact ints,
+    // the admission compare is one IEEE division on identical
+    // operands. Constants INTERPOLATED from Dedup (shared-rule
+    // discipline: the engines cannot drift when one changes).
     "q148_edit_dedup" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
         |    SELECT doc_id, tok,
         |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
         |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
         |    FROM tok) WHERE lead2 IS NOT NULL),
+        |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= ${Dedup.defaultMaxDf}),
+        |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
         |cand AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -2312,10 +2323,10 @@ object SparkEntry {
         |  FROM cand c
         |  JOIN documents da ON c.doc_a = da.doc_id
         |  JOIN documents db ON c.doc_b = db.doc_id
-        |  WHERE c.inter >= 3)
+        |  WHERE c.inter >= ${Dedup.EditMinShingles})
         |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
         |  round(CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE), 6) AS edit_ratio
-        |FROM p WHERE CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE) <= 0.3
+        |FROM p WHERE CAST(dist AS DOUBLE) / CAST(mlen AS DOUBLE) <= ${Dedup.EditMaxRatio}
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q149: GENERATED from CorpusOps' DSIR constants (bucket count,
     // smoothing, admission cap, hash family) — see dsirOracleSql
@@ -2351,11 +2362,12 @@ object SparkEntry {
         |    CAST(SUM(c2) AS DOUBLE) AS cond_entropy
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // q151: window cumsum in priority order (longest first); the
-    // admission compare is integer-exact
+    // admission compare is integer-exact; budget INTERPOLATED from
+    // CorpusOps.BudgetTokens (one source of truth)
     "q151_token_budget" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, source, n_chars,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, source, tok,
@@ -2363,7 +2375,7 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
         |  FROM d)
-        |SELECT doc_id, source, tok, cum_tok, cum_tok <= 512 AS admitted
+        |SELECT doc_id, source, tok, cum_tok, cum_tok <= ${CorpusOps.BudgetTokens} AS admitted
         |FROM w ORDER BY source, doc_id""".stripMargin,
     // q152: q76's verified 5-gram CTE re-rolled per doc as a
     // coverage ratio; thresholds compare the rounded value
@@ -2410,11 +2422,13 @@ object SparkEntry {
         |  MIN(CASE WHEN rn = (90 * cnt + 99) // 100 THEN value END) AS p90
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q155: q142/q145's verified co-click pair CTE rolled into a
-    // degree histogram; shares divide exact integers
+    // degree histogram; shares divide exact integers; support floor
+    // INTERPOLATED from GraphOps.PrSupport (the same constant the
+    // q145 generated oracle uses)
     "q155_degree_profile" ->
-      """WITH ui AS (
+      s"""WITH ui AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS item
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
         |  FROM events WHERE event_type = 'click'),
         |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
         |p AS (
@@ -2422,9 +2436,9 @@ object SparkEntry {
         |  FROM uif a JOIN uif b ON a.user_id = b.user_id AND a.item < b.item
         |  GROUP BY 1, 2),
         |ed AS (
-        |  SELECT item_a AS src FROM p WHERE support >= 2
+        |  SELECT item_a AS src FROM p WHERE support >= ${GraphOps.PrSupport}
         |  UNION ALL
-        |  SELECT item_b FROM p WHERE support >= 2),
+        |  SELECT item_b FROM p WHERE support >= ${GraphOps.PrSupport}),
         |dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1),
         |hist AS (SELECT deg, COUNT(*) AS n_items FROM dg GROUP BY 1),
         |t AS (
@@ -2437,13 +2451,19 @@ object SparkEntry {
         |  CAST(n_items AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
         |  CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
         |FROM t ORDER BY deg""".stripMargin,
-    // q156: weights round(,6), micro-long products round(,8)-decimal
-    // summed, wide sums re-scaled pre-double-cast, cosine + threshold
-    // on RAW identically-derived doubles (levers c/k)
+    // q156: weights round(,6); the dot product is EXACT integer math
+    // end to end — micro-long weights multiply and sum as HUGEINT,
+    // scaled down ONCE by the explicit half-up rule (s + 5000) //
+    // 10^4 (products nonnegative; mirrors Spark's decimal(38,0) sum
+    // + div — no per-term float round, closing the lever-(k)
+    // half-boundary the round-5 advisor flagged); the final double
+    // is one exact-int / 1e8 division, cosine + threshold on RAW
+    // identically-derived doubles (levers c/k). df cap + threshold
+    // INTERPOLATED from Dedup's constants.
     "q156_tfidf_cosine" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -2457,7 +2477,7 @@ object SparkEntry {
         |w AS MATERIALIZED (
         |  SELECT doc_id, tf.sh,
         |    round(tf * log2(CAST(n.n AS DOUBLE) / dft.df), 6) AS w
-        |  FROM tf JOIN dft USING (sh), n WHERE dft.df <= 256),
+        |  FROM tf JOIN dft USING (sh), n WHERE dft.df <= ${Dedup.defaultMaxDf}),
         |nm AS (
         |  SELECT doc_id,
         |    sqrt(CAST(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(18,8)))
@@ -2465,10 +2485,9 @@ object SparkEntry {
         |  FROM w GROUP BY 1),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(CAST(SUM(CAST(round(
-        |      CAST(CAST(round(a.w * 1000000) AS BIGINT) *
-        |           CAST(round(b.w * 1000000) AS BIGINT) AS DOUBLE) * 1e-12,
-        |      8) AS DECIMAL(18,8))) AS DECIMAL(18,8)) AS DOUBLE) AS dot
+        |    CAST((SUM(CAST(round(a.w * 1000000) AS HUGEINT) *
+        |               CAST(round(b.w * 1000000) AS HUGEINT)) + 5000) // 10000
+        |      AS DOUBLE) / 1e8 AS dot
         |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |c AS (
@@ -2476,18 +2495,22 @@ object SparkEntry {
         |  FROM p JOIN nm na ON p.doc_a = na.doc_id
         |         JOIN nm nb ON p.doc_b = nb.doc_id)
         |SELECT doc_a, doc_b, dot, cosine FROM c
-        |WHERE cosine >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE cosine >= ${Dedup.TfidfCosThreshold} ORDER BY doc_a, doc_b""".stripMargin,
     // q157: hash-split eval; per-user metrics divide exact ints,
-    // macro means are raw quotients of decimal sums
+    // macro means are raw quotients of decimal sums. Split-hash
+    // family + cutoffs INTERPOLATED from WordItemApp's constants;
+    // the key is reduced mod p BEFORE the multiplicative mix so both
+    // engines stay in BIGINT range at any id scale.
     "q157_rec_eval" ->
-      """WITH ui AS (
+      s"""WITH ui AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS item
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
         |  FROM events WHERE event_type = 'click'),
         |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
         |tagged AS (
         |  SELECT user_id, item,
-        |    ((user_id * 1009 + item) * 2654435761) % 1000000007 % 5 = 0 AS is_test
+        |    ((user_id * 1009 + item) % ${WordItemApp.SplitP}) * ${WordItemApp.SplitC}
+        |      % ${WordItemApp.SplitP} % ${WordItemApp.SplitMod} = 0 AS is_test
         |  FROM uif),
         |train AS (SELECT user_id, item FROM tagged WHERE NOT is_test),
         |test AS MATERIALIZED (SELECT user_id, item FROM tagged WHERE is_test),
@@ -2495,7 +2518,7 @@ object SparkEntry {
         |  SELECT item, pop_rank FROM (
         |    SELECT item, COUNT(*) AS n_clicks,
         |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS pop_rank
-        |    FROM train GROUP BY item) WHERE pop_rank <= 20),
+        |    FROM train GROUP BY item) WHERE pop_rank <= ${WordItemApp.RecTopM}),
         |users AS (SELECT DISTINCT user_id FROM test),
         |recs AS (
         |  SELECT u.user_id, t.item,
@@ -2508,7 +2531,7 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN te.item IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
         |  FROM recs r LEFT JOIN test te
         |    ON te.user_id = r.user_id AND te.item = r.item
-        |  WHERE r.rec_rank <= 10 GROUP BY 1),
+        |  WHERE r.rec_rank <= ${WordItemApp.RecK} GROUP BY 1),
         |m AS (
         |  SELECT pu.user_id, pu.n_rec, pu.n_hit, tc.n_test,
         |    CAST(round(CAST(pu.n_hit AS DOUBLE) / CAST(pu.n_rec AS DOUBLE), 6)

@@ -316,7 +316,13 @@ object CorpusOps {
     docNll(spark, dir).groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(sum(col("doc_nll")).cast("double") / count(lit(1)), 4).as("avg_nll"),
+        // source-level sums GROW with the corpus, so re-scale to
+        // DECIMAL(18,6) before the double cast (q104's rule — DuckDB's
+        // wide DECIMAL(38,6)→DOUBLE can land 1 ulp off nearest) and
+        // emit the RAW quotient of exact operands (levers (c)/(k); a
+        // round(,4) would add the half-boundary split risk for free)
+        (sum(col("doc_nll")).cast("decimal(18,6)").cast("double") /
+          count(lit(1)).cast("double")).as("avg_nll"),
         round(max(col("doc_nll")).cast("double"), 4).as("max_nll"))
       .orderBy(col("source"))
 
@@ -1306,7 +1312,10 @@ object CorpusOps {
           n.cast("double")).as("quality_rate"),
         (sum(when(col("n_hit") > 0L, 1L).otherwise(0L)).cast("double") /
           n.cast("double")).as("contam_share"),
-        round(sum(col("doc_nll")).cast("double") / n, 4).as("avg_nll"))
+        // q79's avg_nll rule exactly (rescaled decimal sum, raw
+        // quotient — see bigramLm's scale note)
+        (sum(col("doc_nll")).cast("decimal(18,6)").cast("double") /
+          n.cast("double")).as("avg_nll"))
       .orderBy(col("source"))
   }
 

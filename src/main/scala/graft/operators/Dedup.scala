@@ -144,8 +144,10 @@ object Dedup {
     // EXACT distance for every admitted pair and -1 (filtered) for
     // pairs the full O(len^2) DP would reject anyway — same admitted
     // set and values, quadratic cost only within the band
-    val maxLen = Tables.documents(spark, dir)
-      .agg(max(length(col("text")))).head.getInt(0)
+    val maxLenRow = Tables.documents(spark, dir)
+      .agg(max(length(col("text")))).head
+    // max() over an empty corpus is NULL — guard instead of NPE
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     val band = math.ceil(EditMaxRatio * maxLen).toInt
     cand
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
@@ -178,14 +180,17 @@ object Dedup {
     * codegen PostingPairs kernel (pairs share every posting, so the
     * dot product is one grouped sum — the corpus is never
     * self-joined). Float discipline: weights round(,6) (bm25's
-    * per-term convention), per-term products round(,8)-ed
-    * decimal-sums (term-order-independent), wide sums re-scaled
-    * PRECISION-ONLY (scale kept at 8 — a scale-reducing rescale
-    * ROUNDS, and micro-product sums tie exactly at the dropped
-    * digits, splitting HALF_UP vs half-even engines; q104's rule
-    * refined) before the double cast, cosine = RAW quotient of
-    * identically-derived doubles (lever (k)) with a raw threshold
-    * compare (lever (c)) — the admitted pair SET is exact. */
+    * per-term convention), then the WHOLE dot product runs in exact
+    * integer math — micro-scaled long weights multiply as
+    * DECIMAL(38,0) (no long overflow, no per-term float round whose
+    * shortest-repr HALF_UP can split the engines at an 8th-decimal
+    * half-boundary — the lever-(k) hazard round 5's advisor
+    * flagged), sum exactly, and scale down ONCE with an explicit
+    * half-up integer rule ((s + 5000) div 10^4; products are
+    * nonnegative); the final double is one exact-int-over-1e8
+    * division, cosine = RAW quotient of identically-derived doubles
+    * (lever (k)) with a raw threshold compare (lever (c)) — the
+    * admitted pair SET is exact at any scale. */
   private val cosPairCache =
     graft.SessionRegistry
       .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
@@ -225,10 +230,12 @@ object Dedup {
         struct(col("doc_id").as("id"), col("wm").as("w")))).as("docs"))
       .select(explode(graft.plans.PairExprs.postingPairs(col("docs"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        round((col("p.na") * col("p.nb")).cast("double") * lit(1e-12d), 8)
-          .cast("decimal(18,8)").as("prod"))
+        (col("p.na").cast("decimal(19,0)") * col("p.nb").cast("decimal(19,0)"))
+          .as("prod")) // exact micro² (1e-12-unit) integer product
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("prod")).cast("decimal(18,8)").cast("double").as("dot"))
+      .agg(sum(col("prod")).cast("decimal(38,0)").as("s"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("(s + 5000) div 10000").cast("double") / lit(1e8d)).as("dot"))
     dot
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("n_a")),
         Seq("doc_a"))

@@ -141,9 +141,21 @@ object WordItemApp {
       .orderBy(col("item_a"), col("item_b"))
   }
 
-  /** q157 constants: candidate list depth and recommendation cutoff. */
+  /** q157 constants: candidate list depth and recommendation cutoff.
+    * The q157 oracle SQL is GENERATED from these + the split-hash
+    * constants below (one source of truth — the engines cannot
+    * drift when a constant changes). */
   private[graft] val RecTopM = 20
   private[graft] val RecK = 10
+  /** Split-hash family for the held-out eval split: reduce the key
+    * mod [[SplitP]] BEFORE the multiplicative mix so the product
+    * stays under 2^63 at ANY id scale — Spark silently wraps on long
+    * overflow while DuckDB raises a BIGINT range error, so an
+    * unreduced (key · 2654435761) diverges (error vs wrapped split)
+    * once user ids reach ~3e8. (p−1)·C ≈ 2.65e18 < 2^63. */
+  private[graft] val SplitP = 1000000007L
+  private[graft] val SplitC = 2654435761L
+  private[graft] val SplitMod = 5L
 
   /** q157: OFFLINE RECOMMENDER EVALUATION — precision@K / recall@K /
     * hit-rate of a popularity recommender against a held-out click
@@ -163,7 +175,7 @@ object WordItemApp {
     import org.apache.spark.sql.expressions.Window
     val clicks = userItemClicks(spark, dir)
     val isTest =
-      ((col("user_id") * 1009L + col("item")) * 2654435761L) % 1000000007L % 5L === 0L
+      ((col("user_id") * 1009L + col("item")) % SplitP) * SplitC % SplitP % SplitMod === 0L
     val train = clicks.filter(!isTest)
     val test = clicks.filter(isTest)
     val topM = train.groupBy(col("item")).agg(count(lit(1)).as("n_clicks"))
