@@ -27,6 +27,7 @@ object SparkEntry {
     "q06_train_test_split" -> FrameOps.trainTestSplit _,
     "q07_window_running" -> FrameOps.windowRunning _,
     "q08_extract_dict" -> FrameOps.extractFirstPerKey _,
+    "q166_extract_list" -> FrameOps.extractList _,
     "q09_anti_semi_join" -> FrameOps.antiJoinCustomers _,
     "q10_sessionize" -> FrameOps.sessionize _,
     "q11_event_rollup" -> FrameOps.eventRollup _,
@@ -482,6 +483,14 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+    // q166: key-range-chunked ordered list extraction; chunk width
+    // INTERPOLATED from FrameOps.ListChunk
+    "q166_extract_list" ->
+      s"""SELECT c_custkey // ${FrameOps.ListChunk} AS chunk_id,
+        |  COUNT(*) AS n_values,
+        |  STRING_AGG(c_name, ',' ORDER BY c_custkey) AS vals
+        |FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q09_anti_semi_join" ->
       """SELECT n_name, COUNT(*) AS n_customers_no_orders
         |FROM customer

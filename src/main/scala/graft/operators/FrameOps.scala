@@ -139,6 +139,36 @@ object FrameOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** q166 chunk width (rows per emitted list segment); the oracle is
+    * generated from it. */
+  private[graft] val ListChunk = 100L
+
+  /** q166: ExtractColumnAsList (data_frame_utils.py:11) — the last
+    * uncovered data_frame_utils task (its dict sibling is q08,
+    * grouped collect is q04). The reference dumps one driver-side
+    * Python list; a 100 TB column cannot live in one row OR on the
+    * driver, so the distributed rendering is the ordered list in
+    * KEY-RANGE CHUNKS: segment k carries the values whose sort key
+    * falls in [k·W, (k+1)·W), each segment's values joined in key
+    * order — concatenating segments in chunk_id order reproduces the
+    * reference's list exactly, and no operator ever sees more than a
+    * chunk at once (position-based equal-size chunks would need the
+    * q98 per-partition offset pass; key-range chunks need NO global
+    * coordination at all — one partial-agg shuffle on chunk_id). The
+    * in-chunk sort rides a chunk-bounded collect_list, never a
+    * global window. */
+  def extractList(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        expr(s"c_custkey div $ListChunk").as("chunk_id"))
+      .groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("c_custkey"), col("c_name")))),
+          x => x.getField("c_name"))).as("vals"))
+      .orderBy(col("chunk_id"))
+
   /** Existence filtering as anti join (no NOT IN materialization):
     * customers with no in-progress ('P') order, per nation. nation is
     * broadcast. */

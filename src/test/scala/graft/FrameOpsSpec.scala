@@ -121,6 +121,21 @@ class FrameOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 extract list: concatenated chunks reproduce the full ordered column") {
+    import org.apache.spark.sql.functions._
+    val chunks = operators.FrameOps.extractList(spark, sf).collect()
+    // chunk ids strictly increasing (the concatenation order)
+    val ids = chunks.map(_.getAs[Long]("chunk_id"))
+    assert(ids.sameElements(ids.sorted))
+    assert(chunks.map(_.getAs[Long]("n_values")).sum ==
+      Tables.customer(spark, sf).count())
+    val rebuilt = chunks.flatMap(_.getAs[String]("vals").split(",")).toSeq
+    val expected = Tables.customer(spark, sf)
+      .orderBy(col("c_custkey")).select(col("c_name"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rebuilt == expected, "chunk concatenation is not the ordered column")
+  }
+
   test("cube lattice: every level re-aggregates to the same total") {
     val out = operators.FrameOps.cubeSummary(spark, sf).collect()
     val total = Tables.orders(spark, sf).count()
