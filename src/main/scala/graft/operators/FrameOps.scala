@@ -786,25 +786,43 @@ object FrameOps {
     * Sums cross the decimal bridge (and are re-scaled to
     * DECIMAL(18,4) before the double cast — the q104 wide-decimal
     * rule); min/max are raw values, exact in both engines. */
-  def profile(spark: SparkSession, dir: String): DataFrame = {
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    profileWith(spark, dir, c => countDistinct(c))
+
+  /** q167: the SKETCH twin of q135 for the 100 TB path — identical
+    * single-scan profile, but the three exact distinct counts (the
+    * only part of the one-scan plan that can't stream at scale: exact
+    * distinct rides EXPAND + a key-space shuffle) are HLL++ sketches
+    * (`approx_count_distinct`, rsd 2% — q17's machinery): a few KB of
+    * mergeable state per metric, no EXPAND, no key shuffle.
+    * Approximate → rows-only; FrameOpsSpec bounds every sketched
+    * cardinality within 3·rsd of q135's exact value and asserts all
+    * non-sketched metrics are IDENTICAL. */
+  def profileSketch(spark: SparkSession, dir: String): DataFrame =
+    profileWith(spark, dir, c => approx_count_distinct(c, rsd = 0.02))
+
+  /** One definition for both profile variants (shared-rule
+    * discipline) — `distinctOf` is the only difference. */
+  private def profileWith(spark: SparkSession, dir: String,
+      distinctOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     def nulls(c: String) =
       sum(when(col(c).isNull, 1L).otherwise(0L))
     val agg = li.agg(
       count(lit(1)).as("n"),
       nulls("l_quantity").as("qty_null"),
-      countDistinct(col("l_quantity")).as("qty_distinct"),
+      distinctOf(col("l_quantity")).as("qty_distinct"),
       min(col("l_quantity")).as("qty_min"),
       max(col("l_quantity")).as("qty_max"),
       sum(col("l_quantity")).as("qty_sum"),
       nulls("l_extendedprice").as("price_null"),
-      countDistinct(col("l_extendedprice")).as("price_distinct"),
+      distinctOf(col("l_extendedprice")).as("price_distinct"),
       min(col("l_extendedprice")).as("price_min"),
       max(col("l_extendedprice")).as("price_max"),
       sum(col("l_extendedprice").cast(DecimalType(18, 4)))
         .cast(DecimalType(18, 4)).cast("double").as("price_sum"),
       nulls("l_discount").as("disc_null"),
-      countDistinct(col("l_discount")).as("disc_distinct"),
+      distinctOf(col("l_discount")).as("disc_distinct"),
       min(col("l_discount")).as("disc_min"),
       max(col("l_discount")).as("disc_max"),
       sum(col("l_discount").cast(DecimalType(18, 4)))

@@ -132,8 +132,12 @@ object Sources {
         "_" + graft.SessionRegistry.sessionToken(spark)
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
+      // src_version rides in the PAYLOAD too (== the partition value
+      // at commit time): after a vacuum collapses old partitions into
+      // a checkpoint, it is what keeps since_version byte-stable
       def commit(v: Int, df: DataFrame): Unit =
-        df.withColumn("version", lit(v.toLong))
+        df.withColumn("src_version", lit(v.toLong))
+          .withColumn("version", lit(v.toLong))
           .write.mode("append").partitionBy("version").parquet(base)
       commit(1, docs.select(col("doc_id"), col("text"), lit("upsert").as("op")))
       commit(2, docs.filter(col("doc_id") % 17 === 3)
@@ -147,23 +151,90 @@ object Sources {
       base
     })
 
-  /** TIME-TRAVEL read: the store AS OF `version` — per key, the
-    * last-writer-wins row among commits ≤ version, dropped if that
-    * row is a delete. The version predicate is a PARTITION filter
-    * (only the asked-for commit files are scanned — plan-asserted in
-    * SourcesSkewSpec); the winner is one argmax window over the
-    * commit-bounded delta rows, keyed by doc_id. */
-  private[graft] def readVersion(spark: SparkSession, dir: String,
-      version: Int): DataFrame = {
+  /** Per-key LAST-WRITER-WINS winner among commits ≤ `version` — THE
+    * shared resolution rule of every store read and of vacuum's
+    * checkpoint build (one def; the read and the compaction cannot
+    * drift). The version predicate is a PARTITION filter; the argmax
+    * window runs over commit-bounded delta rows keyed by doc_id. */
+  private def lwwRows(store: DataFrame, version: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
-    spark.read.parquet(versionedStore(spark, dir))
-      .filter(col("version") <= version.toLong)
+    store.filter(col("version") <= version.toLong)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") === "upsert")
-      .select(col("doc_id"), col("version").as("since_version"),
-        md5(col("text").cast("binary")).as("fp"))
+      .filter(col("rn") === 1)
   }
+
+  /** TIME-TRAVEL read from a store path: LWW winner per key, dropped
+    * if the winner is a delete; since_version = the winner's ORIGINAL
+    * commit (src_version — stable across vacuum). Partition-pruned:
+    * only commit files ≤ version are listed (plan-asserted in
+    * SourcesSkewSpec). */
+  private[graft] def readVersionFrom(spark: SparkSession, base: String,
+      version: Int): DataFrame =
+    lwwRows(spark.read.parquet(base), version)
+      .filter(col("op") === "upsert")
+      .select(col("doc_id"), col("src_version").as("since_version"),
+        md5(col("text").cast("binary")).as("fp"))
+
+  private[graft] def readVersion(spark: SparkSession, dir: String,
+      version: Int): DataFrame =
+    readVersionFrom(spark, versionedStore(spark, dir), version)
+
+  /** q168 retention horizon: time travel below it is given up by the
+    * vacuum; reads at/after it are byte-identical. */
+  private[graft] val VacuumHorizon = 2
+
+  private val vacuumCache = graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
+
+  /** VACUUM / retention compaction of the versioned store — the
+    * maintenance half of the q164 lakehouse block (Delta VACUUM +
+    * checkpoint reduced to its queryable core): all commits ≤ the
+    * horizon collapse into ONE checkpoint partition holding the LWW
+    * state at the horizon (each surviving row keeps its ORIGINAL
+    * src_version, so since_version is unchanged for every legal
+    * read); tombstones below the horizon are DROPPED (nothing older
+    * remains for a delete to mask — absence now encodes it); commits
+    * after the horizon ride along verbatim. Written to a fresh dir
+    * (the original store stays immutable — a reader mid-scan of the
+    * old layout is never broken; the swap is a pointer move, exactly
+    * Delta's protocol). Scale shape: the checkpoint build is one
+    * argmax window over delta-sized rows + a state-sized write; at
+    * 100 TB this is the periodic compaction job that keeps as-of
+    * reads from re-walking an unbounded commit tail, and the
+    * file-listing cost of every later read drops with the partition
+    * count (spec-asserted: the vacuumed store lists only
+    * {horizon..latest}). */
+  private[graft] def vacuumedStore(spark: SparkSession, dir: String,
+      horizon: Int = VacuumHorizon): String =
+    vacuumCache.getOrElseUpdate((spark, dir), {
+      val src = spark.read.parquet(versionedStore(spark, dir))
+      val base = stagingDir("vacuumed", dir) +
+        "_" + graft.SessionRegistry.sessionToken(spark)
+      lwwRows(src, horizon)
+        .filter(col("op") === "upsert") // tombstone removal
+        .select(col("doc_id"), col("text"), col("op"), col("src_version"),
+          lit(horizon.toLong).as("version"))
+        .write.mode("append").partitionBy("version").parquet(base)
+      src.filter(col("version") > horizon.toLong)
+        .select(col("doc_id"), col("text"), col("op"), col("src_version"),
+          col("version"))
+        .write.mode("append").partitionBy("version").parquet(base)
+      base
+    })
+
+  /** q168: the VACUUMED store read at the latest commit — proof the
+    * compaction preserved every retained read: the full v3 state
+    * (deletes applied then restored, revisions visible, each row's
+    * since_version = its true original commit) value-checked against
+    * an oracle that derives that state directly from the raw corpus
+    * with the store's own %-rules. The shared-oracle gate plus the
+    * SourcesSkewSpec partition/equality asserts are the "reads
+    * at/after the horizon are unchanged, files below it are gone"
+    * contract. */
+  def vacuumRead(spark: SparkSession, dir: String): DataFrame =
+    readVersionFrom(spark, vacuumedStore(spark, dir), 3)
+      .orderBy(col("doc_id"))
 
   /** q164: the store read AS OF commit 2 — revisions visible,
     * deletions applied, the v3 restore NOT yet visible; every row

@@ -136,6 +136,24 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(rebuilt == expected, "chunk concatenation is not the ordered column")
   }
 
+  test("q167 profile sketch: cardinalities within 3*rsd of exact, rest identical") {
+    val exact = operators.FrameOps.profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sk = operators.FrameOps.profileSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(sk.keySet == exact.keySet)
+    for ((colName, e) <- exact) {
+      val s = sk(colName)
+      // sketched: n_distinct within 3*rsd (= 6%) of exact
+      val (de, ds) = (e.getDouble(3), s.getDouble(3))
+      assert(math.abs(ds - de) <= 0.06 * de + 1e-9,
+        s"$colName sketch distinct $ds vs exact $de")
+      // everything else identical (same single-scan agg definition)
+      for (i <- Seq(1, 2, 4, 5, 6))
+        assert(s.getDouble(i) == e.getDouble(i), s"$colName metric $i differs")
+    }
+  }
+
   test("cube lattice: every level re-aggregates to the same total") {
     val out = operators.FrameOps.cubeSummary(spark, sf).collect()
     val total = Tables.orders(spark, sf).count()

@@ -283,4 +283,30 @@ class SourcesSkewSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("version"), plan)
   }
+
+  test("vacuum: reads at/after the horizon unchanged, partitions below it gone") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number]("since_version").longValue, r.getString(2))
+    val orig = graft.sources.Sources.versionedStore(spark, sf)
+    val vac = graft.sources.Sources.vacuumedStore(spark, sf)
+    def versionsOf(base: String) =
+      new java.io.File(base).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("version=")).toSet
+    // commit partitions below the horizon are physically gone; the
+    // retained tail survives
+    assert(versionsOf(orig) == Set("version=1", "version=2", "version=3"))
+    assert(versionsOf(vac) == Set("version=2", "version=3"))
+    // every read at/after the horizon is row-identical to the
+    // unvacuumed store (since_version provenance included)
+    for (v <- Seq(2, 3)) {
+      val a = graft.sources.Sources.readVersion(spark, sf, v).collect().map(key).toSet
+      val b = graft.sources.Sources
+        .readVersionFrom(spark, vac, v).collect().map(key).toSet
+      assert(a == b, s"as-of $v differs after vacuum")
+    }
+    // below the horizon, time travel is definitionally gone: no
+    // commit files ≤ 1 remain, so the read is empty (never wrong)
+    assert(graft.sources.Sources.readVersionFrom(spark, vac, 1).count() == 0)
+  }
 }
