@@ -24,6 +24,14 @@ import scala.collection.concurrent.TrieMap
   * partially rewritten artifact.
   */
 object SessionRegistry {
+  /** Declared ceiling for any COLLECTED-ROWS registry entry (mad
+    * thresholds: |event types|; ML experiments: eval-summary tables).
+    * Corpus-shaped outputs must never ride a rows registry (they go
+    * to disk artifacts); PropertySpec drives the consumers at sf0.1
+    * and asserts every live entry honors this bound — the "bounded by
+    * construction" claims as an executable contract. */
+  private[graft] val CollectedRowsCeiling = 4096
+
   private val all = new java.util.concurrent.CopyOnWriteArrayList[Cache[_ <: Product, _]]()
   private val hooked = TrieMap.empty[SparkContext, Boolean]
 
@@ -57,6 +65,14 @@ object SessionRegistry {
       }
     private[graft] def liveKeyCount(spark: SparkSession): Int =
       m.keys.count(k => session(k) eq spark)
+    /** Built values owned by the session — lets specs turn "this
+      * registry only ever holds bounded artifacts" from a doc claim
+      * into an executable contract (PropertySpec's registry-ceiling
+      * test). */
+    private[graft] def liveValues(spark: SparkSession): Seq[V] =
+      m.toSeq.collect {
+        case (k, s) if (session(k) eq spark) && s.isBuilt => s.value
+      }
   }
 
   def cache[K <: Product, V](): Cache[K, V] = {

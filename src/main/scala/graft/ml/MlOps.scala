@@ -309,6 +309,11 @@ object MlOps {
   private val expCache = graft.SessionRegistry.cache[(SparkSession, String, String),
     (org.apache.spark.sql.types.StructType, java.util.List[org.apache.spark.sql.Row])]()
 
+  /** Registry-ceiling observability (PropertySpec): per-entry row
+    * counts of the collected experiment tables held for the session. */
+  private[graft] def collectedRegistryRows(spark: SparkSession): Seq[Int] =
+    expCache.liveValues(spark).map(_._2.size)
+
   private def experiment(spark: SparkSession, dir: String, name: String)(
       run: => DataFrame): DataFrame = {
     val (schema, rows) = expCache.getOrElseUpdate((spark, dir, name), {

@@ -982,6 +982,11 @@ object FrameOps {
   private val madCache = graft.SessionRegistry.cache[(SparkSession, String),
     (org.apache.spark.sql.types.StructType, java.util.List[org.apache.spark.sql.Row])]()
 
+  /** Registry-ceiling observability (PropertySpec): per-entry row
+    * counts of the collected-rows artifacts held for the session. */
+  private[graft] def collectedRegistryRows(spark: SparkSession): Seq[Int] =
+    madCache.liveValues(spark).map(_._2.size)
+
   private[graft] def madThresholds(spark: SparkSession, dir: String): DataFrame = {
     val (schema, rows) = madCache.getOrElseUpdate((spark, dir), {
       val df = madThresholdsDerive(spark, dir)

@@ -64,6 +64,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("AsOfJoinExec survives AQE re-planning on a skewed key (no silent fallback)") {
+    // 90% of left rows pile on key 7 — the shape that makes AQE
+    // rewrite the post-shuffle reads. The strategy must still plan
+    // the custom exec in the FINAL adaptive plan (not quietly revert
+    // to the union+window shape), the coalesced reads must stay
+    // co-partitioned (doExecute hard-asserts equal counts), and the
+    // values must match the plain join+argmax rule.
+    val skewLeft = spark.range(0, 20000)
+      .select(when(col("id") % 10 === 0, pmod(col("id"), lit(50)))
+        .otherwise(lit(7L)).cast("long").as("k"),
+        col("id").cast("long").as("t"))
+    val right = spark.range(0, 1000)
+      .select(pmod(col("id"), lit(50)).cast("long").as("rk"),
+        (col("id") * 3).cast("long").as("rt")) // rt unique → no ties
+    val joined = AsOfJoin(spark, skewLeft, right, "k", "rk", "t", "rt")
+    // collect the joined frame ITSELF so its adaptive plan finalizes
+    // (a .select on top would execute a different QueryExecution)
+    val got = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // stringified AFTER execution = the final adaptive plan
+    val fin = joined.queryExecution.executedPlan.toString
+    assert(fin.contains("AsOfJoin "), fin)
+    assert(!fin.contains("Union"), fin)
+    assert(fin.contains("AdaptiveSparkPlan isFinalPlan=true"), fin)
+    val exp = skewLeft
+      .join(right, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy(col("k"), col("t"))
+      .agg(coalesce(max(col("rt")), lit(-1L)).as("mrt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
   test("events with no prior order get null order columns") {
     val (ev, ord) = sides
     val joined = AsOfJoin(spark, ev,

@@ -137,4 +137,25 @@ class PropertySpec extends AnyFunSuite {
     assert(SessionRegistry.liveKeyCount(spark) > 0)
     assert(SessionRegistry.isHooked(spark.sparkContext))
   }
+
+  test("collected-rows registries honor the declared ceiling at sf0.1") {
+    // drive the two collected-rows registries at the BENCH scale —
+    // the bound must hold where it matters, not only on the tiny spec
+    // corpus. mad thresholds: exactly one row per event type;
+    // experiments: an eval-summary table. Graph results moved to disk
+    // artifacts in round 6, so these two are the only rows registries.
+    val sf01 = "/root/testdata/sf0.1"
+    import org.apache.spark.sql.functions.col
+    val mad = operators.FrameOps.madThresholds(spark, sf01)
+    val nTypes = Tables.events(spark, sf01)
+      .select(col("event_type")).distinct().count()
+    assert(mad.count() == nTypes)
+    ml.MlOps.fmRegression(spark, sf01).count() // one deterministic experiment
+    val entries = operators.FrameOps.collectedRegistryRows(spark) ++
+      ml.MlOps.collectedRegistryRows(spark)
+    assert(entries.nonEmpty, "registries not populated")
+    entries.foreach(n =>
+      assert(n > 0 && n <= SessionRegistry.CollectedRowsCeiling,
+        s"collected-rows entry of $n rows breaks the declared ceiling"))
+  }
 }
