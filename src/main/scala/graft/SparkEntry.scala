@@ -113,6 +113,7 @@ object SparkEntry {
     "q56_mc_bias" -> Recommend.biasBaseline _,
     "q57_cv_tuning" -> MlOps.cvTuning _,
     "q108_adaptive_tuning" -> MlOps.adaptiveTuning _,
+    "q169_tpe_tuning" -> MlOps.tpeTuning _,
     "q110_subword_oov" -> MlOps.subwordOov _,
     "q58_binary_classification" -> MlOps.binaryClassify _,
     "q59_lda_doc_topics" -> MlOps.ldaDocTopics _,

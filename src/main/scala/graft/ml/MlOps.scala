@@ -646,6 +646,99 @@ object MlOps {
       .orderBy(col("rung"), col("cand_id"))
   }
 
+  /** q169: TPE-style MODEL-BASED sequential search — the surrogate
+    * half of the reference's optuna factory (factory/
+    * optuna_param_factory.py builds TPESampler studies;
+    * train/utils/utils.py:40 optimize_model runs them), which q108's
+    * successive halving does not cover: halving PRUNES a fixed
+    * candidate set, TPE PROPOSES new candidates from the trials seen
+    * so far. Deterministic re-expression of Bergstra et al. 2011
+    * (Algorithms for Hyper-Parameter Optimization): after a seeded
+    * startup block, each step splits observed trials into good (top
+    * γ) / bad, models both sets with fixed-bandwidth Gaussian KDEs
+    * over (log10 regParam, elasticNet), proposes seeded candidates
+    * around good trials, and evaluates the argmax of the l(x)/g(x)
+    * acquisition — optuna's exact shape with the RNG pinned, so the
+    * whole study is reproducible on any cluster. Scale shape: the
+    * KDE/acquisition math is driver-side over ≤[[TpeTrials]] scalar
+    * trials (scheduler-metadata-sized, the documented bounded
+    * pattern); every EVALUATION is a distributed MLlib fit on the
+    * shared repartition(1)-capped split (tiny-fit mitigation, q108's
+    * discipline; at real scale the same fits simply keep their
+    * partitions). Output: one row per trial with the running best —
+    * deterministic → experiment registry; MlStreamSpec asserts the
+    * study shape (startup + TPE trial counts, monotone running
+    * best) and that the TPE study never loses to q57's exhaustive
+    * grid by more than ε. */
+  private[graft] val TpeStartup = 4
+  private[graft] val TpeTrials = 10
+
+  def tpeTuning(spark: SparkSession, dir: String): DataFrame =
+    experiment(spark, dir, "q169")(tpeTuningRun(spark, dir))
+
+  private def tpeTuningRun(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    import spark.implicits._
+    val data = Tables.embeddings(spark, dir)
+      .select(array_to_vector(col("embedding")).as("features"),
+        col("label").cast("double").as("label"))
+    // q108's exact split, so all three searches score on one scale
+    val Array(trainRaw, validRaw) = data.randomSplit(Array(0.8, 0.2), 42L)
+    val train = trainRaw.repartition(1).persist()
+    val valid = validRaw.repartition(1).persist()
+    val evaluator = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    def evalAt(logReg: Double, el: Double): Double = {
+      val m = new LogisticRegression().setMaxIter(25)
+        .setRegParam(math.pow(10.0, logReg)).setElasticNetParam(el)
+        .fit(train)
+      math.rint(evaluator.evaluate(m.transform(valid)) * 1e4) / 1e4
+    }
+    val rnd = new scala.util.Random(43L)
+    def clamp(x: Double, lo: Double, hi: Double) = math.min(hi, math.max(lo, x))
+    // (id, log10 reg ∈ [-4, 0], elastic ∈ [0, 1], acc)
+    val trials = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Double)]()
+    (0 until TpeStartup).foreach { i =>
+      val u1 = -4.0 + 4.0 * rnd.nextDouble()
+      val u2 = rnd.nextDouble()
+      trials += ((i, u1, u2, evalAt(u1, u2)))
+    }
+    // fixed kernel bandwidths per axis (span/8): the deterministic
+    // stand-in for optuna's adaptive Parzen widths
+    val (h1, h2) = (0.5, 0.125)
+    def kde(pts: Seq[(Double, Double)], x1: Double, x2: Double): Double =
+      if (pts.isEmpty) 1.0
+      else pts.map { case (p1, p2) =>
+        math.exp(-0.5 * (math.pow((x1 - p1) / h1, 2) + math.pow((x2 - p2) / h2, 2)))
+      }.sum / pts.size + 1e-12
+    (TpeStartup until TpeTrials).foreach { t =>
+      val ranked = trials.sortBy { case (id, _, _, acc) => (-acc, id) }.toSeq
+      val nGood = math.max(1, math.ceil(0.25 * trials.size).toInt)
+      val good = ranked.take(nGood).map(tr => (tr._2, tr._3))
+      val bad = ranked.drop(nGood).map(tr => (tr._2, tr._3))
+      // 16 seeded proposals around good trials; argmax of l/g.
+      // maxBy keeps the FIRST max → deterministic under score ties.
+      val cands = (0 until 16).map { _ =>
+        val (g1, g2) = good(rnd.nextInt(good.size))
+        (clamp(g1 + h1 * rnd.nextGaussian(), -4.0, 0.0),
+          clamp(g2 + h2 * rnd.nextGaussian(), 0.0, 1.0))
+      }
+      val (c1, c2) = cands.maxBy { case (x1, x2) =>
+        kde(good, x1, x2) / kde(bad, x1, x2)
+      }
+      trials += ((t, c1, c2, evalAt(c1, c2)))
+    }
+    train.unpersist(blocking = false)
+    valid.unpersist(blocking = false)
+    var best = 0.0
+    trials.toSeq.map { case (id, u1, u2, acc) =>
+      best = math.max(best, acc)
+      (id.toLong, if (id < TpeStartup) "startup" else "tpe",
+        math.rint(math.pow(10.0, u1) * 1e6) / 1e6, math.rint(u2 * 1e6) / 1e6,
+        acc, best)
+    }.toDF("trial", "phase", "reg_param", "elastic_net", "accuracy", "best_acc")
+      .orderBy(col("trial"))
+  }
+
   /** SCDV (model/scdv.py:15, arXiv:1612.06778): word2vec word
     * embeddings → GaussianMixture soft clustering → idf-weighted
     * word-topic-vectors → per-doc sparse composite vectors. The

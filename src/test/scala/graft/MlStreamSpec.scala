@@ -89,6 +89,31 @@ class MlStreamSpec extends AnyFunSuite {
       s"adaptive best $best below grid best $gridBest - 0.02")
   }
 
+  test("TPE study: shape, monotone running best, never loses to the grid") {
+    val t = MlOps.tpeTuning(spark, sf).collect()
+    assert(t.length == 10)
+    assert(t.count(_.getString(1) == "startup") == 4)
+    assert(t.count(_.getString(1) == "tpe") == 6)
+    // running best is monotone and consistent with the trial accs
+    val accs = t.map(_.getAs[Double]("accuracy"))
+    val bests = t.map(_.getAs[Double]("best_acc"))
+    bests.zip(bests.tail).foreach { case (a, b) => assert(a <= b) }
+    t.indices.foreach(i => assert(bests(i) == accs.take(i + 1).max))
+    // proposed params stay inside the declared search box
+    t.foreach { r =>
+      val reg = r.getAs[Double]("reg_param")
+      val el = r.getAs[Double]("elastic_net")
+      assert(reg >= 1e-4 - 1e-9 && reg <= 1.0 + 1e-9, s"reg $reg out of box")
+      assert(el >= 0.0 && el <= 1.0, s"elastic $el out of box")
+    }
+    // the surrogate search must not lose to the exhaustive 3-point
+    // grid by more than ε (same split, same metric scale)
+    val gridBest = MlOps.cvTuning(spark, sf).collect()
+      .map(_.getAs[Double]("accuracy")).max
+    assert(bests.last >= gridBest - 0.02,
+      s"TPE best ${bests.last} below grid best $gridBest - 0.02")
+  }
+
   test("multimodal decode plumbing produces per-source features") {
     val out = Multimodal.decodeFeatures(spark, sf).collect()
     assert(out.length == Tables.documents(spark, sf)
