@@ -31,6 +31,7 @@ object SparkEntry {
     "q09_anti_semi_join" -> FrameOps.antiJoinCustomers _,
     "q10_sessionize" -> FrameOps.sessionize _,
     "q11_event_rollup" -> FrameOps.eventRollup _,
+    "q170_pseudonymize" -> FrameOps.pseudonymize _,
     "q124_rfm_segments" -> FrameOps.rfmSegments _,
     "q125_session_transitions" -> FrameOps.sessionTransitions _,
     "q12_source_roundtrip" -> graft.sources.Sources.roundTrip _,
@@ -566,6 +567,22 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // q170: pseudonym + k-anonymity gate; hash family + floor
+    // INTERPOLATED from the operators' constants; exact ints
+    "q170_pseudonymize" ->
+      s"""WITH e AS (
+        |  SELECT event_id, user_id, event_type, date_trunc('day', ts) AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, day, COUNT(DISTINCT user_id) AS n_users
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_id,
+        |  ((e.user_id % ${CorpusOps.SampleHashP}) * ${CorpusOps.SampleHashC})
+        |    % ${CorpusOps.SampleHashP} AS pid,
+        |  e.event_type, e.day, CAST(g.n_users AS BIGINT) AS n_users_in_group,
+        |  g.n_users >= ${FrameOps.AnonK} AS released
+        |FROM e JOIN g USING (event_type, day)
+        |ORDER BY e.event_id""".stripMargin,
     "q12_source_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value

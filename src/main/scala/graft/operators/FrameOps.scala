@@ -841,6 +841,40 @@ object FrameOps {
       .orderBy(col("col_name"))
   }
 
+  /** q170 k-anonymity release floor: a quasi-identifier group with
+    * fewer distinct users than this is suppressed from release. */
+  private[graft] val AnonK = 5L
+
+  /** q170: PSEUDONYMIZATION + K-ANONYMITY release gate — the privacy
+    * scrub a training pipeline applies before an event log joins a
+    * shared corpus (direct identifiers replaced by a deterministic
+    * keyed pseudonym; events whose quasi-identifier group is small
+    * enough to re-identify are suppressed, Sweeney's k-anonymity).
+    * pid = the repo's multiplicative sampling-hash family
+    * (CorpusOps.SampleHashC/P — engine-reproducible, and injective
+    * on [0, p): x → x·c mod p is a bijection for prime p ∤ c, so
+    * distinct users stay distinct; spec-asserted), with the key
+    * reduced mod p BEFORE the multiply (the q157 overflow rule).
+    * Quasi-identifier = (event_type, day): the group-size table is
+    * |types|·|days|-bounded → broadcast back onto the log; the whole
+    * op is ONE scan + one bounded broadcast join, row-local
+    * everywhere else — no corpus shuffle at any scale. Exact counts
+    * + exact hash → oracle-gated end to end. */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+    val g = e.groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_in_group"))
+    e.join(broadcast(g), Seq("event_type", "day"))
+      .select(col("event_id"),
+        (pmod(col("user_id"), lit(CorpusOps.SampleHashP)) *
+          lit(CorpusOps.SampleHashC) % lit(CorpusOps.SampleHashP)).as("pid"),
+        col("event_type"), col("day"), col("n_users_in_group"),
+        (col("n_users_in_group") >= AnonK).as("released"))
+      .orderBy(col("event_id"))
+  }
+
   /** q138: SCD TYPE-2 interval compression of the event log — the
     * warehouse "slowly changing dimension" build (consecutive
     * same-state runs collapse to one validity interval; only CHANGES

@@ -154,6 +154,20 @@ class FrameOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 pseudonymization: pid injective, K respected, no raw id in output") {
+    import org.apache.spark.sql.functions._
+    val out = operators.FrameOps.pseudonymize(spark, sf)
+    // x → x·c mod p is a bijection on [0, p) → distinct users stay
+    // distinct under the pseudonym (no accidental k-degradation)
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(out.select(col("pid")).distinct().count() == nUsers)
+    val k = operators.FrameOps.AnonK
+    assert(out.filter(col("released") && col("n_users_in_group") < k).count() == 0)
+    assert(out.filter(!col("released") && col("n_users_in_group") >= k).count() == 0)
+    // the direct identifier must not survive into the released schema
+    assert(!out.columns.contains("user_id"))
+  }
+
   test("cube lattice: every level re-aggregates to the same total") {
     val out = operators.FrameOps.cubeSummary(spark, sf).collect()
     val total = Tables.orders(spark, sf).count()
