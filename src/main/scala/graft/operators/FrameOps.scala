@@ -860,20 +860,31 @@ object FrameOps {
     * op is ONE scan + one bounded broadcast join, row-local
     * everywhere else — no corpus shuffle at any scale. Exact counts
     * + exact hash → oracle-gated end to end. */
-  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  /** THE pseudonym rule, in one place — consumed by the batch scrub
+    * and the ingest twin (StreamOps.pseudonymizeStream); row-local. */
+  private[graft] def pidCol: org.apache.spark.sql.Column =
+    pmod(col("user_id"), lit(CorpusOps.SampleHashP)) *
+      lit(CorpusOps.SampleHashC) % lit(CorpusOps.SampleHashP)
+
+  /** THE quasi-identifier group-size table (|types|·|days|-bounded)
+    * — the published privacy artifact the ingest stream gates
+    * against (shared-rule discipline with the batch scrub). */
+  private[graft] def anonGroupSizes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users_in_group"))
+
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         date_trunc("day", col("ts")).as("day"))
-    val g = e.groupBy(col("event_type"), col("day"))
-      .agg(countDistinct(col("user_id")).as("n_users_in_group"))
-    e.join(broadcast(g), Seq("event_type", "day"))
-      .select(col("event_id"),
-        (pmod(col("user_id"), lit(CorpusOps.SampleHashP)) *
-          lit(CorpusOps.SampleHashC) % lit(CorpusOps.SampleHashP)).as("pid"),
+      .join(broadcast(anonGroupSizes(spark, dir)), Seq("event_type", "day"))
+      .select(col("event_id"), pidCol.as("pid"),
         col("event_type"), col("day"), col("n_users_in_group"),
         (col("n_users_in_group") >= AnonK).as("released"))
       .orderBy(col("event_id"))
-  }
 
   /** q138: SCD TYPE-2 interval compression of the event log — the
     * warehouse "slowly changing dimension" build (consecutive

@@ -380,6 +380,28 @@ object StreamOps {
         (abs(col("value") - col("med")) > lit(3.0d) * col("mad"))
           .as("is_outlier"))
 
+  /** q170's INGEST twin: arriving events pseudonymized row-local
+    * (FrameOps.pidCol — the SAME shared rule as the batch scrub) and
+    * gated against the STORE's published quasi-group table
+    * (stream-static broadcast join of the |types|·|days|-bounded
+    * artifact, stateless). An arriving event whose (type, day) group
+    * the store has never seen CANNOT prove k-anonymity, so it is
+    * conservatively suppressed (left join, null group → released
+    * false) — privacy fails CLOSED at ingest. Parity spec
+    * row-for-row vs the batch scrub on a replayed file. */
+  def pseudonymizeStream(spark: SparkSession, eventsDir: String,
+      storeDir: String): DataFrame =
+    streamEvents(spark, eventsDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .join(broadcast(graft.operators.FrameOps.anonGroupSizes(spark, storeDir)),
+        Seq("event_type", "day"), "left")
+      .select(col("event_id"), graft.operators.FrameOps.pidCol.as("pid"),
+        col("event_type"), col("day"),
+        coalesce(col("n_users_in_group"), lit(0L)).as("n_users_in_group"),
+        (coalesce(col("n_users_in_group"), lit(0L)) >= graft.operators.FrameOps.AnonK)
+          .as("released"))
+
   /** THE row-local event-validation rule (q161 batch + its ingest
     * twin — the dead-letter-queue split in front of every pipeline):
     * reason strings are null-skipping concat_ws of CASE markers —

@@ -222,6 +222,28 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pseudonymize-at-ingest matches the q170 batch scrub row for row") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_pseudo")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamOps.pseudonymizeStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pseudo_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      // replayed file == the store, so every group is known and the
+      // stream must agree with the batch scrub exactly
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4), r.getBoolean(5))
+      val streamed = spark.table("pseudo_test").collect().map(key).toSet
+      val batch = operators.FrameOps.pseudonymize(spark, sf).collect().map(key).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("quarantine-at-ingest verdicts match the q161 batch rule row for row") {
     val staged = java.nio.file.Files.createTempDirectory("graft_quarantine")
     java.nio.file.Files.copy(
