@@ -193,6 +193,7 @@ object SparkEntry {
     "q160_expectations" -> FrameOps.expectations _,
     "q161_quarantine" -> StreamOps.quarantineBatch _,
     "q162_dataset_card" -> CorpusOps.datasetCard _,
+    "q171_release_manifest" -> CorpusOps.releaseManifest _,
     "q163_anomaly_flags" -> FrameOps.anomalyFlags _,
     "q164_time_travel" -> graft.sources.Sources.timeTravel _,
     "q165_version_diff" -> graft.sources.Sources.versionDiff _,
@@ -1904,6 +1905,26 @@ object SparkEntry {
         |    CAST(COUNT(*) AS DOUBLE) AS avg_nll
         |FROM f4 JOIN pd9 ON f4.doc_id = pd9.doc_id
         |GROUP BY f4.source ORDER BY f4.source""".stripMargin),
+    // q171: order-invariant checksum = exact HUGEINT/DECIMAL(38,0)
+    // sum of q26's verified poly-31 fingerprints, reduced mod the
+    // operator's interpolated modulus; ROLLUP leaves + total
+    "q171_release_manifest" ->
+      s"""WITH f AS (
+        |  SELECT source, doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+        |  FROM documents)
+        |SELECT COALESCE(source, '__total__') AS source_key,
+        |  CAST(GROUPING(source) AS BIGINT) AS is_total,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(fp) % ${CorpusOps.ChecksumMod} AS BIGINT) AS content_checksum,
+        |  COUNT(DISTINCT fp) AS n_distinct_fp
+        |FROM f GROUP BY ROLLUP(source)
+        |ORDER BY is_total, source_key""".stripMargin,
     // q163: q143's verified med/mad fragment + per-event flag; the
     // 3·mad compare is exact IEEE on identical operands
     "q163_anomaly_flags" ->

@@ -1319,6 +1319,42 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** q171 checksum display modulus (the exact decimal sum reduced to
+    * a BIGINT both engines print identically). */
+  private[graft] val ChecksumMod = 1000000000000000000L
+
+  /** q171: RELEASE MANIFEST — the reproducible integrity record a
+    * corpus drop ships next to q162's dataset card: per-source and
+    * __total__ rows with exact volumes and an ORDER-INVARIANT
+    * content checksum (sum of q26's per-doc poly-31 fingerprints —
+    * integer addition commutes, so any replica verifies the drop
+    * with ONE unordered scan; no global sort, no canonical file
+    * order needed at 100 TB). Distinct-fingerprint count rides along
+    * (a replica that duplicated rows at copy time sums the same mod
+    * only with vanishing probability, and its n_docs/n_distinct_fp
+    * split flags it regardless). One ROLLUP scan produces leaves and
+    * total together (q104's discipline); the checksum sum is exact
+    * DECIMAL(38,0) reduced mod [[ChecksumMod]] — identical integer
+    * math in both engines. */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.plans.RollingHash(col("text")).as("fp"),
+        TextFns.tokenCount(col("text")).as("tok"))
+    f.rollup(col("source"))
+      .agg(
+        grouping(col("source")).cast("long").as("is_total"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        (sum(col("fp")).cast("decimal(38,0)") % lit(ChecksumMod))
+          .cast("long").as("content_checksum"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      .select(coalesce(col("source"), lit("__total__")).as("source_key"),
+        col("is_total"), col("n_docs"), col("n_tokens"),
+        col("content_checksum"), col("n_distinct_fp"))
+      .orderBy(col("is_total"), col("source_key"))
+  }
+
   /** q151 per-source token budget. Small enough that truncation
     * binds at every test SF; a production budget is per-domain
     * token caps in the billions — the plan shape is identical. */

@@ -408,6 +408,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(logShuffles == 1, s"expected one user shuffle, got $logShuffles:\n$p")
   }
 
+  test("q166 extract list: no global window, chunk agg only") {
+    val p = plan(FrameOps.extractList(spark, sf))
+    // the whole design point: the ordered-list extraction must not
+    // rank the table through a window (single-partition funnel) —
+    // key-range chunking needs only the groupBy shuffle
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q170 pseudonymize: the quasi-group table broadcasts, no SMJ of the log") {
+    val p = plan(FrameOps.pseudonymize(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q168 vacuumed-store reads stay partition-pruned") {
+    val base = graft.sources.Sources.vacuumedStore(spark, sf)
+    val p = plan(graft.sources.Sources.readVersionFrom(spark, base, 2))
+    assert(p.contains("PartitionFilters") && p.contains("version"), p)
+  }
+
   test("edit dedup: candidates from posting arrays, only the verify joins touch text") {
     val p = plan(Dedup.editDedupDerive(spark, sf))
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
