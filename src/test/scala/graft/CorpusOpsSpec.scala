@@ -384,4 +384,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
     assert(covHits == q83)
   }
+
+  test("q171 checksum: additive over sources and invariant to row order/partitioning") {
+    import SparkTest._
+    val m = CorpusOps.releaseManifest(spark, sf).collect()
+    val leaves = m.filter(_.getLong(1) == 0L)
+    val total = m.filter(_.getLong(1) == 1L)
+    assert(total.length == 1 && leaves.nonEmpty)
+    // volumes roll up exactly
+    assert(leaves.map(_.getLong(2)).sum == total.head.getLong(2))
+    assert(leaves.map(_.getLong(3)).sum == total.head.getLong(3))
+    // ADDITIVITY: Σ leaf checksums ≡ total checksum (mod M) — what
+    // lets a drop be verified shard-by-shard and combined
+    val mod = BigInt(CorpusOps.ChecksumMod)
+    val leafSum = leaves.map(r => BigInt(r.getLong(4))).sum.mod(mod)
+    assert(leafSum == BigInt(total.head.getLong(4)))
+    // ORDER/PARTITIONING INVARIANCE: a replica that reads the same
+    // rows in any order/layout computes the same checksum
+    val replica = Tables.documents(spark, sf)
+      .repartition(13).sortWithinPartitions(col("doc_id").desc)
+      .select(graft.plans.RollingHash(col("text")).as("fp"))
+      .agg(sum(col("fp")).cast("decimal(38,0)").as("s"))
+      .head.getDecimal(0)
+    assert(BigInt(replica.toBigInteger).mod(mod) == BigInt(total.head.getLong(4)))
+  }
 }
