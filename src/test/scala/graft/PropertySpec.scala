@@ -114,6 +114,37 @@ class PropertySpec extends AnyFunSuite {
       assert(n.toDouble / Pairing.buckets(n) <= 2 * 256, s"n=$n")
   }
 
+  test("PostingPairs == naive i<j pair enumeration for arbitrary posting arrays") {
+    import org.apache.spark.sql.functions._
+    // postings of 0..12 distinct ids (incl. empty and singleton —
+    // the explode edge cases every dedup path hits)
+    val gen = Gen.listOf(Gen.choose(0L, 30L)).map(_.distinct.sorted.take(12))
+    val arrays = samples(gen, 150)
+    val df = arrays.zipWithIndex
+      .map { case (a, i) => (i.toLong, a.map(id => (id, id * 7L + 1L))) }
+      .toDF("row_id", "raw")
+      .select(col("row_id"), transform(col("raw"),
+        x => struct(x.getField("_1").as("id"), x.getField("_2").as("w"))).as("docs"))
+    val got = df
+      .select(col("row_id"),
+        explode(graft.plans.PairExprs.postingPairs(col("docs"))).as("p"))
+      .select(col("row_id"), col("p.doc_a"), col("p.doc_b"), col("p.na"), col("p.nb"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq.sorted)
+      .toMap
+    val exp = arrays.zipWithIndex.flatMap { case (a, i) =>
+      val ws = a.map(id => id -> (id * 7L + 1L)).toMap
+      for (x <- a.indices; y <- x + 1 until a.size)
+        yield i.toLong -> (a(x), a(y), ws(a(x)), ws(a(y)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got == exp)
+    // rows with <2 postings contribute no pairs (explode drops them)
+    val expEmpty = arrays.zipWithIndex.filter(_._1.size < 2).map(_._2.toLong).toSet
+    assert(expEmpty.intersect(got.keySet).isEmpty)
+  }
+
   test("session registries hook the context and evict its entries on application end") {
     // populate at least one registry through a real operator
     operators.Dedup.jaccardPairs(spark, sf).count()
