@@ -1346,7 +1346,10 @@ object CorpusOps {
         grouping(col("source")).cast("long").as("is_total"),
         count(lit(1)).as("n_docs"),
         sum(col("tok")).as("n_tokens"),
-        (sum(col("fp")).cast("decimal(38,0)") % lit(ChecksumMod))
+        // sum as DECIMAL(38,0), not as long-then-cast: a long sum of
+        // ~1e9-sized fingerprints overflows past ~1e10 docs (ANSI
+        // error at scale); the decimal sum is exact to 10^38
+        (sum(col("fp").cast("decimal(38,0)")) % lit(ChecksumMod))
           .cast("long").as("content_checksum"),
         countDistinct(col("fp")).as("n_distinct_fp"))
       .select(coalesce(col("source"), lit("__total__")).as("source_key"),

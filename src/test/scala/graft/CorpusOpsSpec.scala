@@ -404,7 +404,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val replica = Tables.documents(spark, sf)
       .repartition(13).sortWithinPartitions(col("doc_id").desc)
       .select(graft.plans.RollingHash(col("text")).as("fp"))
-      .agg(sum(col("fp")).cast("decimal(38,0)").as("s"))
+      .agg(sum(col("fp").cast("decimal(38,0)")).as("s"))
       .head.getDecimal(0)
     assert(BigInt(replica.toBigInteger).mod(mod) == BigInt(total.head.getLong(4)))
   }
