@@ -74,6 +74,7 @@ object SparkEntry {
     // q31 serves the shared disk artifact (== jaccard(s, d) content,
     // written once per session); re-applies the query's deterministic
     // ORDER BY — parquet re-reads don't preserve row order
+    "q172_dup_flow" -> ((s: SparkSession, d: String) => Dedup.dupFlow(s, d)),
     "q31_dedup_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.jaccardPairs(s, d)
         .orderBy(org.apache.spark.sql.functions.col("doc_a"),
@@ -1093,6 +1094,40 @@ object SparkEntry {
         |  FROM documents)
         |SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS cluster_size
         |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+    // q172: q31's verified pair CTE + source labels + a bounded
+    // rollup; max over rounded jaccards is an exact value pick
+    "q172_dup_flow" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |adm AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |  FROM pairs
+        |  JOIN sizes sa ON pairs.doc_a = sa.doc_id
+        |  JOIN sizes sb ON pairs.doc_b = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |lab AS (
+        |  SELECT least(da.source, db.source) AS source_x,
+        |    greatest(da.source, db.source) AS source_y, jaccard
+        |  FROM adm JOIN documents da ON adm.doc_a = da.doc_id
+        |           JOIN documents db ON adm.doc_b = db.doc_id)
+        |SELECT source_x, source_y, source_x <> source_y AS cross_source,
+        |  COUNT(*) AS n_pairs, max(jaccard) AS max_jaccard
+        |FROM lab GROUP BY 1, 2
+        |ORDER BY source_x, source_y""".stripMargin,
     "q31_dedup_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,

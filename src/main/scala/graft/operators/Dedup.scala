@@ -598,6 +598,34 @@ object Dedup {
         concat_ws(",", col("members")).as("members"))
       .orderBy(col("cluster_id"))
 
+  /** q172: cross-source DUPLICATE-FLOW matrix — which sources share
+    * near-duplicate content with which (the corpus-governance
+    * diagnostic behind source-level dedup budgeting and "is source X
+    * scraping source Y" audits; the source-level rollup of q31's
+    * verified pair list). Scale shape: the near-dup pair DISK
+    * artifact ([[jaccardPairs]]) joined twice to the slim (id,
+    * source) projection — id-keyed equi-joins of a dup-rate-bounded
+    * table, then a |sources|²-bounded rollup; the corpus is never
+    * rescanned. Unordered source pair normalized via least/greatest
+    * so (a,b) and (b,a) flows collapse. max over round(,6) values is
+    * an exact pick → oracle-gated through q31's verified CTE. */
+  def dupFlow(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    jaccardPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"), col("jaccard"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .withColumn("cross_source", col("source_x") =!= col("source_y"))
+      .select(col("source_x"), col("source_y"), col("cross_source"),
+        col("n_pairs"), col("max_jaccard"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
   /** Seed-fixed pseudo-random unit-free hyperplanes (deterministic
     * across JVMs: scala.util.Random is a fixed LCG). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
