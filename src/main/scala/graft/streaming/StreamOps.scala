@@ -521,6 +521,30 @@ object StreamOps {
       }
   }
 
+  /** q171's INGEST twin: the release manifest maintained as a
+    * RUNNING streaming aggregate — per-source volumes and the
+    * order-invariant content checksum stay current as documents
+    * arrive, so a drop can be cut at any time without a full rescan
+    * (the operational reason q171's checksum is an additive SUM:
+    * streaming partial aggregation is exactly shard-wise addition).
+    * State is |sources|-bounded (three counters per source — the
+    * decimal fp sum, doc and token counts); fp is the row-local
+    * codegen RollingHash; n_distinct_fp is deliberately NOT
+    * maintained here (exact distinct needs unbounded state — the
+    * batch manifest owns it). Complete-mode parity spec vs q171's
+    * leaf rows. */
+  def manifestStream(spark: SparkSession, docsDir: String): DataFrame =
+    streamDocs(spark, docsDir)
+      .select(col("source"),
+        graft.plans.RollingHash(col("text")).as("fp"),
+        graft.functions.TextFns.tokenCount(col("text")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        (sum(col("fp").cast("decimal(38,0)")) %
+          lit(graft.operators.CorpusOps.ChecksumMod))
+          .cast("long").as("content_checksum"))
+
   case class BucketState(rep: Long)
   case class DupCandidate(band: Int, key: Long, rep_doc: Long, doc_id: Long)
 

@@ -408,4 +408,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       .head.getDecimal(0)
     assert(BigInt(replica.toBigInteger).mod(mod) == BigInt(total.head.getLong(4)))
   }
+
+  test("manifest-at-ingest matches the q171 batch leaves exactly") {
+    import SparkTest._
+    val staged = java.nio.file.Files.createTempDirectory("graft_manifest")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = graft.streaming.StreamOps.manifestStream(spark, staged.toString)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("manifest_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("manifest_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = CorpusOps.releaseManifest(spark, sf).collect()
+        .filter(_.getLong(1) == 0L) // leaves only
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
