@@ -1009,9 +1009,10 @@ object SparkEntry {
         |  FROM da, UNNEST(range(0, 8)) AS u(y), UNNEST(range(0, 8)) AS v(x)),
         |gr AS (
         |  SELECT doc_id, bit,
-        |    (ord(text[CAST(base % n + 1 AS BIGINT)]) +
-        |     ord(text[CAST((base + 1) % n + 1 AS BIGINT)]) +
-        |     ord(text[CAST((base + 2) % n + 1 AS BIGINT)])) // 3 AS gray
+        |    CASE WHEN n = 0 THEN 0 ELSE
+        |      (ord(text[CAST(base % n + 1 AS BIGINT)]) +
+        |       ord(text[CAST((base + 1) % n + 1 AS BIGINT)]) +
+        |       ord(text[CAST((base + 2) % n + 1 AS BIGINT)])) // 3 END AS gray
         |  FROM pos),
         |mn AS (SELECT doc_id, CAST(SUM(gray) AS DOUBLE) / 64 AS mean FROM gr GROUP BY 1),
         |ak AS (
@@ -1095,11 +1096,14 @@ object SparkEntry {
         |SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS cluster_size
         |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     // q172: q31's verified pair CTE + source labels + a bounded
-    // rollup; max over rounded jaccards is an exact value pick
+    // rollup; max over rounded jaccards is an exact value pick. The
+    // pair CTE carries the operator's hot-posting df cap (q148's
+    // rule: sizes stay UNCAPPED — the cap drops postings from pair
+    // GENERATION only, set sizes are the true per-doc counts)
     "q172_dup_flow" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1108,9 +1112,11 @@ object SparkEntry {
         |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
         |    FROM tok) WHERE lead2 IS NOT NULL),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${Dedup.defaultMaxDf}),
+        |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |adm AS (
         |  SELECT doc_a, doc_b,
@@ -1128,10 +1134,13 @@ object SparkEntry {
         |  COUNT(*) AS n_pairs, max(jaccard) AS max_jaccard
         |FROM lab GROUP BY 1, 2
         |ORDER BY source_x, source_y""".stripMargin,
+    // The pair CTE carries the operator's hot-posting df cap (set
+    // sizes stay uncapped — the cap affects pair GENERATION only);
+    // non-binding at test SFs, diverge-proof where it binds
     "q31_dedup_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1140,9 +1149,11 @@ object SparkEntry {
         |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
         |    FROM tok) WHERE lead2 IS NOT NULL),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${Dedup.defaultMaxDf}),
+        |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
@@ -2660,7 +2671,8 @@ object SparkEntry {
         |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
         |tagged AS (
         |  SELECT user_id, item,
-        |    ((user_id * 1009 + item) % ${WordItemApp.SplitP}) * ${WordItemApp.SplitC}
+        |    ((user_id % ${WordItemApp.SplitP} * 1009 + item) % ${WordItemApp.SplitP})
+        |      * ${WordItemApp.SplitC}
         |      % ${WordItemApp.SplitP} % ${WordItemApp.SplitMod} = 0 AS is_test
         |  FROM uif),
         |train AS (SELECT user_id, item FROM tagged WHERE NOT is_test),

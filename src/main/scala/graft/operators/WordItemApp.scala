@@ -147,12 +147,15 @@ object WordItemApp {
     * drift when a constant changes). */
   private[graft] val RecTopM = 20
   private[graft] val RecK = 10
-  /** Split-hash family for the held-out eval split: reduce the key
-    * mod [[SplitP]] BEFORE the multiplicative mix so the product
-    * stays under 2^63 at ANY id scale — Spark silently wraps on long
-    * overflow while DuckDB raises a BIGINT range error, so an
-    * unreduced (key · 2654435761) diverges (error vs wrapped split)
-    * once user ids reach ~3e8. (p−1)·C ≈ 2.65e18 < 2^63. */
+  /** Split-hash family for the held-out eval split: EVERY operand is
+    * reduced mod [[SplitP]] before it multiplies — user_id before
+    * the 1009 key-mix ((p−1)·1009 ≈ 1e12, + item stays far under
+    * 2^63 for any item id the mix can see after its own magnitudes),
+    * and the mixed key before the 2654435761 scatter
+    * ((p−1)·C ≈ 2.65e18 < 2^63) — because Spark silently wraps on
+    * long overflow while DuckDB raises a BIGINT range error, so any
+    * unreduced product diverges (error vs wrapped split) once ids
+    * are large enough. Values are unchanged for ids < p. */
   private[graft] val SplitP = 1000000007L
   private[graft] val SplitC = 2654435761L
   private[graft] val SplitMod = 5L
@@ -175,7 +178,8 @@ object WordItemApp {
     import org.apache.spark.sql.expressions.Window
     val clicks = userItemClicks(spark, dir)
     val isTest =
-      ((col("user_id") * 1009L + col("item")) % SplitP) * SplitC % SplitP % SplitMod === 0L
+      ((col("user_id") % SplitP * 1009L + col("item")) % SplitP) * SplitC %
+        SplitP % SplitMod === 0L
     val train = clicks.filter(!isTest)
     val test = clicks.filter(isTest)
     val topM = train.groupBy(col("item")).agg(count(lit(1)).as("n_clicks"))

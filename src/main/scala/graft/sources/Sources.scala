@@ -184,8 +184,10 @@ object Sources {
     * vacuum; reads at/after it are byte-identical. */
   private[graft] val VacuumHorizon = 2
 
+  // keyed by horizon too: a cached horizon-2 store must never be
+  // handed to a caller asking for horizon 1 (silent wrong artifact)
   private val vacuumCache = graft.SessionRegistry
-    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
+    .cacheWithCleanup[(SparkSession, String, Int), String](graft.SessionRegistry.deleteDir)
 
   /** VACUUM / retention compaction of the versioned store — the
     * maintenance half of the q164 lakehouse block (Delta VACUUM +
@@ -207,10 +209,10 @@ object Sources {
     * {horizon..latest}). */
   private[graft] def vacuumedStore(spark: SparkSession, dir: String,
       horizon: Int = VacuumHorizon): String =
-    vacuumCache.getOrElseUpdate((spark, dir), {
+    vacuumCache.getOrElseUpdate((spark, dir, horizon), {
       val src = spark.read.parquet(versionedStore(spark, dir))
       val base = stagingDir("vacuumed", dir) +
-        "_" + graft.SessionRegistry.sessionToken(spark)
+        s"_h${horizon}_" + graft.SessionRegistry.sessionToken(spark)
       lwwRows(src, horizon)
         .filter(col("op") === "upsert") // tombstone removal
         .select(col("doc_id"), col("text"), col("op"), col("src_version"),

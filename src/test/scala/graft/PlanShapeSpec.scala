@@ -420,6 +420,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(FrameOps.pseudonymize(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the PROPERTY, not the proxy (CLAUDE.md plan-assert rule):
+    // every broadcast BUILD SIDE must be the bounded group-size
+    // aggregate — a plan broadcasting the event log itself would
+    // still contain a BHJ and must fail here
+    val lines = p.linesIterator.toSeq
+    val buildHeads = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("BroadcastExchange") =>
+        lines.lift(i + 1).getOrElse("<no successor line after BroadcastExchange>")
+    }
+    assert(buildHeads.nonEmpty, p)
+    buildHeads.foreach(h => assert(h.contains("HashAggregate"),
+      s"broadcast build side is not the bounded aggregate: $h"))
   }
 
   test("q168 vacuumed-store reads stay partition-pruned") {
