@@ -129,6 +129,7 @@ object SparkEntry {
     "q62_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "q70_stream_rollup" -> StreamOps.rollup10m _,
     "q76_contamination" -> CorpusOps.contamination _,
+    "q173_fuzzy_contam" -> CorpusOps.fuzzyContam _,
     "q77_chunk_pack" -> CorpusOps.chunkPack _,
     "q78_sample_balance" -> CorpusOps.sampleBalance _,
     "q128_weighted_sample" -> CorpusOps.weightedSample _,
@@ -1397,6 +1398,49 @@ object SparkEntry {
         |  CAST(SUM(n_hit) AS BIGINT) AS total_hits,
         |  CAST(MAX(n_hit) AS BIGINT) AS max_hits
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // q173: q31's verified pair CTE restricted BIPARTITE (train side
+    // × eval side only); τ and the train-side df cap interpolated
+    // from the operator's constants; best-match pick is a rank the
+    // oracle may STATE while the Spark plan uses the partial-agg
+    // struct max (lever (h) — value equality is what the gate checks)
+    "q173_fuzzy_contam" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+        |    SELECT doc_id, ord, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+        |    FROM tok) WHERE lead2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |d AS (SELECT doc_id, source FROM documents),
+        |tr AS (SELECT s.doc_id, s.sh FROM sh s JOIN d USING (doc_id)
+        |       WHERE d.source <> '${CorpusOps.EvalSource}'),
+        |ev AS (SELECT s.doc_id, s.sh FROM sh s JOIN d USING (doc_id)
+        |       WHERE d.source = '${CorpusOps.EvalSource}'),
+        |keep AS (SELECT sh FROM tr GROUP BY sh
+        |         HAVING COUNT(*) <= ${CorpusOps.FuzzyMaxDf}),
+        |pairs AS (
+        |  SELECT t.doc_id AS doc_id, e.doc_id AS eval_doc_id, COUNT(*) AS inter
+        |  FROM tr t JOIN keep USING (sh) JOIN ev e ON t.sh = e.sh
+        |  GROUP BY 1, 2),
+        |adm AS (
+        |  SELECT p.doc_id, p.eval_doc_id,
+        |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |  FROM pairs p
+        |  JOIN sizes sa ON p.doc_id = sa.doc_id
+        |  JOIN sizes sb ON p.eval_doc_id = sb.doc_id),
+        |best AS (
+        |  SELECT doc_id, eval_doc_id, jaccard,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY jaccard DESC, eval_doc_id) AS rn
+        |  FROM adm)
+        |SELECT b.doc_id, d.source, b.eval_doc_id, b.jaccard,
+        |  b.jaccard >= ${CorpusOps.FuzzyTau} AS contaminated
+        |FROM best b JOIN d USING (doc_id) WHERE rn = 1
+        |ORDER BY b.doc_id""".stripMargin,
     // q77: DuckDB list slice [a:b] is 1-based inclusive and clips at
     // the end — same element window as Spark's slice(t, a, 64)
     "q77_chunk_pack" ->

@@ -106,6 +106,70 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** q173 fuzzy-contamination admission threshold: a train doc whose
+    * best eval-doc Jaccard reaches this is flagged contaminated. */
+  private[graft] val FuzzyTau = 0.5
+  /** Hot-shingle df cap on the TRAIN posting side (q31's rule — the
+    * eval side is suite-bounded and never capped). */
+  private[graft] val FuzzyMaxDf = Dedup.defaultMaxDf
+
+  /** q173: FUZZY eval-set contamination — the near-duplicate variant
+    * of q76's exact n-gram rule (GPT-3 App. C / Dolma-style fuzzy
+    * decontamination: a train doc is tainted if it is NEARLY a copy
+    * of some eval doc, even when no exact 5-gram survives edits).
+    * Verdict = best bipartite 3-shingle Jaccard between each train
+    * doc and any eval-suite doc, with the argmax eval doc reported so
+    * removal decisions can be audited per leaked example.
+    *
+    * Scale shape: one corpus scan → shingle explode (side marker
+    * rides along) → ONE posting table per shingle holding BOTH sides'
+    * id lists; only shingles present on both sides survive (a huge
+    * prune — the eval suite's shingle space is suite-bounded, so the
+    * bipartite index is eval-sized, not corpus-sized); the train side
+    * is df-capped (q31's hot-posting rule). Cross-pair explosion is
+    * |train df| × |eval df| per shingle — never a corpus self-join —
+    * and everything past the explode moves (id, id) pairs only. Best
+    * match per doc is ONE partial-aggregable max over the
+    * (jaccard, −eval_id) struct — exact value pick on round(,6)
+    * values, min eval id on ties, no window (lever (h)).
+    * Oracle: q31's verified pair CTE restricted bipartite, τ and the
+    * df cap interpolated from these constants. */
+  def fuzzyContam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), col("source"),
+        TextFns.wordShingles(toks, 3).as("shingles"))
+      .select(col("doc_id"), col("source"),
+        size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("sh"))
+    val postings = sh.groupBy(col("sh"))
+      .agg(
+        sort_array(collect_list(when(col("source") =!= lit(EvalSource),
+          struct(col("doc_id").as("id"), col("n_sh").as("w"))))).as("tr"),
+        sort_array(collect_list(when(col("source") === lit(EvalSource),
+          struct(col("doc_id").as("id"), col("n_sh").as("w"))))).as("ev"))
+      .filter(size(col("ev")) > 0 && size(col("tr")) > 0 &&
+        size(col("tr")) <= FuzzyMaxDf)
+    val pairs = postings
+      .select(explode(col("tr")).as("t"), col("ev"))
+      .select(col("t"), explode(col("ev")).as("e"))
+      .groupBy(col("t.id").as("doc_id"), col("e.id").as("eval_doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("t.w")).as("na"), first(col("e.w")).as("nb"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+    pairs
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("eval_doc_id")).as("neg"))).as("b"))
+      .select(col("doc_id"), (-col("b.neg")).as("eval_doc_id"),
+        col("b.jaccard").as("jaccard"),
+        (col("b.jaccard") >= FuzzyTau).as("contaminated"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("eval_doc_id"),
+        col("jaccard"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] val ChunkSize = 64
 
   /** Context-window chunking: split each doc into fixed-size token

@@ -157,6 +157,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q173 fuzzy contamination: bipartite posting index, window-free argmax") {
+    val p = plan(graft.operators.CorpusOps.fuzzyContam(spark, sf))
+    // pairs come from the two-sided posting table, never a corpus
+    // self-join or cross product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+    assert(p.contains("collect_list"), p)
+    // best-match pick is the partial-aggregable struct max, not a
+    // per-doc rank window (lever (h): the oracle states the rank,
+    // the plan never runs one)
+    assert(!p.contains("Window"), p)
+  }
+
   test("span dedup generates pairs row-local: no positional self-join, no cross join") {
     for (df <- Seq(graft.operators.CorpusOps.spanDedup(spark, sf),
         graft.operators.CorpusOps.incrementalSpanDedup(spark, sf))) {
