@@ -200,6 +200,7 @@ object SparkEntry {
     "q164_time_travel" -> graft.sources.Sources.timeTravel _,
     "q165_version_diff" -> graft.sources.Sources.versionDiff _,
     "q168_vacuum_read" -> graft.sources.Sources.vacuumRead _,
+    "q174_forget_audit" -> graft.sources.Sources.forgetAudit _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2083,6 +2084,42 @@ object SparkEntry {
         |           ELSE text END) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // q174: every audit number derived from the raw corpus + the
+    // store's deterministic commit rules (commit 2 = deletes for the
+    // %17 set + revisions for the %13 set, commit 3 = restores);
+    // forget rule interpolated. n_forgotten_visible is asserted 0 by
+    // the gate — the Spark side COMPUTES it from the erased store,
+    // the oracle states the Art. 17 requirement.
+    "q174_forget_audit" ->
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    doc_id % ${graft.sources.Sources.ForgetMod} = ${graft.sources.Sources.ForgetRem} AS fg,
+        |    doc_id % 17 = 3 AS del,
+        |    (doc_id % 17 <> 3 AND doc_id % 13 = 1) AS rev
+        |  FROM documents),
+        |c AS (
+        |  SELECT 1 AS version,
+        |    COUNT(*) FILTER (fg) AS n_purged,
+        |    COUNT(*) FILTER (NOT fg) AS n_retained FROM f
+        |  UNION ALL
+        |  SELECT 2, COUNT(*) FILTER ((del OR rev) AND fg),
+        |    COUNT(*) FILTER ((del OR rev) AND NOT fg) FROM f
+        |  UNION ALL
+        |  SELECT 3, COUNT(*) FILTER (del AND fg),
+        |    COUNT(*) FILTER (del AND NOT fg) FROM f),
+        |l AS (
+        |  SELECT 1 AS version, COUNT(*) FILTER (NOT fg) AS n_live FROM f
+        |  UNION ALL
+        |  SELECT 2, COUNT(*) FILTER (NOT fg AND NOT del) FROM f
+        |  UNION ALL
+        |  SELECT 3, COUNT(*) FILTER (NOT fg) FROM f)
+        |SELECT CAST(c.version AS BIGINT) AS version,
+        |  CAST(c.n_purged AS BIGINT) AS n_purged,
+        |  CAST(c.n_retained AS BIGINT) AS n_retained,
+        |  CAST(l.n_live AS BIGINT) AS n_live,
+        |  CAST(0 AS BIGINT) AS n_forgotten_visible
+        |FROM c JOIN l USING (version)
+        |ORDER BY version""".stripMargin,
     "q94_boilerplate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -237,6 +237,71 @@ object Sources {
   def vacuumRead(spark: SparkSession, dir: String): DataFrame =
     readVersionFrom(spark, vacuumedStore(spark, dir), 3)
       .orderBy(col("doc_id"))
+
+  // ---- q174: GDPR erasure (right-to-be-forgotten) ----------------
+
+  /** The deterministic forget set: doc_id ≡ [[ForgetRem]] (mod
+    * [[ForgetMod]]) — stands in for the bounded explicit key list a
+    * real erasure request carries. */
+  private[graft] val ForgetMod = 19L
+  private[graft] val ForgetRem = 5L
+  private[graft] def isForgotten: Column = col("doc_id") % ForgetMod === ForgetRem
+
+  private val erasedCache = graft.SessionRegistry
+    .cacheWithCleanup[(SparkSession, String), String](graft.SessionRegistry.deleteDir)
+
+  /** ERASURE is not deletion: a q164 tombstone only masks a key from
+    * later reads — time travel resurrects it, which is exactly what
+    * GDPR Art. 17 forbids. Erasure REWRITES history: every commit
+    * partition is re-emitted with the forgotten keys physically
+    * dropped, so no as-of read at any version can return them, while
+    * every retained row (payload, op, src_version, commit) is
+    * byte-identical. Fresh-dir pointer-swap like vacuum — the old
+    * store stays immutable until the swap. Scale shape: one scan +
+    * row-local anti-filter (an explicit forget list would be a
+    * broadcast anti-join of a request-bounded table), partitioned
+    * write; no shuffle at all. */
+  private[graft] def erasedStore(spark: SparkSession, dir: String): String =
+    erasedCache.getOrElseUpdate((spark, dir), {
+      val src = spark.read.parquet(versionedStore(spark, dir))
+      val base = stagingDir("erased", dir) +
+        "_" + graft.SessionRegistry.sessionToken(spark)
+      src.filter(!isForgotten)
+        .select(col("doc_id"), col("text"), col("op"), col("src_version"),
+          col("version"))
+        .write.mode("append").partitionBy("version").parquet(base)
+      base
+    })
+
+  /** q174: the ERASURE AUDIT — the compliance record an erasure job
+    * must produce: per commit, how many rows were purged vs retained,
+    * the live row count of the erased store as of that commit, and a
+    * proof-of-absence counter (forgotten keys visible to ANY as-of
+    * read — must be 0 at every version; it is computed from the
+    * erased store itself, not assumed). Every number is derivable
+    * from the raw corpus + the store's deterministic commit rules, so
+    * the whole erasure flow sits on the oracle gate. The per-version
+    * as-of reads are partition-pruned LWW passes over delta-sized
+    * rows (commit count is bounded — the loop is plan metadata, not
+    * data). */
+  def forgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orig = spark.read.parquet(versionedStore(spark, dir))
+    val erasedBase = erasedStore(spark, dir)
+    val purged = orig.groupBy(col("version").cast("long").as("version"))
+      .agg(sum(when(isForgotten, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(!isForgotten, 1L).otherwise(0L)).as("n_retained"))
+    val live = (1 to 3).map { v =>
+      readVersionFrom(spark, erasedBase, v)
+        .agg(count(lit(1)).as("n_live"),
+          coalesce(sum(when(isForgotten, 1L).otherwise(0L)), lit(0L))
+            .as("n_forgotten_visible"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+    purged.join(live, Seq("version"))
+      .select(col("version"), col("n_purged"), col("n_retained"),
+        col("n_live"), col("n_forgotten_visible"))
+      .orderBy(col("version"))
+  }
 
   /** q164: the store read AS OF commit 2 — revisions visible,
     * deletions applied, the v3 restore NOT yet visible; every row

@@ -309,4 +309,35 @@ class SourcesSkewSpec extends AnyFunSuite {
     // commit files ≤ 1 remain, so the read is empty (never wrong)
     assert(graft.sources.Sources.readVersionFrom(spark, vac, 1).count() == 0)
   }
+
+  test("erasure: forgotten keys gone from EVERY version, retained rows byte-stable") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number]("since_version").longValue, r.getString(2))
+    val erased = graft.sources.Sources.erasedStore(spark, sf)
+    // proof of absence at the FILE level: no raw commit row anywhere
+    // in the rewritten store carries a forgotten key — erasure
+    // destroys history, not just visibility (the tombstone/time-travel
+    // loophole is exactly what this closes)
+    val raw = spark.read.parquet(erased)
+    assert(raw.filter(col("doc_id") % graft.sources.Sources.ForgetMod
+      === graft.sources.Sources.ForgetRem).count() == 0)
+    // all three commit partitions survive (erasure rewrites, never
+    // truncates retention)
+    val versions = new java.io.File(erased).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("version=")).toSet
+    assert(versions == Set("version=1", "version=2", "version=3"))
+    // every as-of read equals the original store MINUS the forget
+    // set — payload, op outcome, and since_version provenance all
+    // byte-stable for retained keys
+    for (v <- Seq(1, 2, 3)) {
+      val expected = graft.sources.Sources.readVersion(spark, sf, v)
+        .filter(!(col("doc_id") % graft.sources.Sources.ForgetMod
+          === graft.sources.Sources.ForgetRem))
+        .collect().map(key).toSet
+      val got = graft.sources.Sources.readVersionFrom(spark, erased, v)
+        .collect().map(key).toSet
+      assert(got == expected, s"as-of $v differs after erasure")
+    }
+  }
 }
