@@ -136,6 +136,7 @@ object SparkEntry {
     "q79_bigram_lm" -> CorpusOps.bigramLm _,
     "q80_cluster_best" -> CorpusOps.clusterBest _,
     "q81_chunk_dedup" -> CorpusOps.chunkDedup _,
+    "q175_cdc_chunks" -> CorpusOps.cdcChunks _,
     "q82_pack_bins" -> CorpusOps.packBins _,
     "q83_contam_flag" -> StreamOps.contamFlagBatch _,
     "q84_window_dedup" -> CorpusOps.windowDedup _,
@@ -1577,6 +1578,42 @@ object SparkEntry {
         |  CAST(MAX(n_copies) AS BIGINT) AS max_copies
         |FROM c JOIN g USING (chunk_hash)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q175: anchors + running chunk index as exact-integer window
+    // sums; chunk fp = q26's verified poly-31 fragment over the
+    // space-rejoined chunk text; `pos` not `ord` for the position
+    // column (the lambda calls the ord() FUNCTION — don't shadow it)
+    "q175_cdc_chunks" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 1000000007)
+        |      % ${CorpusOps.CdcMod} = ${CorpusOps.CdcRem} THEN 1 ELSE 0 END AS anchor
+        |  FROM tok),
+        |cidx AS (
+        |  SELECT doc_id, pos, tok,
+        |    SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - anchor AS chunk_idx
+        |  FROM a),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |  FROM cidx GROUP BY doc_id, chunk_idx)
+        |SELECT doc_id, chunk_idx, n_tok, fp,
+        |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+        |  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1 AS kept
+        |FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // q82: identical exclusive-running-sum packing rule; integer
     // arithmetic end to end
     "q82_pack_bins" ->

@@ -203,6 +203,45 @@ object CorpusOps {
           .as("chunk_hash"))
   }
 
+  /** q175 anchor rule: a token whose poly-31 hash ≡ [[CdcRem]]
+    * (mod [[CdcMod]]) closes the current chunk → expected chunk
+    * length = CdcMod tokens. */
+  private[graft] val CdcMod = 16L
+  private[graft] val CdcRem = 7L
+
+  /** q175: CONTENT-DEFINED chunking + chunk-level dedup — the
+    * edit-robust complement to q81's fixed windows. Fixed-window
+    * chunking loses every downstream window after one inserted
+    * token; CDC boundaries are decided by token content (anchor
+    * tokens), so an edit perturbs only the chunks touching it and
+    * every later boundary re-synchronizes — shared passages keep
+    * identical fingerprints across edited copies (spec-asserted).
+    * Scale shape: the whole segmentation (anchor test + running
+    * chunk poly-31 fingerprint) is ONE codegen kernel per doc row
+    * ([[graft.plans.CdcChunks]]) — zero shuffle before the
+    * fingerprint groupBy, which moves (fp, ids) only; keep-first
+    * rule is q30's min-struct pick. Oracle: anchors + running chunk
+    * index as exact-integer window sums, chunk fp via the verified
+    * q26 poly-31 fragment over the space-rejoined chunk text,
+    * constants interpolated. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.CdcChunks(toks, CdcMod, CdcRem)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tok").as("n_tok"), col("c.fp").as("fp"))
+      .persist() // chunk-table-sized; feeds both the copies agg and the join
+    val copies = ch.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    ch.join(copies, Seq("fp"))
+      .withColumn("kept",
+        struct(col("doc_id"), col("chunk_idx")) === col("keeper"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("fp"),
+        col("n_copies"), col("kept"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Chunk-level exact dedup: near-dup DOCS often share exact
     * 64-token windows even when doc-level hashes differ — dedup at
     * chunk granularity catches boilerplate and quoted passages

@@ -430,4 +430,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("cdc chunking: boundaries re-synchronize after an edit") {
+    import spark.implicits._
+    // the property fixed windows (q81) cannot have: one inserted
+    // token perturbs ONLY the chunk containing it — every other
+    // chunk fingerprint survives the edit verbatim
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    def chunkFps(toks: Seq[String]): Seq[(Long, Long, Long)] =
+      Seq(Tuple1(toks.mkString(" "))).toDF("text")
+        .select(explode(graft.plans.CdcChunks(
+          split(trim(col("text")), "\\s+"), CorpusOps.CdcMod, CorpusOps.CdcRem)).as("c"))
+        .select(col("c.chunk_idx"), col("c.n_tok"), col("c.fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+    val base = (1 to 200).map(i => s"w${i % 37}x$i")
+    val isAnchor = (t: String) => polyHash(t) % CorpusOps.CdcMod == CorpusOps.CdcRem
+    val nonAnchor = (1 to 1000).map(i => s"ins$i").find(t => !isAnchor(t)).get
+    val anchorTok = (1 to 10000).map(i => s"ins$i").find(isAnchor).get
+    val mid = base.length / 2
+    val b = chunkFps(base)
+    // chunk table is well-formed: contiguous indices, token counts
+    // reconstruct the doc
+    assert(b.map(_._1) == b.indices.map(_.toLong))
+    assert(b.map(_._2).sum == base.length)
+    // non-anchor insert: same chunk count, exactly ONE fp changes
+    val e1 = chunkFps((base.take(mid) :+ nonAnchor) ++ base.drop(mid))
+    assert(e1.length == b.length)
+    assert(b.zip(e1).count { case (x, y) => x._3 != y._3 } == 1)
+    // anchor insert: the edited chunk splits in two; every chunk
+    // after it keeps its fingerprint (shifted by one index)
+    val e2 = chunkFps((base.take(mid) :+ anchorTok) ++ base.drop(mid))
+    assert(e2.length == b.length + 1)
+    val k = b.zip(e2).indexWhere { case (x, y) => x._3 != y._3 }
+    assert(k >= 0)
+    assert(e2.drop(k + 2).map(_._3) == b.drop(k + 1).map(_._3))
+  }
 }

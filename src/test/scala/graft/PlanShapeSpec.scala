@@ -170,6 +170,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q175 cdc chunking: window-free, keep-rule via partial-agg struct min") {
+    spark.catalog.clearCache()
+    val p = plan(graft.operators.CorpusOps.cdcChunks(spark, sf))
+    // segmentation is the row-local codegen kernel; the keep rule is
+    // q30's min-struct pick — no per-fp rank window, no cross product
+    assert(p.contains("cdc_chunks"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("span dedup generates pairs row-local: no positional self-join, no cross join") {
     for (df <- Seq(graft.operators.CorpusOps.spanDedup(spark, sf),
         graft.operators.CorpusOps.incrementalSpanDedup(spark, sf))) {
