@@ -137,6 +137,7 @@ object SparkEntry {
     "q80_cluster_best" -> CorpusOps.clusterBest _,
     "q81_chunk_dedup" -> CorpusOps.chunkDedup _,
     "q175_cdc_chunks" -> CorpusOps.cdcChunks _,
+    "q176_incremental_cdc" -> CorpusOps.incrementalCdc _,
     "q82_pack_bins" -> CorpusOps.packBins _,
     "q83_contam_flag" -> StreamOps.contamFlagBatch _,
     "q84_window_dedup" -> CorpusOps.windowDedup _,
@@ -1614,6 +1615,54 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1 AS kept
         |FROM ch
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q176: q175's chunk CTE split by q86's batch residue; store
+    // side collapses to DISTINCT fps; keeper = min struct per fp
+    "q176_incremental_cdc" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 1000000007)
+        |      % ${CorpusOps.CdcMod} = ${CorpusOps.CdcRem} THEN 1 ELSE 0 END AS anchor
+        |  FROM tok),
+        |cidx AS (
+        |  SELECT doc_id, pos, tok,
+        |    SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - anchor AS chunk_idx
+        |  FROM a),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |  FROM cidx GROUP BY doc_id, chunk_idx),
+        |bch AS (SELECT * FROM ch
+        |  WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
+        |sfp AS (SELECT DISTINCT fp FROM ch
+        |  WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
+        |keep AS (SELECT fp, MIN({'doc_id': doc_id, 'chunk_idx': chunk_idx}) AS keeper
+        |  FROM bch GROUP BY fp),
+        |dec AS (
+        |  SELECT bch.doc_id, bch.n_tok,
+        |    CASE WHEN s.fp IS NOT NULL THEN 'dup_store'
+        |         WHEN NOT (bch.doc_id = (k.keeper).doc_id
+        |                   AND bch.chunk_idx = (k.keeper).chunk_idx) THEN 'dup_batch'
+        |         ELSE 'new' END AS decision
+        |  FROM bch JOIN keep k USING (fp) LEFT JOIN sfp s ON bch.fp = s.fp)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN decision = 'dup_store' THEN 1 ELSE 0 END) AS BIGINT) AS n_store_dup,
+        |  CAST(SUM(CASE WHEN decision = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup,
+        |  CAST(SUM(CASE WHEN decision = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN decision = 'new' THEN n_tok ELSE 0 END) AS BIGINT) AS new_tokens
+        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q82: identical exclusive-running-sum packing rule; integer
     // arithmetic end to end
     "q82_pack_bins" ->

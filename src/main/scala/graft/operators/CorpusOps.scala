@@ -224,12 +224,19 @@ object CorpusOps {
     * index as exact-integer window sums, chunk fp via the verified
     * q26 poly-31 fragment over the space-rejoined chunk text,
     * constants interpolated. */
-  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val ch = Tables.documents(spark, dir)
+  /** THE content-defined chunk frame, in one def — q175, both sides
+    * of q176, and the chunk-at-ingest stream twin all derive from it
+    * (shared-rule discipline: copies WILL drift). Pure row-local
+    * codegen, so it runs unchanged on streaming frames. */
+  private[graft] def cdcChunkFrame(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(graft.plans.CdcChunks(toks, CdcMod, CdcRem)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.n_tok").as("n_tok"), col("c.fp").as("fp"))
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ch = cdcChunkFrame(Tables.documents(spark, dir))
       .persist() // chunk-table-sized; feeds both the copies agg and the join
     val copies = ch.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"),
@@ -240,6 +247,51 @@ object CorpusOps {
       .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("fp"),
         col("n_copies"), col("kept"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q176: INCREMENTAL CDC dedup — the ingest-time form of q175
+    * (q86's delta discipline for the chunk family): an arriving
+    * batch's content-defined chunks are deduped against the STORE's
+    * chunk-fingerprint set, never by re-chunking the whole corpus.
+    * Each batch chunk gets a decision: `dup_store` (fp already in
+    * the store), `dup_batch` (first seen earlier IN this batch —
+    * q30's min-struct keeper rule), else `new`; the per-doc rollup
+    * (chunks by decision + net-new token volume) is the ingest
+    * accounting a dedup-aware writer needs. This is the borg/restic
+    * write path at corpus scale: CDC boundaries mean an edited
+    * re-crawl of a stored doc contributes ONLY its edited chunks as
+    * new bytes. Scale shape: both sides are the row-local kernel;
+    * the store side collapses to DISTINCT fps before the fp-keyed
+    * equi-join (ids never fan out); batch-side keeper is a
+    * partial-agg struct min; everything after the kernel moves
+    * (fp, ids) only. */
+  def incrementalCdc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBatch = batchPredicate()
+    val storeFps = cdcChunkFrame(docs.filter(!isBatch))
+      .select(col("fp")).distinct().withColumn("in_store", lit(true))
+    val batchCh = cdcChunkFrame(docs.filter(isBatch))
+    val keepers = batchCh.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    batchCh
+      .join(keepers, Seq("fp"))
+      .join(storeFps, Seq("fp"), "left")
+      .withColumn("decision",
+        when(col("in_store"), lit("dup_store"))
+          .when(struct(col("doc_id"), col("chunk_idx")) =!= col("keeper"),
+            lit("dup_batch"))
+          .otherwise(lit("new")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("decision") === "dup_store", 1L).otherwise(0L))
+          .as("n_store_dup"),
+        sum(when(col("decision") === "dup_batch", 1L).otherwise(0L))
+          .as("n_batch_dup"),
+        sum(when(col("decision") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("decision") === "new", col("n_tok")).otherwise(0L))
+          .as("new_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Chunk-level exact dedup: near-dup DOCS often share exact

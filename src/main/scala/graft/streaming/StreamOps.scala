@@ -860,6 +860,16 @@ object StreamOps {
       .select(col("doc_id"), col("pos"))
   }
 
+  /** Chunk-at-ingest: q175's CDC segmentation is ONE row-local
+    * codegen kernel, so the SAME shared chunk-frame def runs
+    * unchanged on the document stream — each arriving doc emits its
+    * content-defined chunk fingerprints with per-row latency and no
+    * state; downstream incremental dedup (q176) consumes them
+    * against the store's fp set. Stream == batch chunk-for-chunk
+    * (MlStreamSpec). */
+  def cdcChunkStream(spark: SparkSession, docsDir: String): DataFrame =
+    graft.operators.CorpusOps.cdcChunkFrame(streamDocs(spark, docsDir))
+
   /** Quality-filter-at-ingest: q72's Gopher signals and rules are
     * pure row-local array math, so the SAME shared columns
     * (TextOps.gopherSignalCols/gopherRuleCols) run unchanged on a

@@ -406,6 +406,27 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cdc chunks equal the batch chunk frame chunk-for-chunk") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = graft.operators.CorpusOps
+      .cdcChunkFrame(Tables.documents(spark, sf)).collect()
+      .map(_.toString).toSet
+    val q = StreamOps.cdcChunkStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_chunk_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_chunk_test").collect()
+        .map(_.toString).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("frame dedup finds the frames exact-dup assets share, none within singletons") {
     val out = Multimodal.frameDedup(spark, sf).collect()
     assert(out.nonEmpty)
