@@ -213,9 +213,9 @@ object SparkEntry {
     * frame) — shared verbatim by the q85 report oracle and the q91
     * curated-sink oracle. */
   private val FunnelCte: String =
-    ("""WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+    (s"""WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -253,7 +253,7 @@ object SparkEntry {
         |reps AS (SELECT doc_id FROM r WHERE rn = 1),
         |hsh AS (
         |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
         |  FROM documents),
         |keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM hsh GROUP BY h),
         |g5 AS (
@@ -261,12 +261,12 @@ object SparkEntry {
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
-        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
         |        FROM documents), UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM g5 WHERE source = 'src0'),
+        |ev AS (SELECT DISTINCT g FROM g5 WHERE source = '${CorpusOps.EvalSource}'),
         |hits AS (
         |  SELECT tg.doc_id, COUNT(*) AS n_hit
-        |  FROM (SELECT DISTINCT doc_id, g FROM g5 WHERE source <> 'src0') tg
+        |  FROM (SELECT DISTINCT doc_id, g FROM g5 WHERE source <> '${CorpusOps.EvalSource}') tg
         |  JOIN ev ON tg.g = ev.g GROUP BY 1),
         |base AS (
         |  SELECT t.doc_id, t.source, t.lang,
@@ -277,9 +277,9 @@ object SparkEntry {
         |    (t.doc_id = k.keep_id) AS exact_keep,
         |    (lm.id IS NOT NULL AND rp.doc_id IS NULL) AS nd_drop,
         |    COALESCE(ht.n_hit, 0) AS n_hit,
-        |    (t.doc_id * 2654435761) % 1000000007 AS pr
-        |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS toks
-        |        FROM documents WHERE source <> 'src0') t
+        |    (t.doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS pr
+        |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(text), '\\s+') AS toks
+        |        FROM documents WHERE source <> '${CorpusOps.EvalSource}') t
         |  JOIN hsh ON t.doc_id = hsh.doc_id
         |  JOIN keepers k ON hsh.h = k.h
         |  LEFT JOIN lab lm ON t.doc_id = lm.id
@@ -300,15 +300,15 @@ object SparkEntry {
   /** q92's full oracle (CTE chain + per-source rollup) as a val so
     * q109 can re-compose its verified CTE chain. */
   private val IncFunnelSql: String =
-    """WITH b AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 = 3),
-        |s AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 <> 3),
-        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM b),
-        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM s),
+    s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
+        |s AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
+        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM b),
+        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM s),
         |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
         |       FROM bh JOIN sh0 ON bh.h = sh0.h GROUP BY 1),
         |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
         |tri AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -335,8 +335,8 @@ object SparkEntry {
         |  LEFT JOIN ex ON b.doc_id = ex.doc_id
         |  LEFT JOIN near ON b.doc_id = near.doc_id),
         |bt AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM b WHERE source <> 'src0'),
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM b WHERE source <> '${CorpusOps.EvalSource}'),
         |q AS (
         |  SELECT doc_id,
         |    (CAST(len(toks) AS BIGINT) BETWEEN 50 AND 100000
@@ -348,8 +348,8 @@ object SparkEntry {
         |  SELECT toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
-        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
-        |        FROM s WHERE source = 'src0'), UNNEST(range(1, len(toks)-3)) AS u(i)),
+        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+        |        FROM s WHERE source = '${CorpusOps.EvalSource}'), UNNEST(range(1, len(toks)-3)) AS u(i)),
         |ev AS (SELECT DISTINCT g FROM sg),
         |bg AS (
         |  SELECT DISTINCT doc_id,
@@ -393,12 +393,12 @@ object SparkEntry {
       .foldLeft(chain)((sql, n) =>
         sql.replaceAll("(?<!\\\\)\\b" + n + "\\b", "z" + n))
     FunnelCte.stripSuffix("\n") + ",\n" + renamed + "\n" +
-      """SELECT source, COUNT(*) AS n_docs,
+      s"""SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CAST(ceil(n_tok / 64.0) AS BIGINT)) AS BIGINT) AS n_chunks
         |FROM (
         |  SELECT source, n_tok FROM f4
-        |  WHERE sampled AND ((doc_id * 2654435761) % 1000000007) % 10 <> 3
+        |  WHERE sampled AND ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3
         |  UNION ALL
         |  SELECT zbt.source, CAST(len(zbt.toks) AS BIGINT) AS n_tok
         |  FROM zf JOIN zbt ON zf.doc_id = zbt.doc_id
@@ -957,12 +957,12 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "q26_fingerprint" ->
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT doc_id,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM documents),
         |c AS (SELECT fp, COUNT(*) AS cluster_size FROM f GROUP BY fp)
         |SELECT f.doc_id, f.fp, c.cluster_size
@@ -973,13 +973,13 @@ object SparkEntry {
     // ASCII (verified at all three scales); frames at offsets
     // f*32, f in range(0, len//32, 4), mirror sampleFrames exactly
     "q87_frame_dedup" ->
-      """WITH fr AS (
+      s"""WITH fr AS (
         |  SELECT d.doc_id, d.source,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(substr(d.text, CAST(u.f * 32 + 1 AS BIGINT), 32), ''),
         |          c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fhash
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fhash
         |  FROM documents d, UNNEST(range(0, len(d.text) // 32, 4)) AS u(f)),
         |sh AS (SELECT fhash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with
         |  FROM fr GROUP BY 1)
@@ -1002,7 +1002,7 @@ object SparkEntry {
     // poly-31 list_reduce fragment; ASCII corpus ⇒ ord(char) ==
     // payload byte (q87's precedent, verified at all scales).
     "q126_phash_dedup" ->
-      """WITH da AS (
+      s"""WITH da AS (
         |  SELECT doc_id, source, text, len(text) AS n,
         |    64 + len(text) % 512 AS w,
         |    64 + (len(text) * 7) % 512 AS h
@@ -1029,7 +1029,7 @@ object SparkEntry {
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM documents),
         |hx AS (
         |  SELECT da.doc_id, da.source, ak.akey, fpt.fp
@@ -1377,25 +1377,25 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     // q76: word 5-grams via the same range-index pattern as q73;
-    // eval set = src0, per-doc DISTINCT grams, left join keeps
+    // eval set = EvalSource (interpolated), per-doc DISTINCT grams, left join keeps
     // zero-hit docs
     "q76_contamination" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source,
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
         |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
-        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> 'src0'),
+        |ev AS (SELECT DISTINCT g FROM g WHERE source = '${CorpusOps.EvalSource}'),
+        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> '${CorpusOps.EvalSource}'),
         |h AS (
         |  SELECT tg.doc_id, COUNT(*) AS n_hit
         |  FROM tg JOIN ev ON tg.g = ev.g GROUP BY 1),
         |d AS (
         |  SELECT t.doc_id, t.source, COALESCE(h.n_hit, 0) AS n_hit
-        |  FROM t LEFT JOIN h ON t.doc_id = h.doc_id WHERE t.source <> 'src0')
+        |  FROM t LEFT JOIN h ON t.doc_id = h.doc_id WHERE t.source <> '${CorpusOps.EvalSource}')
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         |  CAST(SUM(n_hit) AS BIGINT) AS total_hits,
@@ -1460,10 +1460,10 @@ object SparkEntry {
     // q78: multiplicative-hash rate sampling — identical BIGINT
     // arithmetic in both engines, no overflow at any test SF
     "q78_sample_balance" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
         |tgt AS (SELECT MIN(n_before) AS target FROM c),
         |d AS (
-        |  SELECT doc_id, dd.lang, (doc_id * 2654435761) % 1000000007 AS pr,
+        |  SELECT doc_id, dd.lang, (doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS pr,
         |    c.n_before, tgt.target
         |  FROM documents dd JOIN c ON dd.lang = c.lang, tgt)
         |SELECT lang, CAST(MIN(n_before) AS BIGINT) AS n_before,
@@ -1475,9 +1475,9 @@ object SparkEntry {
     // aggregate (no per-source sort). u is the same exact rational in
     // both engines; ln's 1-ulp risk absorbed by round(,12) pre-rank
     "q128_weighted_sample" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, source,
-        |    round(-ln((CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE) + 1.0) / 1000000008.0)
+        |    round(-ln((CAST((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS DOUBLE) + 1.0) / ${CorpusOps.SampleHashP + 1}.0)
         |      / CAST(n_chars AS DOUBLE), 12) AS prio
         |  FROM documents WHERE n_chars > 0),
         |r AS (
@@ -1593,7 +1593,7 @@ object SparkEntry {
         |    CASE WHEN list_reduce(
         |        list_prepend(CAST(0 AS BIGINT),
         |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
-        |        (acc, c) -> (acc * 31 + c) % 1000000007)
+        |        (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod})
         |      % ${CorpusOps.CdcMod} = ${CorpusOps.CdcRem} THEN 1 ELSE 0 END AS anchor
         |  FROM tok),
         |cidx AS (
@@ -1608,7 +1608,7 @@ object SparkEntry {
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
         |          c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM cidx GROUP BY doc_id, chunk_idx)
         |SELECT doc_id, chunk_idx, n_tok, fp,
         |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
@@ -1627,7 +1627,7 @@ object SparkEntry {
         |    CASE WHEN list_reduce(
         |        list_prepend(CAST(0 AS BIGINT),
         |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
-        |        (acc, c) -> (acc * 31 + c) % 1000000007)
+        |        (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod})
         |      % ${CorpusOps.CdcMod} = ${CorpusOps.CdcRem} THEN 1 ELSE 0 END AS anchor
         |  FROM tok),
         |cidx AS (
@@ -1642,7 +1642,7 @@ object SparkEntry {
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
         |          c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM cidx GROUP BY doc_id, chunk_idx),
         |bch AS (SELECT * FROM ch
         |  WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
@@ -1681,16 +1681,16 @@ object SparkEntry {
         |ORDER BY source, bin_id""".stripMargin,
     // q83: q76's gram pipeline rolled up per contaminated doc
     "q83_contam_flag" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source,
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
         |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
-        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> 'src0')
+        |ev AS (SELECT DISTINCT g FROM g WHERE source = '${CorpusOps.EvalSource}'),
+        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> '${CorpusOps.EvalSource}')
         |SELECT tg.doc_id, tg.source, COUNT(*) AS n_hit
         |FROM tg JOIN ev ON tg.g = ev.g
         |GROUP BY 1, 2 ORDER BY tg.doc_id""".stripMargin,
@@ -1738,15 +1738,15 @@ object SparkEntry {
     // rest; q30's digest
     // rule then q31's shingle-Jaccard rule against the store only
     "q86_incremental_dedup" ->
-      """WITH b AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 = 3),
-        |s AS (SELECT * FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 <> 3),
-        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM b),
-        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM s),
+      s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
+        |s AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
+        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM b),
+        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM s),
         |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
         |       FROM bh JOIN sh0 ON bh.h = sh0.h GROUP BY 1),
         |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
         |tri AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1806,9 +1806,9 @@ object SparkEntry {
     // q112: the q111 chain at budget 10000, applied as the q78-family
     // doc-granularity hash filter; fill divides two exact longs
     "q112_mix_apply" ->
-      """WITH per AS (
+      s"""WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
         |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
@@ -1821,22 +1821,22 @@ object SparkEntry {
         |  FROM w, t),
         |d AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT d.source, COUNT(*) AS n_docs_sampled,
         |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens_sampled,
         |  MIN(mix.token_target) AS token_target,
         |  round(CAST(CAST(SUM(d.n_tok) AS BIGINT) AS DOUBLE) / MIN(mix.token_target), 3) AS fill
         |FROM d JOIN mix ON d.source = mix.source
-        |WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000
+        |WHERE ((d.doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
         |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q117: the q112 admission chain at DOC level (same CTE fragments,
     // final select per admitted doc instead of the per-source rollup)
     "q117_mix_admit" ->
-      """WITH per AS (
+      s"""WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
         |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
@@ -1848,11 +1848,11 @@ object SparkEntry {
         |  FROM w, t),
         |d AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT d.doc_id, d.source, d.n_tok
         |FROM d JOIN mix ON d.source = mix.source
-        |WHERE ((d.doc_id * 2654435761) % 1000000007) % 1000000
+        |WHERE ((d.doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
         |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
     // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
@@ -1890,9 +1890,9 @@ object SparkEntry {
     // RECOMPUTES cross_pairs from the pair list, so the zero-leakage
     // guarantee is hash-checked, not just asserted
     "q90_leakage_split" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+      s"""WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1922,7 +1922,7 @@ object SparkEntry {
         |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
         |s AS (
         |  SELECT d.doc_id, d.source,
-        |    ((COALESCE(lab.cluster_id, d.doc_id) * 2654435761) % 1000000007) % 10 < 8 AS is_train
+        |    ((COALESCE(lab.cluster_id, d.doc_id) * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 < 8 AS is_train
         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
         |x AS (
         |  SELECT COUNT(*) AS cross_pairs
@@ -2091,7 +2091,7 @@ object SparkEntry {
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp,
         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
         |  FROM documents)
         |SELECT COALESCE(source, '__total__') AS source_key,
@@ -2268,9 +2268,9 @@ object SparkEntry {
     // Threshold compares are DECIMAL(18,6) = DECIMAL(18,6), exact in
     // both engines.
     "q96_ccnet_admission" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks,
-        |    ((doc_id * 2654435761) % 1000000007) % 10 = 3 AS is_batch
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks,
+        |    ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3 AS is_batch
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, source, is_batch,
@@ -2326,12 +2326,12 @@ object SparkEntry {
     // join decides, so the oracle is just q86's exact-digest stage —
     // the probabilistic structure is invisible in the output.
     "q99_bloom_dedup" ->
-      """WITH b AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        |  FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 = 3),
+      s"""WITH b AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
         |s AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        |  FROM documents WHERE ((doc_id * 2654435761) % 1000000007) % 10 <> 3),
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
         |m AS (SELECT b.doc_id, MIN(s.doc_id) AS ref FROM b JOIN s ON b.h = s.h GROUP BY 1)
         |SELECT b.doc_id,
         |  CASE WHEN m.ref IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS decision,
@@ -2363,8 +2363,8 @@ object SparkEntry {
     // verified oracles (q72 gopher, q94 boilerplate, q83 contamination),
     // then INTERSECT/EXCEPT mirror the Spark set operators.
     "q106_set_algebra" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |d AS (
         |  SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_words,
@@ -2400,10 +2400,10 @@ object SparkEntry {
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
         |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM g5 WHERE source = 'src0'),
+        |ev AS (SELECT DISTINCT g FROM g5 WHERE source = '${CorpusOps.EvalSource}'),
         |contam AS (
         |  SELECT DISTINCT g5.doc_id FROM g5 JOIN ev ON g5.g = ev.g
-        |  WHERE g5.source <> 'src0')
+        |  WHERE g5.source <> '${CorpusOps.EvalSource}')
         |SELECT doc_id FROM (
         |  (SELECT doc_id FROM qual INTERSECT SELECT doc_id FROM bpkeep)
         |  EXCEPT SELECT doc_id FROM contam)
@@ -2709,16 +2709,16 @@ object SparkEntry {
     // q152: q76's verified 5-gram CTE re-rolled per doc as a
     // coverage ratio; thresholds compare the rounded value
     "q152_ngram_coverage" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source,
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
         |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
-        |ev AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
-        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> 'src0'),
+        |ev AS (SELECT DISTINCT g FROM g WHERE source = '${CorpusOps.EvalSource}'),
+        |tg AS (SELECT DISTINCT doc_id, source, g FROM g WHERE source <> '${CorpusOps.EvalSource}'),
         |s AS (
         |  SELECT tg.doc_id, tg.source, COUNT(*) AS n_grams,
         |    CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit

@@ -58,6 +58,13 @@ case class RollingHash(child: Expression) extends UnaryExpression with ExpectsIn
 }
 
 object RollingHash {
+  /** The poly-31 modulus — the ONE constant every cross-engine hash
+    * fragment (q26/q87/q93/q175/q176 oracles) interpolates. Same
+    * value as the sampling prime by coincidence of good primes;
+    * semantically distinct (a sampling-family change must never
+    * rewrite hash oracles, and vice versa). */
+  val Mod = 1000000007L
+
   /** Column-level entry point: rolling_hash(text). */
   def apply(c: Column): Column =
     ColumnShim.column(RollingHash(ColumnShim.expression(c)))
