@@ -190,6 +190,7 @@ object SparkEntry {
     "q153_hits" -> GraphOps.hits _,
     "q154_quantile_bands" -> FrameOps.quantileBands _,
     "q155_degree_profile" -> GraphOps.degreeProfile _,
+    "q177_triangle_census" -> GraphOps.triangleCensus _,
     "q156_tfidf_cosine" -> ((s: SparkSession, d: String) => Dedup.tfidfCosine(s, d)),
     "q157_rec_eval" -> WordItemApp.recEval _,
     "q158_lsh_quality" -> Dedup.lshQuality _,
@@ -2780,6 +2781,39 @@ object SparkEntry {
         |  CAST(n_items AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
         |  CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_share
         |FROM t ORDER BY deg""".stripMargin,
+    // q177: the oracle STATES the naive id-ordered 3-way edge join;
+    // the Spark plan runs the degree-oriented wedge construction —
+    // triangle SETS are identical, and value equality is what the
+    // gate checks (lever (h)). clustering = exact ints through one
+    // IEEE division (lever (c)), no rounding.
+    "q177_triangle_census" ->
+      s"""WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
+        |  FROM events WHERE event_type = 'click'),
+        |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+        |e AS (
+        |  SELECT a.item AS item_a, b.item AS item_b
+        |  FROM uif a JOIN uif b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.PrSupport}),
+        |n AS (SELECT item_a AS node FROM e UNION ALL SELECT item_b FROM e),
+        |dg AS (SELECT node, COUNT(*) AS degree FROM n GROUP BY node),
+        |t AS (
+        |  SELECT e1.item_a AS a, e1.item_b AS b, e2.item_b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.item_a = e1.item_b
+        |  JOIN e e3 ON e3.item_a = e1.item_a AND e3.item_b = e2.item_b),
+        |tn AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |       UNION ALL SELECT c FROM t),
+        |tc AS (SELECT node, COUNT(*) AS n_tri FROM tn GROUP BY node)
+        |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.degree >= 2 THEN
+        |    CAST(2 * COALESCE(tc.n_tri, 0) AS DOUBLE) /
+        |      CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |  ELSE 0.0 END AS clustering
+        |FROM dg d LEFT JOIN tc USING (node)
+        |ORDER BY d.node""".stripMargin,
     // q156: weights round(,6); the dot product is EXACT integer math
     // end to end — micro-long weights multiply and sum as HUGEINT,
     // scaled down ONCE by the explicit half-up rule (s + 5000) //

@@ -202,4 +202,75 @@ object GraphOps {
           .as("cum_share"))
       .orderBy(col("deg"))
   }
+
+  /** q177: TRIANGLE CENSUS + local clustering coefficient on the
+    * co-click item graph — the cohesion diagnostic next to q155's
+    * degree profile (triangles are what separate genuine taste
+    * communities from hub-and-spoke popularity). Scale shape is the
+    * Schank–Wagner / Cohen MR orientation: every edge is directed
+    * from its lower-(degree, id) endpoint, so every out-adjacency is
+    * O(√E)-bounded REGARDLESS of skew — the celebrity hub that makes
+    * naive neighbor-join triangle counting quadratic contributes
+    * in-edges only. Wedges then come from sorted out-adjacency
+    * posting arrays (the shared PairExprs kernel — never an
+    * edge-table self-join on a node key), and a wedge is a triangle
+    * iff its orientation-ordered closing pair is itself an oriented
+    * edge (one pair-sized equi-join). Degrees are item-vocab-bounded
+    * and broadcast. clustering = 2T / d(d−1): exact integers through
+    * one correctly-rounded IEEE division — bit-identical
+    * cross-engine, no rounding (lever (c)). Oracle states the naive
+    * id-ordered 3-way edge join; the plan never runs one (lever (h)
+    * generalized: value equality is what the gate checks). */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "q177")(triangleCensusRun(spark, dir))
+      .orderBy(col("node"))
+
+  private def triangleCensusRun(spark: SparkSession, dir: String): DataFrame = {
+    val edges = WordItemApp.coClickPairs(spark, dir)
+      .filter(col("support") >= PrSupport)
+      .select(col("item_a"), col("item_b"))
+      .persist() // pair-list-sized; feeds degrees, orientation, closing join
+    val sym = edges.unionByName(
+      edges.select(col("item_b").as("item_a"), col("item_a").as("item_b")))
+    val deg = sym.groupBy(col("item_a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    val withDeg = edges
+      .join(broadcast(deg.select(col("node").as("item_a"), col("degree").as("da"))),
+        Seq("item_a"))
+      .join(broadcast(deg.select(col("node").as("item_b"), col("degree").as("db"))),
+        Seq("item_b"))
+    val ka = struct(col("da"), col("item_a"))
+    val kb = struct(col("db"), col("item_b"))
+    val oriented = withDeg.select(
+      when(ka < kb, col("item_a")).otherwise(col("item_b")).as("src"),
+      when(ka < kb, struct(col("item_b").as("id"), col("db").as("w")))
+        .otherwise(struct(col("item_a").as("id"), col("da").as("w"))).as("e"))
+      .persist() // consumed by adjacency build AND the closing join
+    // wedges (apex; x, y) from the out-adjacency posting array; the
+    // closing pair is re-oriented by (degree, id) so it matches the
+    // oriented edge's direction exactly; each closing-edge match is
+    // one triangle counted at apex, x AND y
+    val wedgesWithApex = oriented
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("e"))).as("nbrs"))
+      .select(col("src").as("apex"),
+        explode(graft.plans.PairExprs.postingPairs(col("nbrs"))).as("p"))
+      .select(col("apex"),
+        when(struct(col("p.na"), col("p.doc_a")) < struct(col("p.nb"), col("p.doc_b")),
+          col("p.doc_a")).otherwise(col("p.doc_b")).as("src"),
+        when(struct(col("p.na"), col("p.doc_a")) < struct(col("p.nb"), col("p.doc_b")),
+          col("p.doc_b")).otherwise(col("p.doc_a")).as("dst"))
+    val triNodes = wedgesWithApex
+      .join(oriented.select(col("src"), col("e.id").as("dst")), Seq("src", "dst"))
+      .select(explode(array(col("apex"), col("src"), col("dst"))).as("node"))
+    val triCounts = triNodes.groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triCounts, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("degree"), col("n_tri"),
+        when(col("degree") >= 2,
+          (col("n_tri") * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy(col("node"))
+  }
 }

@@ -193,6 +193,35 @@ class RecModelsSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-9)
   }
 
+  test("triangle census matches brute-force enumeration on the collected edge list") {
+    // independent ground truth for the oriented-wedge construction:
+    // the edge list is item-vocab-bounded at test scale, so the naive
+    // O(E·d) enumeration is cheap here (and only here)
+    val out = operators.GraphOps.triangleCensus(spark, SparkTest.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    val edges = operators.WordItemApp.similarityData(spark, SparkTest.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triBrute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) intersect adj(b); if a < b && b < c) {
+      triBrute(a) += 1; triBrute(b) += 1; triBrute(c) += 1
+    }
+    assert(out.keySet == adj.keySet)
+    out.foreach { case (node, (degree, nTri, clust)) =>
+      assert(degree == adj(node).size.toLong, s"degree of $node")
+      assert(nTri == triBrute(node), s"n_tri of $node")
+      val expected = if (degree >= 2)
+        2.0 * nTri / (degree.toDouble * (degree - 1)) else 0.0
+      assert(clust == expected, s"clustering of $node")
+      assert(clust >= 0.0 && clust <= 1.0)
+    }
+    // the co-click graph genuinely has cohesion at this scale — the
+    // spec must not pass vacuously on a triangle-free graph
+    assert(out.values.map(_._2).sum > 0)
+  }
+
   test("rec eval metrics are consistent and bounded") {
     val r = operators.WordItemApp.recEval(spark, SparkTest.sf).collect().head
     val (nUsers, nHit, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
