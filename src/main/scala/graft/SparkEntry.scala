@@ -138,6 +138,7 @@ object SparkEntry {
     "q81_chunk_dedup" -> CorpusOps.chunkDedup _,
     "q175_cdc_chunks" -> CorpusOps.cdcChunks _,
     "q176_incremental_cdc" -> CorpusOps.incrementalCdc _,
+    "q178_curriculum" -> CorpusOps.curriculum _,
     "q82_pack_bins" -> CorpusOps.packBins _,
     "q83_contam_flag" -> StreamOps.contamFlagBatch _,
     "q84_window_dedup" -> CorpusOps.windowDedup _,
@@ -2263,6 +2264,48 @@ object SparkEntry {
         |SELECT doc_id, source, round(CAST(doc_nll AS DOUBLE), 6) AS doc_nll,
         |  CASE WHEN pr <= 0.3 THEN 'head' WHEN pr <= 0.7 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q178: q95's verified bucket chain phased 1/2/3 + the shared
+    // sampling-hash shard + a (3 × shards)-bounded rollup;
+    // shard_share = exact ints through one IEEE division over a
+    // window on the AGGREGATED table (levers (c)/(g))
+    "q178_curriculum" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
+        |    toks[CAST(i AS BIGINT)] AS w1
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT g, COUNT(*) AS c2 FROM g GROUP BY g),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+        |nll AS (
+        |  SELECT g.doc_id, g.source,
+        |    CAST(round(-log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
+        |  FROM g JOIN c2 ON g.g = c2.g JOIN c1 ON g.w1 = c1.w1, v),
+        |pd AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
+        |  FROM nll GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY doc_nll ASC, doc_id ASC) AS pr
+        |  FROM pd),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CASE WHEN pr <= 0.3 THEN 1 WHEN pr <= 0.7 THEN 2 ELSE 3 END AS phase
+        |  FROM r),
+        |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+        |pl AS (
+        |  SELECT phase,
+        |    ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP})
+        |      % ${CorpusOps.CurriculumShards} AS shard,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM ph JOIN tk USING (doc_id) GROUP BY 1, 2)
+        |SELECT CAST(phase AS BIGINT) AS phase, CAST(shard AS BIGINT) AS shard,
+        |  n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) /
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY phase) AS DOUBLE) AS shard_share
+        |FROM pl ORDER BY phase, shard""".stripMargin,
     // q96: the batch split is q86's membership rule; the store LM is
     // q79's model restricted to store docs; store thresholds use q95's
     // percent_rank form; batch scoring adds the OOV left joins.

@@ -1096,20 +1096,66 @@ object CorpusOps {
     * window partitions by source, so ranking parallelizes across
     * sources; within a source it is a sort of slim (doc_id, nll)
     * rows, not documents. */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** THE per-doc quality-bucket rule, in one def — q95 presents it,
+    * q178's curriculum planner phases on it (shared-rule
+    * discipline). percent_rank = (rank−1)/(n−1) is the same IEEE
+    * double in both engines, so the raw tercile compares are exact
+    * (lever (c)). */
+  private[graft] def nllBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = docNll(spark, dir)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("doc_nll").asc, col("doc_id").asc)
-    perDoc
+    docNll(spark, dir)
       .withColumn("pr", percent_rank().over(w))
       .withColumn("bucket",
         when(col("pr") <= 0.3, "head")
           .when(col("pr") <= 0.7, "middle")
           .otherwise("tail"))
+  }
+
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    nllBuckets(spark, dir)
       .select(col("doc_id"), col("source"),
         round(col("doc_nll").cast("double"), 6).as("doc_nll"), col("bucket"))
       .orderBy(col("doc_id"))
+
+  /** q178 loader-shard fan-out. */
+  private[graft] val CurriculumShards = 8L
+
+  /** q178: CURRICULUM SHARD PLAN — the data-ORDERING planner that
+    * completes the mix block (q111 plans rates, q112 applies them,
+    * q151 budgets, this orders): staged pretraining feeds clean text
+    * first and the noisy tail last, so docs are phased by the
+    * VERIFIED CCNet quality bucket (head→1, middle→2, tail→3) and
+    * spread across [[CurriculumShards]] loader shards by the shared
+    * deterministic sampling hash — every shard of a phase sees the
+    * same quality mix, and the assignment is reproducible across
+    * engines, runs, and cluster sizes (no RNG, no global sort).
+    * Scale shape: phase is q95's per-source rank window (the one
+    * existing pass), shard is row-local arithmetic, the plan is a
+    * (3 × shards)-bounded rollup, and shard_share normalizes via a
+    * window over the AGGREGATED table — never a corpus totals
+    * self-join (lever (g)). Exact ints through one IEEE division. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCnt = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tok"))
+    nllBuckets(spark, dir)
+      .select(col("doc_id"),
+        when(col("bucket") === "head", 1L)
+          .when(col("bucket") === "middle", 2L)
+          .otherwise(3L).as("phase"))
+      .join(toksCnt, Seq("doc_id"))
+      .withColumn("shard",
+        pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % CurriculumShards)
+      .groupBy(col("phase"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("phase_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy(col("phase"))))
+      .select(col("phase"), col("shard"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("phase_tokens").cast("double"))
+          .as("shard_share"))
+      .orderBy(col("phase"), col("shard"))
   }
 
   /** The batch/store digest frames and the store-bloom prefiltered
