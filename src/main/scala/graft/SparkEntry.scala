@@ -146,6 +146,7 @@ object SparkEntry {
     "q86_incremental_dedup" -> CorpusOps.incrementalDedup _,
     "q87_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
     "q126_phash_dedup" -> ((s: SparkSession, d: String) => Multimodal.perceptualDedup(s, d)),
+    "q179_asset_cdc" -> Multimodal.assetCdc _,
     "q88_embed_balance" -> SimilaritySearch.cellBalance _,
     "q89_bm25" -> TextOps.bm25 _,
     "q90_leakage_split" -> CorpusOps.leakageSplit _,
@@ -973,6 +974,58 @@ object SparkEntry {
     // codec's default frame fingerprint to q26's poly-31 family —
     // the 32-char frame slices are byte-exact because the corpus is
     // ASCII (verified at all three scales); frames at offsets
+    // q179: every Rabin window hash recomputed from the char slice
+    // (ASCII payloads: byte == codepoint, q87's precedent); chunk
+    // indices are exact-integer window sums; chunk fps from substr
+    // slices via the verified poly-31 fragment; constants
+    // interpolated from the operator
+    "q179_asset_cdc" ->
+      s"""WITH d AS (SELECT doc_id, source, text, len(text) AS n FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, text, CAST(i AS BIGINT) AS pos
+        |  FROM d, UNNEST(range(1, n + 1)) AS u(i)),
+        |a AS (
+        |  SELECT doc_id, source, pos,
+        |    CASE WHEN pos >= ${operators.Multimodal.CdcWindow} AND
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(substr(text,
+        |            CAST(pos - ${operators.Multimodal.CdcWindow} + 1 AS BIGINT),
+        |            ${operators.Multimodal.CdcWindow}), ''),
+        |            c -> CAST(ord(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod})
+        |      % ${operators.Multimodal.CdcByteMod} = ${operators.Multimodal.CdcByteRem}
+        |    THEN 1 ELSE 0 END AS anchor
+        |  FROM pos),
+        |cidx AS (
+        |  SELECT doc_id, source, pos,
+        |    SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - anchor AS chunk_idx
+        |  FROM a),
+        |ch AS (
+        |  SELECT doc_id, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bytes, CAST(MIN(pos) AS BIGINT) AS st
+        |  FROM cidx GROUP BY 1, 2, 3),
+        |fps AS (
+        |  SELECT ch.doc_id, ch.source, ch.chunk_idx, ch.n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substr(d.text, ch.st, ch.n_bytes), ''),
+        |          c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
+        |  FROM ch JOIN d USING (doc_id)),
+        |keep AS (SELECT fp, MIN({'doc_id': doc_id, 'chunk_idx': chunk_idx}) AS keeper
+        |  FROM fps GROUP BY fp)
+        |SELECT f.source, COUNT(*) AS n_chunks,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(CASE WHEN NOT (f.doc_id = (k.keeper).doc_id
+        |    AND f.chunk_idx = (k.keeper).chunk_idx) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN NOT (f.doc_id = (k.keeper).doc_id
+        |    AND f.chunk_idx = (k.keeper).chunk_idx) THEN n_bytes ELSE 0 END) AS BIGINT)
+        |    AS bytes_saved
+        |FROM fps f JOIN keep k USING (fp)
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     // f*32, f in range(0, len//32, 4), mirror sampleFrames exactly
     "q87_frame_dedup" ->
       s"""WITH fr AS (

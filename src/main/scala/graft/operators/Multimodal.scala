@@ -403,4 +403,52 @@ object Multimodal {
         sum(when(col("n_docs_fp") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
       .orderBy(col("source"))
   }
+
+  /** q179 Rabin window / anchor rule: a byte position whose trailing
+    * [[CdcWindow]]-byte rolling hash ≡ [[CdcByteRem]] (mod
+    * [[CdcByteMod]]) closes the chunk → expected chunk ≈ CdcByteMod
+    * bytes. */
+  private[graft] val CdcWindow = 8
+  private[graft] val CdcByteMod = 32L
+  private[graft] val CdcByteRem = 11L
+
+  /** q179: BYTE-LEVEL content-defined chunking of the binary asset
+    * payloads + the storage-savings report — the LBFS/restic/borg
+    * write path applied to the MULTIMODAL column: a re-encode or
+    * re-crawl of a stored asset whose bytes shift by an insertion
+    * still re-synchronizes on the same Rabin anchors, so shared
+    * byte runs dedup at chunk granularity with no pairwise asset
+    * comparison (the token-CDC q175's argument, an octave lower —
+    * boundaries from a true sliding w-byte window hash, not token
+    * content). Scale shape: segmentation is one row-local codegen
+    * kernel (constant-time window slide); payload bytes never leave
+    * their scan partition — only (fp, ids, sizes) shuffle; keeper =
+    * q30's min-struct pick; per-source rollup is |sources|-bounded.
+    * bytes_saved = what a chunk store would NOT write again.
+    * Oracle: every window hash recomputed from the char slice via
+    * the verified poly-31 fragment (ASCII payloads: byte ==
+    * codepoint, q87's precedent), chunk fps from substr slices,
+    * constants interpolated. */
+  def assetCdc(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.plans.CdcChunks.bytes(col("text").cast("binary"),
+          CdcWindow, CdcByteMod, CdcByteRem)).as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tok").as("n_bytes"), col("c.fp").as("fp"))
+      .persist() // chunk-table-sized; feeds the keeper agg and the rollup
+    val keepers = ch.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    ch.join(keepers, Seq("fp"))
+      .withColumn("kept",
+        struct(col("doc_id"), col("chunk_idx")) === col("keeper"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(!col("kept"), col("n_bytes")).otherwise(0L)).as("bytes_saved"))
+      .orderBy(col("source"))
+  }
 }

@@ -78,4 +78,62 @@ object CdcChunks {
 
   def apply(toks: Column, mod: Long, rem: Long): Column =
     ColumnShim.column(CdcChunksExpr(ColumnShim.expression(toks), mod, rem))
+
+  // --- byte-level variant (true Rabin-window CDC over binary) ------
+
+  /** Sliding-window Rabin CDC over a BYTE payload: the anchor test
+    * hashes the last `window` bytes at every position (constant-time
+    * slide: h ← h·31 + b_in − b_out·31^w, all mod p), so a boundary
+    * depends only on a w-byte neighborhood — the storage-dedup
+    * segmentation proper (LBFS §3.1), byte-exact against an oracle
+    * that recomputes each window hash from the char slice (ASCII
+    * payloads: byte == codepoint, the q87 precedent). A position
+    * is an anchor only once the window is full (pos ≥ w). */
+  def bytesCompute(payload: Array[Byte], window: Int, mod: Long,
+      rem: Long): ArrayData = {
+    val n = payload.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    var pw = 1L // 31^window mod M
+    var k = 0
+    while (k < window) { pw = (pw * 31) % M; k += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var chunkIdx = 0L
+    var nBytes = 0L
+    var fp = 0L
+    var wh = 0L // rolling hash of the trailing `window` bytes
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xff
+      wh = (wh * 31 + b) % M
+      if (i >= window) {
+        val outB = payload(i - window) & 0xff
+        wh = ((wh - (outB * pw) % M) % M + M) % M
+      }
+      fp = (fp * 31 + b) % M
+      nBytes += 1
+      if (i + 1 >= window && wh % mod == rem) { // anchor closes the chunk
+        out += new GenericInternalRow(Array[Any](chunkIdx, nBytes, fp))
+        chunkIdx += 1; nBytes = 0L; fp = 0L
+      }
+      i += 1
+    }
+    if (nBytes > 0) out += new GenericInternalRow(Array[Any](chunkIdx, nBytes, fp))
+    new GenericArrayData(out.toArray)
+  }
+
+  case class CdcBytesExpr(child: Expression, window: Int, mod: Long, rem: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+    override def prettyName: String = "cdc_bytes"
+    override def nullSafeEval(a: Any): Any =
+      bytesCompute(a.asInstanceOf[Array[Byte]], window, mod, rem)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.CdcChunks.bytesCompute($c, $window, ${mod}L, ${rem}L);")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def bytes(payload: Column, window: Int, mod: Long, rem: Long): Column =
+    ColumnShim.column(CdcBytesExpr(ColumnShim.expression(payload), window, mod, rem))
 }

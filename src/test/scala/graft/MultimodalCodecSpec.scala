@@ -204,4 +204,37 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("byte cdc: boundaries re-synchronize within one window of an insertion") {
+    // the Rabin-window property: an inserted byte can move anchors
+    // only where the w-byte window spans the edit, so every chunk
+    // starting > editPos + w keeps its fingerprint verbatim
+    import graft.operators.Multimodal.{CdcWindow, CdcByteMod, CdcByteRem}
+    def chunksOf(p: Array[Byte]): Seq[(Long, Long)] = {
+      val arr = graft.plans.CdcChunks
+        .bytesCompute(p, CdcWindow, CdcByteMod, CdcByteRem)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getLong(1), r.getLong(2)) // (n_bytes, fp)
+      }
+    }
+    val base = payload(7, 2000)
+    val b = chunksOf(base)
+    assert(b.map(_._1).sum == 2000L)
+    assert(b.length > 5, s"anchor rate too low for the spec: ${b.length} chunks")
+    for (editPos <- Seq(100, 700, 1500)) {
+      val edited = (base.take(editPos) :+ 0x5a.toByte) ++ base.drop(editPos)
+      val e = chunksOf(edited)
+      assert(e.map(_._1).sum == 2001L)
+      // chunks of the BASE starting strictly after editPos + window
+      // must survive as the common suffix of the edited chunking
+      val starts = b.scanLeft(0L)(_ + _._1).init
+      val survivors = b.zip(starts).collect {
+        case ((_, fp), st) if st > editPos + CdcWindow => fp
+      }
+      assert(survivors.nonEmpty, s"editPos $editPos leaves no tail to check")
+      assert(e.takeRight(survivors.length).map(_._2) == survivors,
+        s"tail failed to re-sync after insert at $editPos")
+    }
+  }
 }
