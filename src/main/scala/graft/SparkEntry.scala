@@ -206,6 +206,7 @@ object SparkEntry {
     "q165_version_diff" -> graft.sources.Sources.versionDiff _,
     "q168_vacuum_read" -> graft.sources.Sources.vacuumRead _,
     "q174_forget_audit" -> graft.sources.Sources.forgetAudit _,
+    "q180_chunk_delta" -> graft.sources.Sources.chunkDelta _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1634,71 +1635,24 @@ object SparkEntry {
         |  CAST(MAX(n_copies) AS BIGINT) AS max_copies
         |FROM c JOIN g USING (chunk_hash)
         |GROUP BY source ORDER BY source""".stripMargin,
-    // q175: anchors + running chunk index as exact-integer window
-    // sums; chunk fp = q26's verified poly-31 fragment over the
-    // space-rejoined chunk text; `pos` not `ord` for the position
-    // column (the lambda calls the ord() FUNCTION — don't shadow it)
+    // q175: the generated chunk CTE chain (one producer —
+    // CorpusOps.cdcChunkCteSql — shared with q176/q180); `pos` not
+    // `ord` for the position column (the lambda calls the ord()
+    // FUNCTION — don't shadow it)
     "q175_cdc_chunks" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-        |  FROM documents),
-        |a AS (
-        |  SELECT doc_id, pos, tok,
-        |    CASE WHEN list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
-        |        (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod})
-        |      % ${CorpusOps.CdcMod} = ${CorpusOps.CdcRem} THEN 1 ELSE 0 END AS anchor
-        |  FROM tok),
-        |cidx AS (
-        |  SELECT doc_id, pos, tok,
-        |    SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - anchor AS chunk_idx
-        |  FROM a),
-        |ch AS (
-        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-        |    CAST(COUNT(*) AS BIGINT) AS n_tok,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
-        |          c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
-        |  FROM cidx GROUP BY doc_id, chunk_idx)
+      ("WITH " + CorpusOps.cdcChunkCteSql("documents", "text", "") +
+        """
         |SELECT doc_id, chunk_idx, n_tok, fp,
         |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
         |  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) = 1 AS kept
         |FROM ch
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
-    // q176: q175's chunk CTE split by q86's batch residue; store
-    // side collapses to DISTINCT fps; keeper = min struct per fp
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+    // q176: the shared generated chunk CTE split by q86's batch
+    // residue; store side collapses to DISTINCT fps; keeper = min
+    // struct per fp
     "q176_incremental_cdc" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-        |  FROM documents),
-        |a AS (
-        |  SELECT doc_id, pos, tok,
-        |    CASE WHEN list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
-        |        (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod})
-        |      % ${CorpusOps.CdcMod} = ${CorpusOps.CdcRem} THEN 1 ELSE 0 END AS anchor
-        |  FROM tok),
-        |cidx AS (
-        |  SELECT doc_id, pos, tok,
-        |    SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - anchor AS chunk_idx
-        |  FROM a),
-        |ch AS (
-        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-        |    CAST(COUNT(*) AS BIGINT) AS n_tok,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
-        |          c -> CAST(ord(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
-        |  FROM cidx GROUP BY doc_id, chunk_idx),
+      ("WITH " + CorpusOps.cdcChunkCteSql("documents", "text", "") +
+      s""",
         |bch AS (SELECT * FROM ch
         |  WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
         |sfp AS (SELECT DISTINCT fp FROM ch
@@ -1717,7 +1671,7 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN decision = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup,
         |  CAST(SUM(CASE WHEN decision = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
         |  CAST(SUM(CASE WHEN decision = 'new' THEN n_tok ELSE 0 END) AS BIGINT) AS new_tokens
-        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // q82: identical exclusive-running-sum packing rule; integer
     // arithmetic end to end
     "q82_pack_bins" ->
@@ -2225,6 +2179,40 @@ object SparkEntry {
         |           ELSE text END) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // q180: both sides of the v1→v2 transition derived from the raw
+    // corpus with the store's %-rules (q165's pattern), re-chunked
+    // through the SAME generated CTE as q175/q176 (prefixed twice),
+    // multiset reuse = Σ LEAST(c_old, c_new) per (doc, fp)
+    "q180_chunk_delta" ->
+      ("""WITH chg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 3 THEN 'delete' ELSE 'revise' END AS kind,
+        |    text AS old_text,
+        |    CASE WHEN doc_id % 17 <> 3 THEN text || ' rev' END AS new_text
+        |  FROM documents
+        |  WHERE doc_id % 17 = 3 OR (doc_id % 13 = 1 AND doc_id % 17 <> 3)),
+        |""".stripMargin +
+        CorpusOps.cdcChunkCteSql("chg", "old_text", "o") + ",\n" +
+        CorpusOps.cdcChunkCteSql(
+          "(SELECT doc_id, new_text FROM chg WHERE new_text IS NOT NULL) nsrc",
+          "new_text", "n") +
+        """,
+        |ofp AS (SELECT doc_id, fp, COUNT(*) AS c_old FROM och GROUP BY 1, 2),
+        |nfp AS (SELECT doc_id, fp, COUNT(*) AS c_new FROM nch GROUP BY 1, 2),
+        |m AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+        |  FROM ofp o FULL JOIN nfp n ON o.doc_id = n.doc_id AND o.fp = n.fp),
+        |pd AS (
+        |  SELECT doc_id, SUM(c_old) AS n_old, SUM(c_new) AS n_new,
+        |    SUM(LEAST(c_old, c_new)) AS reused
+        |  FROM m GROUP BY doc_id)
+        |SELECT chg.kind, COUNT(*) AS n_docs,
+        |  CAST(SUM(COALESCE(n_old, 0) - COALESCE(reused, 0)) AS BIGINT) AS chunks_removed,
+        |  CAST(SUM(COALESCE(n_new, 0) - COALESCE(reused, 0)) AS BIGINT) AS chunks_added,
+        |  CAST(SUM(COALESCE(reused, 0)) AS BIGINT) AS chunks_reused
+        |FROM chg LEFT JOIN pd USING (doc_id)
+        |GROUP BY chg.kind ORDER BY chg.kind""".stripMargin),
     // q174: every audit number derived from the raw corpus + the
     // store's deterministic commit rules (commit 2 = deletes for the
     // %17 set + revisions for the %13 set, commit 3 = restores);

@@ -209,6 +209,44 @@ object CorpusOps {
   private[graft] val CdcMod = 16L
   private[graft] val CdcRem = 7L
 
+  /** THE generated CDC chunk CTE chain (tok → anchor → chunk index →
+    * chunk fp), in one producer — the q175/q176/q180 oracles all
+    * interpolate this fragment, so the SQL mirror of the kernel
+    * exists exactly once (shared-rule discipline, lever (a)).
+    * `src` must expose (doc_id, $textExpr); emits `${p}ch` with
+    * (doc_id, chunk_idx, n_tok, fp). */
+  private[graft] def cdcChunkCteSql(src: String, textExpr: String,
+      p: String): String = {
+    val mod = graft.plans.RollingHash.Mod
+    val split = "string_split_regex(trim(" + textExpr + "), '\\s+')"
+    s"""${p}tok AS (
+       |  SELECT doc_id, unnest($split) AS tok,
+       |         generate_subscripts($split, 1) AS pos
+       |  FROM $src),
+       |${p}a AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+       |        (acc, c) -> (acc * 31 + c) % $mod)
+       |      % $CdcMod = $CdcRem THEN 1 ELSE 0 END AS anchor
+       |  FROM ${p}tok),
+       |${p}cidx AS (
+       |  SELECT doc_id, pos, tok,
+       |    SUM(anchor) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - anchor AS chunk_idx
+       |  FROM ${p}a),
+       |${p}ch AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
+       |          c -> CAST(ord(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $mod) AS fp
+       |  FROM ${p}cidx GROUP BY doc_id, chunk_idx)""".stripMargin
+  }
+
   /** q175: CONTENT-DEFINED chunking + chunk-level dedup — the
     * edit-robust complement to q81's fixed windows. Fixed-window
     * chunking loses every downstream window after one inserted

@@ -238,6 +238,66 @@ object Sources {
     readVersionFrom(spark, vacuumedStore(spark, dir), 3)
       .orderBy(col("doc_id"))
 
+  /** Text-level as-of state (doc_id, text) — q180's chunk-delta
+    * input; same partition-pruned LWW pass as every other read. */
+  private def asOfText(spark: SparkSession, base: String,
+      version: Int): DataFrame =
+    lwwRows(spark.read.parquet(base), version)
+      .filter(col("op") === "upsert")
+      .select(col("doc_id"), col("text"))
+
+  /** q180: CHUNK-INDEX DELTA under store revisions — incremental
+    * maintenance of a DERIVED artifact: at 100 TB the chunk index
+    * (q175/q176's dedup substrate) must update from commit deltas,
+    * never by re-chunking the lake. The v1→v2 transition's changed
+    * docs (revisions + deletes) are re-chunked on BOTH sides and the
+    * per-doc fp multisets diffed: chunks_reused = Σ min(c_old, c_new)
+    * per fp — for a revision that appends one token, CDC resync means
+    * the whole prefix of chunks survives and only the trailing chunk
+    * re-writes, which is precisely the promise q175's spec pins and
+    * this query QUANTIFIES on the lakehouse (a fixed-window index
+    * would re-write nothing-reusable whenever lengths shift).
+    * Scale shape: the changed set is delta-sized (a full-outer join
+    * of two partition-pruned LWW reads, fingerprint-free because the
+    * texts join directly); only changed docs reach the kernel; the
+    * rollup is |kinds|-bounded. Oracle derives both sides from the
+    * raw corpus with the store's %-rules (q165's pattern) through
+    * the SAME generated chunk CTE as q175/q176. */
+  def chunkDelta(spark: SparkSession, dir: String): DataFrame = {
+    val base = versionedStore(spark, dir)
+    val oldT = asOfText(spark, base, 1)
+      .select(col("doc_id"), col("text").as("text_old"))
+    val newT = asOfText(spark, base, 2)
+      .select(col("doc_id"), col("text").as("text_new"))
+    val changed = oldT.join(newT, Seq("doc_id"), "full_outer")
+      .filter(!coalesce(col("text_old") === col("text_new"), lit(false)))
+      .withColumn("kind",
+        when(col("text_new").isNull, lit("delete"))
+          .when(col("text_old").isNull, lit("add"))
+          .otherwise(lit("revise")))
+      .persist() // delta-sized; feeds both chunk passes and the rollup
+    def fpCounts(textCol: String, cName: String) =
+      graft.operators.CorpusOps.cdcChunkFrame(
+          changed.filter(col(textCol).isNotNull)
+            .select(col("doc_id"), col(textCol).as("text")))
+        .groupBy(col("doc_id"), col("fp")).agg(count(lit(1)).as(cName))
+    val perDoc = fpCounts("text_old", "c_old")
+      .join(fpCounts("text_new", "c_new"), Seq("doc_id", "fp"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"),
+        sum(least(col("c_old"), col("c_new"))).as("reused"))
+    changed.select(col("doc_id"), col("kind"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_old", "n_new", "reused"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_old") - col("reused")).as("chunks_removed"),
+        sum(col("n_new") - col("reused")).as("chunks_added"),
+        sum(col("reused")).as("chunks_reused"))
+      .orderBy(col("kind"))
+  }
+
   // ---- q174: GDPR erasure (right-to-be-forgotten) ----------------
 
   /** The deterministic forget set: doc_id ≡ [[ForgetRem]] (mod

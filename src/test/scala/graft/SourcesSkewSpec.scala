@@ -310,6 +310,22 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(graft.sources.Sources.readVersionFrom(spark, vac, 1).count() == 0)
   }
 
+  test("chunk delta: a revision rewrites at most its trailing chunk") {
+    // the CDC-payoff contract on the lakehouse: appending tokens can
+    // only perturb the trailing chunk (anchors are token-local), so
+    // per revised doc at most ONE chunk is removed and at least one
+    // added, while deletes reuse nothing
+    val rows = graft.sources.Sources.chunkDelta(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val (rDocs, rRemoved, rAdded, rReused) = rows("revise")
+    assert(rRemoved <= rDocs, "a revision damaged more than its trailing chunk")
+    assert(rAdded >= rDocs)
+    assert(rReused > 0, "vacuous: no chunk survived any revision")
+    val (_, _, dAdded, dReused) = rows("delete")
+    assert(dAdded == 0 && dReused == 0)
+  }
+
   test("erasure: forgotten keys gone from EVERY version, retained rows byte-stable") {
     import org.apache.spark.sql.functions._
     def key(r: org.apache.spark.sql.Row) =
