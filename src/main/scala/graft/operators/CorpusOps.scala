@@ -136,12 +136,21 @@ object CorpusOps {
     * df cap interpolated from these constants. */
   def fuzzyContam(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs
+    val shAll = docs
       .select(col("doc_id"), col("source"),
         TextFns.wordShingles(toks, 3).as("shingles"))
       .select(col("doc_id"), col("source"),
         size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("sh"))
+    // the 100 TB move: shingles that never occur in the eval suite
+    // can't form a bipartite pair, so prune them BEFORE the posting
+    // shuffle with a broadcast semi-join against the (suite-bounded)
+    // eval shingle set — the exchange then carries eval-present
+    // shingles only, not the corpus's whole shingle stream. Values
+    // unchanged: the dropped shingles died at the both-sides filter.
+    val evalSh = shAll.filter(col("source") === lit(EvalSource))
+      .select(col("sh")).distinct()
+    val sh = shAll.join(broadcast(evalSh), Seq("sh"), "left_semi")
     val postings = sh.groupBy(col("sh"))
       .agg(
         sort_array(collect_list(when(col("source") =!= lit(EvalSource),

@@ -168,6 +168,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-doc rank window (lever (h): the oracle states the rank,
     // the plan never runs one)
     assert(!p.contains("Window"), p)
+    // the 100 TB prune: the posting exchange sees only shingles that
+    // survived the broadcast semi-join against the eval shingle set —
+    // the corpus's full shingle stream never shuffles
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
   test("q175 cdc chunking: window-free, keep-rule via partial-agg struct min") {
