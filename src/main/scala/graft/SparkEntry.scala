@@ -207,6 +207,7 @@ object SparkEntry {
     "q168_vacuum_read" -> graft.sources.Sources.vacuumRead _,
     "q174_forget_audit" -> graft.sources.Sources.forgetAudit _,
     "q180_chunk_delta" -> graft.sources.Sources.chunkDelta _,
+    "q181_index_forget" -> CorpusOps.indexForget _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2179,6 +2180,40 @@ object SparkEntry {
         |           ELSE text END) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // q181: the shared generated chunk CTE + the interpolated forget
+    // rule; keeper = min struct carrying source; vanished vs
+    // re-elected split on whether any survivor copy remains
+    "q181_index_forget" ->
+      ("WITH " + CorpusOps.cdcChunkCteSql("documents", "text", "") +
+      s""",
+        |chs AS (
+        |  SELECT ch.doc_id, d.source, ch.chunk_idx, ch.n_tok, ch.fp,
+        |    ch.doc_id % ${graft.sources.Sources.ForgetMod} = ${graft.sources.Sources.ForgetRem} AS fg
+        |  FROM ch JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)),
+        |dr AS (
+        |  SELECT source, COUNT(*) AS chunks_dropped,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens_dropped
+        |  FROM chs WHERE fg GROUP BY source),
+        |fpx AS (
+        |  SELECT fp,
+        |    MIN({'doc_id': doc_id, 'chunk_idx': chunk_idx, 'source': source}) AS ok,
+        |    COUNT(*) AS n_total,
+        |    SUM(CASE WHEN fg THEN 1 ELSE 0 END) AS n_fg
+        |  FROM chs GROUP BY fp),
+        |cls AS (
+        |  SELECT (ok).source AS source,
+        |    CAST(SUM(CASE WHEN n_fg = n_total THEN 1 ELSE 0 END) AS BIGINT) AS fps_vanished,
+        |    CAST(SUM(CASE WHEN n_fg < n_total THEN 1 ELSE 0 END) AS BIGINT) AS keepers_reelected
+        |  FROM fpx
+        |  WHERE (ok).doc_id % ${graft.sources.Sources.ForgetMod} = ${graft.sources.Sources.ForgetRem}
+        |  GROUP BY 1)
+        |SELECT COALESCE(dr.source, cls.source) AS source,
+        |  CAST(COALESCE(chunks_dropped, 0) AS BIGINT) AS chunks_dropped,
+        |  CAST(COALESCE(tokens_dropped, 0) AS BIGINT) AS tokens_dropped,
+        |  COALESCE(fps_vanished, 0) AS fps_vanished,
+        |  COALESCE(keepers_reelected, 0) AS keepers_reelected
+        |FROM dr FULL JOIN cls ON dr.source = cls.source
+        |ORDER BY source""".stripMargin),
     // q180: both sides of the v1→v2 transition derived from the raw
     // corpus with the store's %-rules (q165's pattern), re-chunked
     // through the SAME generated CTE as q175/q176 (prefixed twice),

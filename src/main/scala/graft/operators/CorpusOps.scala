@@ -341,6 +341,55 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q181: ERASURE PROPAGATION to the derived chunk index — GDPR
+    * Art. 17 reaches DERIVED artifacts, not just the store: after
+    * q174 erases documents, every chunk-index row of a forgotten doc
+    * must go, and the dedup substrate changes shape — a fingerprint
+    * whose only copies lived in forgotten docs VANISHES, and a
+    * fingerprint whose keep-first KEEPER was forgotten must
+    * RE-ELECT its keeper among survivors (the subtle maintenance
+    * case a naive "delete the rows" job misses: downstream
+    * keep-decisions pinned to the old keeper are now dangling).
+    * Per-source audit: chunks/tokens dropped, fps vanished, keepers
+    * re-elected — attributed to the OLD keeper's source. Scale
+    * shape: one kernel pass + an id-keyed slim source join; the fp
+    * rollup moves (fp, ids) only; the report is |sources|-bounded.
+    * Oracle: the shared generated chunk CTE + the interpolated
+    * forget rule; keeper = min struct, forgotten-ness re-derived
+    * row-locally. */
+  def indexForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Sources.{ForgetMod, ForgetRem}
+    val fg = col("doc_id") % ForgetMod === ForgetRem
+    val ch = cdcChunkFrame(Tables.documents(spark, dir))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("fg", fg)
+      .persist() // chunk-table-sized; feeds the drop rollup and the fp agg
+    val dropped = ch.filter(col("fg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("chunks_dropped"),
+        sum(col("n_tok")).as("tokens_dropped"))
+    val perFp = ch.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("source")))
+          .as("ok"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("fg"), 1L).otherwise(0L)).as("n_fg"))
+      .filter(col("ok.doc_id") % ForgetMod === ForgetRem)
+    val cls = perFp
+      .select(col("ok.source").as("source"),
+        when(col("n_fg") === col("n_total"), 1L).otherwise(0L).as("vanished"),
+        when(col("n_fg") < col("n_total"), 1L).otherwise(0L).as("reelected"))
+      .groupBy(col("source"))
+      .agg(sum(col("vanished")).as("fps_vanished"),
+        sum(col("reelected")).as("keepers_reelected"))
+    dropped.join(cls, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("chunks_dropped", "tokens_dropped",
+        "fps_vanished", "keepers_reelected"))
+      .select(col("source"), col("chunks_dropped"), col("tokens_dropped"),
+        col("fps_vanished"), col("keepers_reelected"))
+      .orderBy(col("source"))
+  }
+
   /** Chunk-level exact dedup: near-dup DOCS often share exact
     * 64-token windows even when doc-level hashes differ — dedup at
     * chunk granularity catches boilerplate and quoted passages
