@@ -389,6 +389,24 @@ object StreamOps {
     * conservatively suppressed (left join, null group → released
     * false) — privacy fails CLOSED at ingest. Parity spec
     * row-for-row vs the batch scrub on a replayed file. */
+  /** SUPPRESSION-LIST-AT-INGEST — the forward half of q174's
+    * erasure: deleting a doc from the store is not enough when the
+    * same content can RE-ENTER on the next crawl, so arriving docs
+    * are gated against the forget rule (in production: a bounded
+    * erasure-request key list, broadcast stream-static anti-join)
+    * before they reach any downstream stage. Stateless, row-local —
+    * a forgotten key is dropped with per-row latency and can never
+    * be observed by the pipeline again. Parity spec in
+    * SourcesSkewSpec: replayed file == batch filter doc-for-doc,
+    * and every forgotten id is absent. */
+  def suppressionStream(spark: SparkSession, docsDir: String): DataFrame =
+    suppressed(streamDocs(spark, docsDir))
+
+  /** The shared suppression projection (batch == stream, one def). */
+  def suppressed(docs: DataFrame): DataFrame =
+    docs.filter(!(col("doc_id") % graft.sources.Sources.ForgetMod ===
+      graft.sources.Sources.ForgetRem))
+
   def pseudonymizeStream(spark: SparkSession, eventsDir: String,
       storeDir: String): DataFrame =
     streamEvents(spark, eventsDir)

@@ -326,6 +326,36 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(dAdded == 0 && dReused == 0)
   }
 
+  test("suppression-at-ingest: forgotten keys never re-enter, stream == batch") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("graft_suppress_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = graft.streaming.StreamOps
+      .suppressed(Tables.documents(spark, sf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q = graft.streaming.StreamOps.suppressionStream(spark, staged.toString)
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("suppress_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("suppress_test").collect()
+        .map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // the gate is real: the replayed file CONTAINED forgotten keys,
+      // and none survived
+      val all = Tables.documents(spark, sf).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val forgotten = all.filter(id =>
+        id % graft.sources.Sources.ForgetMod == graft.sources.Sources.ForgetRem)
+      assert(forgotten.nonEmpty)
+      assert(streamed.intersect(forgotten).isEmpty)
+    } finally q.stop()
+  }
+
   test("erasure: forgotten keys gone from EVERY version, retained rows byte-stable") {
     import org.apache.spark.sql.functions._
     def key(r: org.apache.spark.sql.Row) =
