@@ -282,7 +282,7 @@ object SparkEntry {
         |    (t.doc_id = k.keep_id) AS exact_keep,
         |    (lm.id IS NOT NULL AND rp.doc_id IS NULL) AS nd_drop,
         |    COALESCE(ht.n_hit, 0) AS n_hit,
-        |    (t.doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS pr
+        |    (t.doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS pr
         |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(text), '\\s+') AS toks
         |        FROM documents WHERE source <> '${CorpusOps.EvalSource}') t
         |  JOIN hsh ON t.doc_id = hsh.doc_id
@@ -305,8 +305,8 @@ object SparkEntry {
   /** q92's full oracle (CTE chain + per-source rollup) as a val so
     * q109 can re-compose its verified CTE chain. */
   private val IncFunnelSql: String =
-    s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
-        |s AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
+    s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
+        |s AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
         |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM b),
         |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM s),
         |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
@@ -403,7 +403,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(ceil(n_tok / 64.0) AS BIGINT)) AS BIGINT) AS n_chunks
         |FROM (
         |  SELECT source, n_tok FROM f4
-        |  WHERE sampled AND ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3
+        |  WHERE sampled AND ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3
         |  UNION ALL
         |  SELECT zbt.source, CAST(len(zbt.toks) AS BIGINT) AS n_tok
         |  FROM zf JOIN zbt ON zf.doc_id = zbt.doc_id
@@ -1520,7 +1520,7 @@ object SparkEntry {
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
         |tgt AS (SELECT MIN(n_before) AS target FROM c),
         |d AS (
-        |  SELECT doc_id, dd.lang, (doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS pr,
+        |  SELECT doc_id, dd.lang, (doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS pr,
         |    c.n_before, tgt.target
         |  FROM documents dd JOIN c ON dd.lang = c.lang, tgt)
         |SELECT lang, CAST(MIN(n_before) AS BIGINT) AS n_before,
@@ -1534,7 +1534,7 @@ object SparkEntry {
     "q128_weighted_sample" ->
       s"""WITH d AS (
         |  SELECT doc_id, source,
-        |    round(-ln((CAST((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS DOUBLE) + 1.0) / ${CorpusOps.SampleHashP + 1}.0)
+        |    round(-ln((CAST((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS DOUBLE) + 1.0) / ${CorpusOps.SampleHashP + 1}.0)
         |      / CAST(n_chars AS DOUBLE), 12) AS prio
         |  FROM documents WHERE n_chars > 0),
         |r AS (
@@ -1655,9 +1655,9 @@ object SparkEntry {
       ("WITH " + CorpusOps.cdcChunkCteSql("documents", "text", "") +
       s""",
         |bch AS (SELECT * FROM ch
-        |  WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
+        |  WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
         |sfp AS (SELECT DISTINCT fp FROM ch
-        |  WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
+        |  WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
         |keep AS (SELECT fp, MIN({'doc_id': doc_id, 'chunk_idx': chunk_idx}) AS keeper
         |  FROM bch GROUP BY fp),
         |dec AS (
@@ -1748,8 +1748,8 @@ object SparkEntry {
     // rest; q30's digest
     // rule then q31's shingle-Jaccard rule against the store only
     "q86_incremental_dedup" ->
-      s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
-        |s AS (SELECT * FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
+      s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
+        |s AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
         |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM b),
         |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM s),
         |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
@@ -1838,7 +1838,7 @@ object SparkEntry {
         |  MIN(mix.token_target) AS token_target,
         |  round(CAST(CAST(SUM(d.n_tok) AS BIGINT) AS DOUBLE) / MIN(mix.token_target), 3) AS fill
         |FROM d JOIN mix ON d.source = mix.source
-        |WHERE ((d.doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
+        |WHERE ((d.doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
         |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q117: the q112 admission chain at DOC level (same CTE fragments,
@@ -1862,7 +1862,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT d.doc_id, d.source, d.n_tok
         |FROM d JOIN mix ON d.source = mix.source
-        |WHERE ((d.doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
+        |WHERE ((d.doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
         |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
     // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
@@ -1932,7 +1932,7 @@ object SparkEntry {
         |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
         |s AS (
         |  SELECT d.doc_id, d.source,
-        |    ((COALESCE(lab.cluster_id, d.doc_id) * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 < 8 AS is_train
+        |    ((COALESCE(lab.cluster_id, d.doc_id) % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 < 8 AS is_train
         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
         |x AS (
         |  SELECT COUNT(*) AS cross_pairs
@@ -2373,7 +2373,7 @@ object SparkEntry {
         |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
         |pl AS (
         |  SELECT phase,
-        |    ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP})
+        |    ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP})
         |      % ${CorpusOps.CurriculumShards} AS shard,
         |    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |  FROM ph JOIN tk USING (doc_id) GROUP BY 1, 2)
@@ -2390,7 +2390,7 @@ object SparkEntry {
     "q96_ccnet_admission" ->
       s"""WITH t AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks,
-        |    ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3 AS is_batch
+        |    ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3 AS is_batch
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, source, is_batch,
@@ -2448,10 +2448,10 @@ object SparkEntry {
     "q99_bloom_dedup" ->
       s"""WITH b AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
-        |  FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
+        |  FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
         |s AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
-        |  FROM documents WHERE ((doc_id * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
+        |  FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
         |m AS (SELECT b.doc_id, MIN(s.doc_id) AS ref FROM b JOIN s ON b.h = s.h GROUP BY 1)
         |SELECT b.doc_id,
         |  CASE WHEN m.ref IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS decision,

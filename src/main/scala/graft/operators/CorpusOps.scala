@@ -491,6 +491,15 @@ object CorpusOps {
   private[graft] val SampleHashC = 2654435761L
   private[graft] val SampleHashP = 1000000007L
 
+  /** THE engine-reproducible multiplicative sampling hash, one def:
+    * the key reduces mod p BEFORE the multiply (q157's overflow
+    * rule — Spark silently wraps past 2^63 while DuckDB raises a
+    * BIGINT range error, so an unreduced key·C diverges once ids
+    * reach ~3.5e9 — i.e. at 100 TB). (p−1)·C ≈ 2.65e18 < 2^63;
+    * values unchanged for ids < p. */
+  private[graft] def sampleHash(key: Column): Column =
+    pmod(pmod(key, lit(SampleHashP)) * SampleHashC, lit(SampleHashP))
+
   /** Deterministic stratified down-sampling to a balanced language
     * mix. Two phases, both scale-flat: (1) a tiny per-lang count
     * aggregate fixes the target (the smallest stratum) and each
@@ -507,7 +516,7 @@ object CorpusOps {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
     val target = counts.agg(min(col("n_before")).as("target"))
     val rates = counts.crossJoin(broadcast(target))
-    val pr = pmod(col("doc_id") * SampleHashC, lit(SampleHashP))
+    val pr = sampleHash(col("doc_id"))
     docs.select(col("doc_id"), col("lang"), pr.as("pr"))
       .join(broadcast(rates), Seq("lang"))
       .withColumn("keep", col("pr") % col("n_before") < col("target"))
@@ -537,7 +546,7 @@ object CorpusOps {
     * (round-before-rank rule). */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
-    val pr = pmod(col("doc_id") * SampleHashC, lit(SampleHashP))
+    val pr = sampleHash(col("doc_id"))
     val u = (pr.cast("double") + lit(1.0)) / lit(1000000008.0)
     val prio = round(-log(u) / col("n_chars").cast("double"), 12)
     Tables.documents(spark, dir)
@@ -701,7 +710,7 @@ object CorpusOps {
       .withColumn("quality", col("dedup_keep") &&
         col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
       .withColumn("clean", col("quality") && col("n_hit") === 0)
-      .withColumn("pr", pmod(col("doc_id") * SampleHashC, lit(SampleHashP)))
+      .withColumn("pr", sampleHash(col("doc_id")))
       .persist() // consumed by the rates agg AND the write below
     val rates = base.filter(col("clean"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_cnt"))
@@ -847,7 +856,7 @@ object CorpusOps {
         TextFns.tokenCount(col("text")).as("n_tok"))
       .join(broadcast(rates), Seq("source"))
       .withColumn("pr",
-        pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 1000000L)
+        sampleHash(col("doc_id")) % 1000000L)
       .filter(col("pr") < floor(col("rate") * 1000000.0).cast("long"))
 
   /** q117: the mix admission at DOC level — the training-shard
@@ -975,7 +984,7 @@ object CorpusOps {
       .join(members, Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("is_train",
-        pmod(col("split_key") * SampleHashC, lit(SampleHashP)) % 10 < 8)
+        sampleHash(col("split_key")) % 10 < 8)
     val pairs = Dedup.jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val sides = docs.select(col("doc_id"), col("is_train"))
     val cross = pairs
@@ -1015,7 +1024,7 @@ object CorpusOps {
     * of docs, every source. */
   private[graft] def batchPredicate(
       cfg: PipelineConfig = PipelineConfig.default): Column =
-    pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % 10 === cfg.batchResidue
+    sampleHash(col("doc_id")) % 10 === cfg.batchResidue
 
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
     incrementalDedup(spark, dir, PipelineConfig.default)
@@ -1243,7 +1252,7 @@ object CorpusOps {
           .otherwise(3L).as("phase"))
       .join(toksCnt, Seq("doc_id"))
       .withColumn("shard",
-        pmod(col("doc_id") * SampleHashC, lit(SampleHashP)) % CurriculumShards)
+        sampleHash(col("doc_id")) % CurriculumShards)
       .groupBy(col("phase"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("phase_tokens",
@@ -1496,7 +1505,7 @@ object CorpusOps {
     val k = SpanK
     val gram = spanGramSql
     val res = PipelineConfig.default.batchResidue
-    val hash = s"((doc_id * $SampleHashC) % $SampleHashP) % 10"
+    val hash = s"((doc_id % $SampleHashP) * $SampleHashC) % $SampleHashP % 10"
     s"""WITH tb AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |  FROM documents WHERE $hash = $res),

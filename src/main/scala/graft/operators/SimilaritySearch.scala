@@ -401,8 +401,7 @@ object SimilaritySearch {
     val counts = cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n_before"))
     val target = counts.agg(min(col("n_before")).as("target"))
     // SAME hash family as q78 (compile-time link, not a copy)
-    val pr = pmod(col("vec_id") * graft.operators.CorpusOps.SampleHashC,
-      lit(graft.operators.CorpusOps.SampleHashP))
+    val pr = graft.operators.CorpusOps.sampleHash(col("vec_id"))
     cells.select(col("vec_id"), col("cent_id"), pr.as("pr"))
       .join(broadcast(counts.crossJoin(broadcast(target))), Seq("cent_id"))
       .withColumn("keep", col("pr") % col("n_before") < col("target"))
@@ -436,8 +435,7 @@ object SimilaritySearch {
     * spec-asserted. */
   /** q86's membership rule, same hash family, keyed on vec_id. */
   private[graft] def isBatchVec =
-    pmod(col("vec_id") * graft.operators.CorpusOps.SampleHashC,
-      lit(graft.operators.CorpusOps.SampleHashP)) % 10 === 3
+    graft.operators.CorpusOps.sampleHash(col("vec_id")) % 10 === 3
 
   /** (vec_id, codes, cent_id) for a vector frame — the index row
     * encoding (row-local NearestCells + PqCodes kernels). */

@@ -223,7 +223,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.count() == batchN)
     // refs are store docs (never batch docs, never self) except the -1 sentinel
     assert(out.filter(col("ref_id") =!= -1L &&
-      pmod(col("ref_id") * CorpusOps.SampleHashC, lit(CorpusOps.SampleHashP)) % 10 === 3)
+      CorpusOps.sampleHash(col("ref_id")) % 10 === 3)
       .count() == 0)
     assert(out.filter(col("decision") === "new" && col("ref_id") =!= -1L).count() == 0)
     assert(out.filter(col("decision") =!= "new" && col("ref_id") === -1L).count() == 0)
