@@ -184,6 +184,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q176/q179 cdc variants: kernel present, window-free, no cross product") {
+    spark.catalog.clearCache()
+    for ((df, kernel) <- Seq(
+        (graft.operators.CorpusOps.incrementalCdc(spark, sf), "cdc_chunks"),
+        (graft.operators.Multimodal.assetCdc(spark, sf), "cdc_bytes"))) {
+      val p = plan(df)
+      assert(p.contains(kernel), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("NestedLoopJoin"), p)
+    }
+  }
+
   test("span dedup generates pairs row-local: no positional self-join, no cross join") {
     for (df <- Seq(graft.operators.CorpusOps.spanDedup(spark, sf),
         graft.operators.CorpusOps.incrementalSpanDedup(spark, sf))) {
