@@ -208,6 +208,9 @@ object SparkEntry {
     "q174_forget_audit" -> graft.sources.Sources.forgetAudit _,
     "q180_chunk_delta" -> graft.sources.Sources.chunkDelta _,
     "q181_index_forget" -> CorpusOps.indexForget _,
+    "q182_pii_scrub" -> CorpusOps.piiScrubReport _,
+    "q183_zipf_slope" -> TextOps.zipfSlope _,
+    "q184_distinct_ngrams" -> TextOps.distinctNgrams _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2214,6 +2217,120 @@ object SparkEntry {
         |  COALESCE(keepers_reelected, 0) AS keepers_reelected
         |FROM dr FULL JOIN cls ON dr.source = cls.source
         |ORDER BY source""".stripMargin),
+    // q182: planting rule mirrored verbatim (products reduced mod m
+    // before multiplying — the sampleHash overflow rule), counts via
+    // regexp_extract_all lengths, redaction via the same ORDERED
+    // regexp_replace chain (DuckDB needs the 'g' flag — it replaces
+    // the first match only by default; Spark replaces all), redacted
+    // bytes value-checked through the q171 checksum discipline
+    "q182_pii_scrub" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, source,
+        |    text ||
+        |    CASE WHEN doc_id % ${CorpusOps.PiiEmailMod} = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % ${CorpusOps.PiiIpMod} = 0
+        |      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |        CAST(((doc_id % 256) * 7) % 256 AS VARCHAR)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % ${CorpusOps.PiiPhoneMod} = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |        '-' || lpad(CAST(((doc_id % 10000) * 3) % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text,
+        |    len(regexp_extract_all(text, '${CorpusOps.PiiEmailRe}')) AS n_email,
+        |    len(regexp_extract_all(text, '${CorpusOps.PiiIpv4Re}')) AS n_ipv4,
+        |    len(regexp_extract_all(text, '${CorpusOps.PiiPhoneRe}')) AS n_phone,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '${CorpusOps.PiiEmailRe}', '<EMAIL>', 'g'),
+        |      '${CorpusOps.PiiIpv4Re}', '<IP>', 'g'),
+        |      '${CorpusOps.PiiPhoneRe}', '<PHONE>', 'g') AS scrubbed
+        |  FROM planted),
+        |f AS (
+        |  SELECT source, n_email, n_ipv4, n_phone,
+        |    len(text) - len(scrubbed) AS chars_removed,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(scrubbed, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(n_email) AS BIGINT) AS n_email,
+        |  CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+        |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+        |  CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+        |  CAST(SUM(fp) % ${graft.plans.RollingHash.Mod} AS BIGINT) AS scrub_checksum
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // q183: the oracle STATES the head via a rank window (lever (h):
+    // the Spark plan selects it with the bounded TopKByKey heap —
+    // value equality is what the gate checks); tie order inside an
+    // equal-count block differs by engine but the (rank, count)
+    // multiset the OLS sums consume is tie-invariant. x/y rounded
+    // ln's as DECIMAL(18,6) (lever (i)) scaled ×1e6 into exact int64
+    // fixed-point (lever (m)); the n·Σxy − Σx·Σy combination runs
+    // entirely in BIGINT (a downscaling decimal cast is NOT portable:
+    // DuckDB truncates DECIMAL(30,12)→(18,6), Spark rounds HALF_UP —
+    // split live at sf0.01); slope = one raw IEEE division of
+    // identically-rounded int64→double casts (lever (c))
+    "q183_zipf_slope" ->
+      s"""WITH t AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rk
+        |  FROM c),
+        |h AS (
+        |  SELECT source,
+        |    CAST(CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS x6,
+        |    CAST(CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS y6
+        |  FROM r WHERE rk <= ${TextOps.ZipfTopK}),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(x6) AS BIGINT) AS sx,
+        |    CAST(SUM(y6) AS BIGINT) AS sy,
+        |    CAST(SUM(x6*y6) AS BIGINT) AS sxy,
+        |    CAST(SUM(x6*x6) AS BIGINT) AS sxx
+        |  FROM h GROUP BY 1),
+        |b AS (
+        |  SELECT source, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+        |  FROM a)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS zipf_slope
+        |FROM b ORDER BY source""".stripMargin,
+    // q184: gram CTEs are the q152 fragment at orders 1/2/3 (1-based
+    // inclusive slices, range(1, len-k+2) empty for short docs on
+    // both sides); TTR = raw quotient of exact longs (lever c)
+    "q184_distinct_ngrams" ->
+      s"""WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM documents),
+        |g1 AS (
+        |  SELECT source, 1 AS n, toks[CAST(i AS BIGINT)] AS g
+        |  FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |g2 AS (
+        |  SELECT source, 2 AS n,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |g3 AS (
+        |  SELECT source, 3 AS n,
+        |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+        |    toks[CAST(i AS BIGINT)+2] AS g
+        |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+        |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+        |cg AS (SELECT source, n, g, COUNT(*) AS c FROM u GROUP BY 1, 2, 3)
+        |SELECT source, n, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  COUNT(*) AS n_types,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
+        |FROM cg GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
     // q180: both sides of the v1→v2 transition derived from the raw
     // corpus with the store's %-rules (q165's pattern), re-chunked
     // through the SAME generated CTE as q175/q176 (prefixed twice),

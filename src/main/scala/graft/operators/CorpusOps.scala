@@ -1877,4 +1877,111 @@ object CorpusOps {
           sum(col("c2")).cast("double")).as("cond_entropy"))
       .orderBy(col("source"))
   }
+
+  // ---- q182 PII scrub (detect + redact + audit) ------------------
+
+  /** PII regex family — deliberately restricted to syntax whose
+    * semantics are IDENTICAL in Java regex (Spark) and RE2 (DuckDB):
+    * ASCII character classes, bounded/greedy quantifiers, `\b` word
+    * boundaries, no alternation / backreferences / lookaround (where
+    * leftmost-first vs leftmost-longest engines could diverge). */
+  private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Deterministic PII planting residues (the synthetic corpus is
+    * PII-free by construction, so the scrubber would be vacuously
+    * green on raw testdata — both engines derive the SAME dirty
+    * corpus from doc_id arithmetic and the regex machinery is then
+    * genuinely exercised and value-checked; in production the scrub
+    * runs on raw crawl text directly and this stage does not exist). */
+  private[graft] val PiiEmailMod = 7L
+  private[graft] val PiiIpMod = 11L
+  private[graft] val PiiPhoneMod = 13L
+
+  /** The dirty-crawl simulation: append synthetic PII to docs picked
+    * by doc_id residue. All modular arithmetic reduces doc_id BEFORE
+    * multiplying (the q157/sampleHash overflow rule — (a·b) mod m ==
+    * ((a mod m)·b) mod m, and the reduced form cannot wrap at any id
+    * scale). Row-local codegen; mirrored verbatim in the oracle. */
+  private[graft] def piiPlant(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % PiiEmailMod === 0L,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % PiiIpMod === 0L,
+        concat(lit(" from 10."), (col("doc_id") % 256L).cast("string"),
+          lit(".0."),
+          (((col("doc_id") % 256L) * 7L) % 256L).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % PiiPhoneMod === 0L,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000L).cast("string"), 3, "0"), lit("-"),
+          lpad((((col("doc_id") % 10000L) * 3L) % 10000L).cast("string"),
+            4, "0"))).otherwise(lit(""))))
+
+  /** THE redaction rule, in one place (batch report + ingest twin —
+    * copies drift): fixed replacement order email → IPv4 → phone.
+    * Email first because its placeholder is digit-free, so a
+    * replaced span can never re-match a later pattern; IPv4 (dots)
+    * and phone (dashes) are structurally disjoint. Pure codegen
+    * regexp_replace chain — no UDF, no shuffle. */
+  private[graft] def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiIpv4Re, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
+  private def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** The shared per-doc scrub projection (batch == stream, one def):
+    * doc_id, source, per-type match counts, the redacted text, and
+    * chars_removed. Row-local, so it runs unchanged on the document
+    * stream — the ingest twin is free (StreamOps.piiScrubStream). */
+  private[graft] def piiProjection(docs: DataFrame): DataFrame = {
+    val planted = piiPlant(docs)
+    planted.select(col("doc_id"), col("source"),
+      piiCount(col("text"), PiiEmailRe).as("n_email"),
+      piiCount(col("text"), PiiIpv4Re).as("n_ipv4"),
+      piiCount(col("text"), PiiPhoneRe).as("n_phone"),
+      piiScrub(col("text")).as("scrubbed"),
+      (length(col("text")) - length(piiScrub(col("text"))))
+        .cast("long").as("chars_removed"))
+  }
+
+  /** q182: PII scrub + per-source audit — the redaction stage every
+    * crawl pipeline runs before text may enter a training corpus
+    * (C4 §2.2 drops pages with blocklisted strings; Dolma/FineWeb
+    * mask emails/IPs/phones in place, which this follows: masking
+    * preserves the surrounding training signal, dropping wastes it).
+    * No reference analogue (redshells never ingests raw crawl text);
+    * cf. /root/reference/redshells/data/data_frame_utils.py for the
+    * frame-utility family this audit extends.
+    *
+    * Per source: docs, docs flagged, match counts per PII type,
+    * chars removed by redaction, and an order-invariant poly-31
+    * checksum of the REDACTED text (the q171 discipline) — so the
+    * oracle value-checks the actual redacted bytes, not just match
+    * counts. Scale shape: one scan, row-local regex inside
+    * WholeStageCodegen, partial-aggregable rollup moving |sources|
+    * rows; text never enters an exchange. */
+  def piiScrubReport(spark: SparkSession, dir: String): DataFrame =
+    piiProjection(Tables.documents(spark, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_ipv4") + col("n_phone") > 0L, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_ipv4")).as("n_ipv4"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("chars_removed")).as("chars_removed"),
+        // exact DECIMAL(38,0) sum reduced mod the poly-31 modulus
+        // (q171: a long sum wraps past ~1e10 docs; decimal is exact)
+        (sum(graft.plans.RollingHash(col("scrubbed")).cast("decimal(38,0)")) %
+          lit(graft.plans.RollingHash.Mod))
+          .cast("long").as("scrub_checksum"))
+      .orderBy(col("source"))
 }

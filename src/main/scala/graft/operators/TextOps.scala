@@ -699,4 +699,105 @@ object TextOps {
        |SELECT source, term, n_in_source, g2, "rank" FROM r WHERE "rank" <= $KeynessTopK
        |ORDER BY source, "rank"""".stripMargin
   }
+
+  // ---- q183 Zipf rank-frequency slope -----------------------------
+
+  /** Head size for the Zipf fit — rank-frequency fits run on the
+    * distribution's head, where the power law holds and the count
+    * estimates are tight (the standard practice; the tail is
+    * dominated by hapax noise). Also the SCALE lever: the fit input
+    * is (|sources| × ZipfTopK)-bounded no matter how large the
+    * vocabulary grows. */
+  private[graft] val ZipfTopK = 100
+
+  /** q183: Zipf slope per source — the corpus-health diagnostic next
+    * to q162's dataset card (natural text shows slope ≈ −1; a
+    * templated/spammy source flattens, a boilerplate-heavy source
+    * steepens; Piantadosi 2014 reviews the law). OLS of ln(freq) on
+    * ln(rank) over the top-[[ZipfTopK]] terms.
+    *
+    * Scale shape: term counts are a two-level aggregate (map-side
+    * partials on (source, term)); the head is selected by the
+    * bounded-heap TopKByKey aggregate — NO window ever touches the
+    * vocab-sized table (lever (h)), and the fit runs on ≤ K rows per
+    * source. Tie order inside an equal-count block is engine-dependent
+    * (TopKByKey breaks ties by term hash, the oracle by term), but the
+    * (rank, count) MULTISET — the only thing the sums consume — is
+    * tie-invariant: tied terms share one count, and the top-K count
+    * multiset is unique. Counts ride a double score (exact to 2^53;
+    * a single term above 9e15 occurrences is beyond any corpus).
+    *
+    * Float discipline: x = round(ln rank, 6), y = round(ln count, 6)
+    * as DECIMAL(18,6) (lever (i): bounded-ln rounding absorbs the
+    * cross-engine ulp) then scaled ×10⁶ into EXACT int64 fixed-point
+    * (lever (m)): the OLS combination n·Σxy − Σx·Σy runs entirely in
+    * int64 — found live at sf0.01: a downscaling decimal cast of the
+    * scale-12 combination is NOT engine-portable (DuckDB truncates
+    * DECIMAL(30,12)→(18,6) where Spark rounds HALF_UP, splitting num
+    * by 1e-6). Overflow bound: y6 ≤ ln(9e15)·10⁶ < 3.7e7 (counts ride
+    * doubles, exact to 2^53), x6 ≤ ln(K)·10⁶, so |num| ≤
+    * n·Σ|x6·y6| + |Σx6·Σy6| < 3.4e18 < 2^63 at K=100 for ANY corpus.
+    * int64→double is correctly rounded identically in both engines,
+    * so the slope is ONE raw IEEE division of identical doubles
+    * (lever (c)). */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    def fix6(c: Column): Column =
+      (round(c, 6).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val ranked = counts
+      .groupBy(col("source"))
+      .agg(graft.plans.TopKByKey.topK(ZipfTopK)(
+        xxhash64(col("term")), col("cnt").cast("double")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"),
+        fix6(log(col("pos").cast("double") + lit(1.0d))).as("x6"),
+        fix6(log(col("e.score"))).as("y6"))
+    val agg = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    agg.select(col("source"), col("n").cast("long").as("n_terms"),
+      when(den === lit(0L), lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  // ---- q184 distinct-n diversity ----------------------------------
+
+  /** q184: n-gram type/token ratios per source for n ∈ {1,2,3} — the
+    * distinct-n diversity diagnostic (Li et al. 2016's distinct-n,
+    * standard in corpus QA next to q73's repetition rules: a source
+    * whose bigram TTR collapses is templated/boilerplate even when
+    * individual docs pass quality filters).
+    *
+    * Scale shape: one column-pruned scan per gram order (the fused
+    * single-scan alternative needs a higher-order transform over the
+    * gram arrays, which runs INTERPRETED — SURVEY §8 — and costs more
+    * than the extra two scans of one string column); each order is a
+    * two-level aggregate — map-side partials on (source, g), then a
+    * |sources|-sized rollup. No EXPAND (q135's cost), no window, no
+    * join. TTR is one raw IEEE division of exact longs (lever (c)). */
+  def distinctNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val byN = Seq(1, 2, 3).map { n =>
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(graft.plans.WordNGrams(toks, n, distinct = false)).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_grams"),
+          count(lit(1)).as("n_types"))
+        .withColumn("n", lit(n))
+    }
+    byN.reduce(_.unionByName(_))
+      .select(col("source"), col("n"), col("n_grams"), col("n_types"),
+        (col("n_types").cast("double") / col("n_grams").cast("double"))
+          .as("ttr"))
+      .orderBy(col("source"), col("n"))
+  }
 }

@@ -563,6 +563,21 @@ object StreamOps {
           lit(graft.operators.CorpusOps.ChecksumMod))
           .cast("long").as("content_checksum"))
 
+  /** q182's INGEST twin: the shared per-doc PII projection
+    * (CorpusOps.piiProjection — ONE def, batch == stream) on the
+    * document stream, so arriving docs are redacted before any
+    * downstream stage can observe raw PII (the fail-closed placement
+    * the scrub stage needs: a doc that reaches the corpus unscrubbed
+    * is a compliance incident, not a quality bug). Stateless and
+    * row-local. Parity spec in MlStreamSpec: replayed file == batch
+    * doc-for-doc. */
+  def piiScrubStream(spark: SparkSession, docsDir: String): DataFrame =
+    graft.operators.CorpusOps.piiProjection(streamDocs(spark, docsDir))
+
+  /** Batch side of the q182 parity contract (same shared def). */
+  def piiScrubBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.piiProjection(Tables.documents(spark, dir))
+
   case class BucketState(rep: Long)
   case class DupCandidate(band: Int, key: Long, rep_doc: Long, doc_id: Long)
 

@@ -467,4 +467,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(k >= 0)
     assert(e2.drop(k + 2).map(_._3) == b.drop(k + 1).map(_._3))
   }
+
+  test("q182 pii scrub: exact planted counts, nothing survives redaction, idempotent") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val report = CorpusOps.piiScrubReport(spark, sf).collect()
+    // the planting arithmetic is the ground truth: each planted item
+    // is exactly one regex match, and the base corpus contributes
+    // zero — so equality also PROVES no accidental matches exist
+    assert(report.map(_.getLong(3)).sum == ids.count(_ % CorpusOps.PiiEmailMod == 0))
+    assert(report.map(_.getLong(4)).sum == ids.count(_ % CorpusOps.PiiIpMod == 0))
+    assert(report.map(_.getLong(5)).sum == ids.count(_ % CorpusOps.PiiPhoneMod == 0))
+    report.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_flagged <= n_docs
+      assert(r.getLong(6) > 0L)            // redaction removed chars
+    }
+    assert(report.map(_.getLong(2)).sum > 0)
+    // nothing survives: every per-doc count over the SCRUBBED text is 0
+    val proj = CorpusOps.piiProjection(Tables.documents(spark, sf))
+    val survivors = proj.select(
+      (size(regexp_extract_all(col("scrubbed"), lit(CorpusOps.PiiEmailRe), lit(0))) +
+        size(regexp_extract_all(col("scrubbed"), lit(CorpusOps.PiiIpv4Re), lit(0))) +
+        size(regexp_extract_all(col("scrubbed"), lit(CorpusOps.PiiPhoneRe), lit(0))))
+        .as("n"))
+      .filter(col("n") > 0).count()
+    assert(survivors == 0L)
+    // idempotence: a second scrub pass is the identity on scrubbed text
+    val changed = proj.filter(
+      CorpusOps.piiScrub(col("scrubbed")) =!= col("scrubbed")).count()
+    assert(changed == 0L)
+  }
 }

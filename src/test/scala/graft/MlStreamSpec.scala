@@ -269,6 +269,30 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pii-scrub-at-ingest matches the q182 batch projection doc for doc") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_pii")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val q = StreamOps.piiScrubStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5), r.getLong(6))
+      val streamed = spark.table("pii_test").collect().map(key).toSet
+      val batch = StreamOps.piiScrubBatch(spark, sf).collect().map(key).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // the gate is real: the replayed file CONTAINED PII and every
+      // streamed doc's text is clean
+      assert(batch.exists(t => t._3 + t._4 + t._5 > 0))
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: lower-bound invariant at small k, exact at large k") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft_mg")
