@@ -211,6 +211,11 @@ object SparkEntry {
     "q182_pii_scrub" -> CorpusOps.piiScrubReport _,
     "q183_zipf_slope" -> TextOps.zipfSlope _,
     "q184_distinct_ngrams" -> TextOps.distinctNgrams _,
+    "q185_source_overlap" -> CorpusOps.sourceOverlap _,
+    "q186_embed_outliers" -> SimilaritySearch.embedOutliers _,
+    "q187_signal_corr" -> TextOps.signalCorr _,
+    "q188_lsh_calibration" -> ((s: SparkSession, d: String) =>
+      Dedup.lshCalibration(s, d)),
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1707,15 +1712,11 @@ object SparkEntry {
         |SELECT tg.doc_id, tg.source, COUNT(*) AS n_hit
         |FROM tg JOIN ev ON tg.g = ev.g
         |GROUP BY 1, 2 ORDER BY tg.doc_id""".stripMargin,
-    // q84: same overlapping-window grid (32 tokens, stride 8; tail
-    // windows clip) — md5 digests stand in for window text
+    // q84: the shared overlapping-window grid (generated fragment —
+    // q185 consumes the same one); md5 digests stand in for window
+    // text
     "q84_window_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |w AS (
-        |  SELECT doc_id, source,
-        |    md5(array_to_string(toks[CAST(wi*8+1 AS BIGINT):CAST(wi*8+32 AS BIGINT)], ' ')) AS wh
-        |  FROM t, UNNEST(range(0, CAST(greatest(ceil((len(toks)-32)/8.0), 0) AS BIGINT)+1)) AS u(wi)),
+      s"""WITH ${CorpusOps.windowCteSql},
         |s AS (SELECT wh, COUNT(DISTINCT doc_id) AS n_docs_with FROM w GROUP BY wh),
         |p AS (
         |  SELECT doc_id, source, COUNT(*) AS n_win,
@@ -1965,20 +1966,39 @@ object SparkEntry {
         |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
         |ORDER BY c.doc_a, c.doc_b""").stripMargin,
     // q158: the SAME generated q93 chain, closed by the exact-pair
-    // left join — recall report on the oracle gate
+    // left join — recall report on the oracle gate (shared fl CTE
+    // with q188)
     "q158_lsh_quality" ->
-      (s"""$PmhChain,
-        |ex AS (
-        |  SELECT i.doc_a, i.doc_b,
-        |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-        |  FROM inter i
-        |  JOIN sizes sa ON i.doc_a = sa.doc_id
-        |  JOIN sizes sb ON i.doc_b = sb.doc_id
-        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5)
-        |SELECT ex.doc_a, ex.doc_b, ex.jaccard,
-        |  c.doc_a IS NOT NULL AS found
-        |FROM ex LEFT JOIN cand c ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b
-        |ORDER BY ex.doc_a, ex.doc_b""").stripMargin,
+      (s"""$LshFoundCte
+        |SELECT doc_a, doc_b, jaccard, found FROM fl
+        |ORDER BY doc_a, doc_b""").stripMargin,
+    // q188: the same classified-pair chain, closed by the S-curve
+    // bucket rollup; exponent chains GENERATED from pmhR/pmhK (one
+    // family, lever (s)); pure IEEE multiplies, no pow()
+    "q188_lsh_calibration" -> {
+      val sChain = Seq.fill(graft.operators.Dedup.pmhR)("jaccard").mkString(" * ")
+      val qChain = Seq.fill(
+        graft.operators.Dedup.pmhK / graft.operators.Dedup.pmhR)("qq")
+        .mkString(" * ")
+      (s"""$LshFoundCte,
+        |k AS (
+        |  SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket, found,
+        |    CAST(1 AS DOUBLE) - $sChain AS qq
+        |  FROM fl),
+        |p AS (
+        |  SELECT bucket, found,
+        |    CAST(round(CAST(1 AS DOUBLE) - $qChain, 6) AS DECIMAL(18,6)) AS p
+        |  FROM k),
+        |g AS (
+        |  SELECT bucket, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |    CAST(CAST(SUM(p) AS DECIMAL(18,6)) AS DOUBLE) AS expected_found
+        |  FROM p GROUP BY bucket)
+        |SELECT bucket, n_pairs, n_found, expected_found,
+        |  CAST(n_found AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS found_rate,
+        |  expected_found / CAST(n_pairs AS DOUBLE) AS expected_rate
+        |FROM g ORDER BY bucket""").stripMargin
+    },
     // q159: q10's verified session fragment + in-session lead guard;
     // counts exact, one IEEE share division; top-N INTERPOLATED from
     // FrameOps.PathTopN
@@ -2331,6 +2351,30 @@ object SparkEntry {
         |  COUNT(*) AS n_types,
         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
         |FROM cg GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+    // q185: the q84 window grid (same generated fragment), distinct
+    // per (source, digest), self-joined on the digest; fractions are
+    // raw IEEE divisions of exact longs (lever (c))
+    "q185_source_overlap" ->
+      s"""WITH ${CorpusOps.windowCteSql},
+        |c AS (SELECT DISTINCT source, wh FROM w),
+        |n AS (SELECT source, COUNT(*) AS n_win FROM c GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_windows
+        |  FROM c a JOIN c b ON a.wh = b.wh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_windows,
+        |  na.n_win AS windows_a, nb.n_win AS windows_b,
+        |  CAST(shared_windows AS DOUBLE) / CAST(na.n_win AS DOUBLE) AS frac_a,
+        |  CAST(shared_windows AS DOUBLE) / CAST(nb.n_win AS DOUBLE) AS frac_b
+        |FROM sh JOIN n na ON sh.src_a = na.source
+        |        JOIN n nb ON sh.src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    // q186: generated over the 64 dims from the operator constants
+    // (floor fixed-point rule, integer centroid, HUGEINT τ-compare)
+    "q186_embed_outliers" -> SimilaritySearch.embedOutliersOracleSql,
+    // q187: generated from the sampling-hash family + clamps; the
+    // oracle states the sample as a rank window (lever (h))
+    "q187_signal_corr" -> TextOps.signalCorrOracleSql,
     // q180: both sides of the v1→v2 transition derived from the raw
     // corpus with the store's %-rules (q165's pattern), re-chunked
     // through the SAME generated CTE as q175/q176 (prefixed twice),
@@ -3253,6 +3297,24 @@ object SparkEntry {
     * union → exact intersections) — shared by the q93 final SELECT
     * and q158's quality-report join (one chain, two verdicts). `sh`
     * is MATERIALIZED: it now has three consumers. */
+  /** The q158/q188 shared classified-pair chain: the generated q93
+    * MinHash chain + the exact near-dup pairs (`ex`) + each pair's
+    * found/missed verdict (`fl`). One def — the recall report and
+    * the S-curve calibration cannot drift. */
+  private def LshFoundCte: String =
+    s"""$PmhChain,
+       |ex AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON i.doc_a = sa.doc_id
+       |  JOIN sizes sb ON i.doc_b = sb.doc_id
+       |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+       |fl AS (
+       |  SELECT ex.doc_a, ex.doc_b, ex.jaccard,
+       |    c.doc_a IS NOT NULL AS found
+       |  FROM ex LEFT JOIN cand c ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b)""".stripMargin
+
   private def PmhChain: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,

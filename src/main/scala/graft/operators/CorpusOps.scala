@@ -435,8 +435,12 @@ object CorpusOps {
     * digest stands in for the window). Catches copied passages
     * INSIDE otherwise-distinct docs, which doc- and chunk-level
     * dedup both miss. */
-  def windowDedup(spark: SparkSession, dir: String): DataFrame = {
-    val wins = Tables.documents(spark, dir)
+  /** THE overlapping-window digest grid (32 tokens, stride 8; tail
+    * windows clip), one def — q84's dup-span detection and q185's
+    * cross-source overlap both consume exactly these rows (and both
+    * oracles the generated [[windowCteSql]] fragment). */
+  private[graft] def windowDigests(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), toks.as("t"))
       .select(col("doc_id"), col("source"), col("t"),
         explode(sequence(lit(0L),
@@ -446,6 +450,20 @@ object CorpusOps {
         md5(concat_ws(" ",
           slice(col("t"), (col("wi") * WinStride + 1).cast("int"), lit(WinSize))))
           .as("wh"))
+
+  /** The window grid's oracle fragment (CTE blocks `t`, `w`),
+    * GENERATED from [[WinSize]]/[[WinStride]] so the two engines
+    * cannot drift (lever (a)). */
+  private[graft] def windowCteSql: String =
+    s"""t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      |w AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(toks[CAST(wi*$WinStride+1 AS BIGINT):CAST(wi*$WinStride+$WinSize AS BIGINT)], ' ')) AS wh
+      |  FROM t, UNNEST(range(0, CAST(greatest(ceil((len(toks)-$WinSize)/$WinStride.0), 0) AS BIGINT)+1)) AS u(wi))""".stripMargin
+
+  def windowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = windowDigests(spark, dir)
       .persist() // slim; consumed by the shared-hash agg AND the join
     val shared = wins.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
@@ -1984,4 +2002,55 @@ object CorpusOps {
           lit(graft.plans.RollingHash.Mod))
           .cast("long").as("scrub_checksum"))
       .orderBy(col("source"))
+
+  // ---- q185 cross-source overlap matrix --------------------------
+
+  /** q185: cross-source duplicated-SPAN overlap matrix — for every
+    * source pair, how much content (q84's shared window-digest grid,
+    * ONE def) the two sources share. The provenance question mix
+    * planning (q111/q112) and dedup-ordering need answered first: a
+    * source that largely re-crawls another should not get
+    * independent mix weight, and deduping the copier against the
+    * copied loses nothing (cf. the measured inter-snapshot overlaps
+    * behind FineWeb's per-snapshot dedup choice). Span granularity
+    * (not whole-doc digests) because partial copying — quoted
+    * passages, syndicated fragments — is what actually crosses
+    * source boundaries.
+    *
+    * Per unordered pair (src_a < src_b): distinct window digests
+    * present in BOTH, each side's distinct digest count, and the
+    * overlap fraction of each side (raw IEEE divisions of exact
+    * longs, lever (c)).
+    *
+    * Scale shape: the distinct (digest, source) table is corpus-
+    * sized but slim (a 128-bit hash + a small string — window text
+    * never shuffles); the self equi-join on the digest is the q31
+    * bucket shape (each digest's group is ≤ |sources| rows, no
+    * blow-up; a viral span's skew splits under AQE); the rollup
+    * output is |sources|²-bounded and the per-source counts ride a
+    * |sources|-row broadcast. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val c = windowDigests(spark, dir)
+      .select(col("source"), col("wh")).distinct()
+      .persist() // slim; feeds the per-source counts AND both join sides
+    val perSource = c.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_win"))
+    val shared = c.as("a")
+      .join(c.as("b"), col("a.wh") === col("b.wh") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+    shared
+      .join(broadcast(perSource.select(col("source").as("src_a"),
+        col("n_win").as("windows_a"))), Seq("src_a"))
+      .join(broadcast(perSource.select(col("source").as("src_b"),
+        col("n_win").as("windows_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_windows"),
+        col("windows_a"), col("windows_b"),
+        (col("shared_windows").cast("double") / col("windows_a").cast("double"))
+          .as("frac_a"),
+        (col("shared_windows").cast("double") / col("windows_b").cast("double"))
+          .as("frac_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -694,6 +694,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q188: LSH CALIBRATION — predicted vs measured S-curve for the
+    * deployed (bands, rows) parametrization. Theory says a pair of
+    * similarity s becomes a candidate with P = 1−(1−s^r)^b (Broder/
+    * LSH S-curve; Leskovec-Rajaraman-Ullman ch.3); this report bins
+    * q158's verified found/missed pairs by similarity and puts the
+    * measured hit rate next to that prediction — the console a
+    * deployment tunes (b, r) against before re-indexing 100 TB
+    * (prediction far off measurement = the hash family or the banding
+    * is broken, not the tuning).
+    *
+    * Float discipline: s is the already-verified round(,6) Jaccard,
+    * bit-identical cross-engine; the S-curve is a PURE IEEE multiply
+    * chain in a pinned association order (s⁴ left-assoc, then
+    * square-of-square — NO pow(), whose libm differs per engine), so
+    * every per-pair probability is bit-identical; per-pair p rounds
+    * to DECIMAL(18,6) for the order-invariant bucket sum (the float-
+    * aggregate convention); rates are raw IEEE divisions.
+    *
+    * Scale shape: consumes the two near-dup-sized DISK artifacts via
+    * [[lshQuality]] — no corpus scan at all; the bucket rollup is
+    * ≤ 11 rows. */
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val s = col("jaccard")
+    // exponents from the deployed constants (one family, lever (s));
+    // left-associated multiply chains — the oracle emits the same
+    def chain(c: Column, n: Int): Column = Seq.fill(n)(c).reduce(_ * _)
+    val q = lit(1.0d) - chain(s, pmhR)
+    val p = lit(1.0d) - chain(q, pmhK / pmhR)
+    lshQuality(spark, dir)
+      .select(floor(s * 20).cast("long").as("bucket"),
+        col("found"),
+        round(p, 6).cast("decimal(18,6)").as("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"),
+        sum(col("p")).cast("decimal(18,6)").cast("double")
+          .as("expected_found"))
+      .select(col("bucket"), col("n_pairs"), col("n_found"),
+        col("expected_found"),
+        (col("n_found").cast("double") / col("n_pairs").cast("double"))
+          .as("found_rate"),
+        (col("expected_found") / col("n_pairs").cast("double"))
+          .as("expected_rate"))
+      .orderBy(col("bucket"))
+  }
+
   private[graft] def minhashExactDerive(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val sh = docs

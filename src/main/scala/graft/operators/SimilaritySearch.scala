@@ -528,4 +528,136 @@ object SimilaritySearch {
       .agg(sum(col("q") * col("q")).as("importance"))
       .orderBy(col("importance").desc, col("dim"))
       .limit(16)
+
+  // ---- q186 embedding-space outlier report ------------------------
+
+  /** Embedding dimensionality of the corpus (the `embeddings` table
+    * ships 64-d vectors; the wide-agg pattern below generates one
+    * column per dimension, the Summarizer-style shape CLAUDE.md
+    * prescribes over posexplode-per-dimension). */
+  private[graft] val EmbDim = 64
+
+  /** q186 fixed-point scale: components clamp to [−1, 1] and quantize
+    * to 1e−4 resolution via floor(x·S + 0.5) — a rule both engines
+    * evaluate on IDENTICAL doubles (float→double cast is exact,
+    * ·S/+0.5/floor are single correctly-rounded IEEE ops), unlike any
+    * decimal CAST of a float (measured: DuckDB casts FLOAT→DECIMAL by
+    * rounding in FLOAT precision — 567/128k components split from
+    * Spark's BigDecimal path at scale 6 on this corpus). The +S
+    * offset makes every value non-negative so integer division below
+    * is floor==trunc in both engines. */
+  private[graft] val EmbFixS = 10000L
+
+  /** Outlier rule: d² > τ · mean(d²), τ = 3 (the "3× the average
+    * squared distance" heuristic; compared cross-multiplied in exact
+    * integers, never as a float ratio). */
+  private[graft] val OutlierTau = 3L
+
+  private def vFix(i: Int) =
+    (floor(least(greatest(element_at(col("embedding"), i).cast("double"),
+      lit(-1.0d)), lit(1.0d)) * lit(EmbFixS.toDouble) + lit(0.5d)) +
+      lit(EmbFixS)).as(s"v$i")
+
+  /** q186: embedding-space outlier report per label — the vector-
+    * quality gate of embedding-curated corpora (SemDeDup/SSL-prune
+    * style: points far from their class centroid are mislabeled or
+    * junk and get pruned before training; Abbas et al. 2023). For
+    * each label: vector count, count of outliers (squared distance to
+    * the label centroid > [[OutlierTau]]× the label mean), the worst
+    * vector and its distance, and the quantized mean squared
+    * distance.
+    *
+    * EXACT at every step, so the whole report sits on the oracle
+    * gate: components quantize by the portable floor rule
+    * ([[EmbFixS]]); the centroid is the half-up INTEGER mean per
+    * dimension ((2s+n) div 2n on non-negative ints — trunc==floor
+    * both engines; lever (m)'s fixed-point renormalization); per-row
+    * d² = Σ(vᵢ−cᵢ)² ≤ 64·(2S)² = 2.6e10 — int64 at ANY corpus size;
+    * the τ compare and the sums run in DECIMAL(38,0)/HUGEINT (exact
+    * at any n); outputs are all int64 (lever (n): wide decimals never
+    * reach the result schema). Centroid quantization error (≤ 0.5e−4
+    * per dim) is part of the DECLARED rule, not a float accident.
+    *
+    * Scale shape: one scan builds the wide per-dimension fixed-point
+    * columns (row-local codegen, no posexplode — the wide-agg rule);
+    * the centroid agg is map-side partial to a |labels|-row table
+    * that broadcasts back; d² is a row-local 64-term codegen chain;
+    * both rollups move |labels|-sized rows. The slim (vec_id, label,
+    * d²) frame is persisted for its two consumers (stats + flag
+    * count) — at 100 TB that second consumer re-scans instead
+    * (documented; both passes are map-side). */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 1 to EmbDim
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: col("label") +: dims.map(vFix): _*)
+    val cent = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        dims.map(i => sum(col(s"v$i")).as(s"s$i")): _*)
+      .select(col("label") +: col("n") +:
+        dims.map(i => expr(s"(2 * s$i + n) div (2 * n)").as(s"c$i")): _*)
+    val d2col = dims.map(i => {
+      val d = col(s"v$i") - col(s"c$i")
+      d * d
+    }).reduce(_ + _)
+    val d2f = base.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"), d2col.as("d2"))
+      .persist()
+    val stats = d2f.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast("decimal(38,0)")).as("sd2"),
+        max(struct(col("d2"), (-col("vec_id")).as("nv"))).as("w"))
+    val flags = d2f.join(broadcast(stats.select(col("label"), col("n_vecs"),
+        col("sd2"))), Seq("label"))
+      .filter(col("d2").cast("decimal(38,0)") * col("n_vecs") >
+        lit(OutlierTau) * col("sd2"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_outliers"))
+    stats.join(flags, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        (-col("w.nv")).as("worst_vec_id"),
+        col("w.d2").as("worst_d2"),
+        expr("(2 * sd2 + n_vecs) div (2 * n_vecs)").cast("long").as("mean_d2"))
+      .orderBy(col("label"))
+  }
+
+  /** The q186 oracle, GENERATED over the [[EmbDim]] dimensions from
+    * the operator's own constants (lever (a)). */
+  private[graft] def embedOutliersOracleSql: String = {
+    val dims = 1 to EmbDim
+    val vCols = dims.map(i =>
+      s"CAST(floor(least(greatest(CAST(embedding[$i] AS DOUBLE), -1.0), 1.0) " +
+        s"* $EmbFixS.0 + 0.5) AS BIGINT) + $EmbFixS AS v$i").mkString(",\n    ")
+    val sCols = dims.map(i => s"CAST(SUM(v$i) AS BIGINT) AS s$i").mkString(", ")
+    val cCols = dims.map(i => s"(2 * s$i + n) // (2 * n) AS c$i").mkString(", ")
+    val d2 = dims.map(i => s"(v$i - c$i) * (v$i - c$i)").mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |    $vCols
+      |  FROM embeddings),
+      |ct AS (SELECT label, COUNT(*) AS n, $sCols FROM e GROUP BY label),
+      |cc AS (SELECT label, n, $cCols FROM ct),
+      |d AS (
+      |  SELECT e.vec_id, e.label, $d2 AS d2
+      |  FROM e JOIN cc ON e.label = cc.label),
+      |st AS (
+      |  SELECT label, COUNT(*) AS n_vecs, CAST(SUM(d2) AS HUGEINT) AS sd2,
+      |    MAX(d2) AS worst_d2
+      |  FROM d GROUP BY label),
+      |wv AS (
+      |  SELECT d.label, MIN(d.vec_id) AS worst_vec_id
+      |  FROM d JOIN st ON d.label = st.label AND d.d2 = st.worst_d2
+      |  GROUP BY d.label),
+      |fl AS (
+      |  SELECT d.label, COUNT(*) AS n_outliers
+      |  FROM d JOIN st ON d.label = st.label
+      |  WHERE CAST(d.d2 AS HUGEINT) * st.n_vecs > $OutlierTau * st.sd2
+      |  GROUP BY d.label)
+      |SELECT st.label, st.n_vecs,
+      |  COALESCE(fl.n_outliers, 0) AS n_outliers,
+      |  wv.worst_vec_id, st.worst_d2,
+      |  CAST((2 * sd2 + st.n_vecs) // (2 * st.n_vecs) AS BIGINT) AS mean_d2
+      |FROM st JOIN wv ON st.label = wv.label
+      |     LEFT JOIN fl ON st.label = fl.label
+      |ORDER BY st.label""".stripMargin
+  }
 }

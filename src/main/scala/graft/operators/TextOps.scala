@@ -800,4 +800,139 @@ object TextOps {
           .as("ttr"))
       .orderBy(col("source"), col("n"))
   }
+
+  // ---- q187 quality-signal correlation (calibration) ---------------
+
+  /** Per-source sample cap for the correlation fit: correlations are
+    * a diagnostic, not a transform, so they run on a DETERMINISTIC
+    * per-source sample (the W2vFitDocCap fit-sample discipline) —
+    * which is ALSO what keeps the Pearson combination n·Σxy − Σx·Σy
+    * int64-EXACT at any corpus size (the n² factor kills raw int64
+    * around 7e4 docs/source). 100 binds at the bench scale (250 docs/source), so the
+    * selection path is exercised by the gate. */
+  private[graft] val CorrSampleK = 100
+  /** Signal clamps keeping every sum bounded: x = words ≤ 3e4,
+    * y = TTR‰ ≤ 1000 by construction, z = mean-word-length‰ ≤ 1e5.
+    * Worst combination ≤ 2·K²·x_max·z_max ≈ 2.4e16 ≪ 2^63. */
+  private[graft] val CorrMaxWords = 30000L
+  private[graft] val CorrMaxWlenPm = 100000L
+
+  /** q187: pairwise Pearson correlation between per-doc quality
+    * signals, per source — the "do our filters agree" calibration
+    * check run before trusting any single signal as an admission
+    * rule (two highly-correlated signals gate the same docs twice; a
+    * sign flip between sources exposes a source where a heuristic
+    * breaks). Signals (all row-local, one scan, shared tokenizer):
+    * doc length x (words, clamped), type-token ratio y (‰, the exact
+    * fixed-point twin of q72's ttr signal), mean word length z (‰).
+    *
+    * Sample selection = the K smallest sampling-hash docs per source
+    * via the bounded TopKByKey heap (score = −hash, ties by doc_id)
+    * — window-free at any corpus size; the ORACLE states the same
+    * set as a rank window (lever (h)).
+    *
+    * Float discipline: every signal is exact int64 fixed-point with
+    * explicit half-up integer division on non-negative operands
+    * (trunc==floor both engines); all ten sums and both Pearson
+    * combinations stay int64-exact under the documented clamps; and
+    * r = num / sqrt(dx·dy) is int64→double casts (correctly rounded
+    * identically), one IEEE multiply, one IEEE sqrt (correctly
+    * rounded BY THE STANDARD, unlike ln/exp), one IEEE division —
+    * bit-identical cross-engine with no rounding step at all. */
+  def signalCorr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, dir)
+    val sel = docs.select(col("doc_id"), col("source"))
+      .groupBy(col("source"))
+      .agg(graft.plans.TopKByKey.topK(CorrSampleK)(col("doc_id"),
+        -CorpusOps.sampleHash(col("doc_id")).cast("double")).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.id").as("doc_id"))
+    val sig = docs.select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("nw"),
+        size(array_distinct(col("t"))).cast("long").as("nd"),
+        aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("tc"))
+      .filter(col("nw") > 0L)
+    val xyz = sig.join(broadcast(sel), Seq("source", "doc_id"))
+      .select(col("source"),
+        least(col("nw"), lit(CorrMaxWords)).as("x"),
+        expr("(1000 * nd + nw div 2) div nw").as("y"),
+        least(expr("(1000 * tc + nw div 2) div nw"), lit(CorrMaxWlenPm))
+          .as("z"))
+    val a = xyz.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def num(sab: Column, sa: Column, sb: Column) =
+      col("n") * sab - sa * sb
+    def den(saa: Column, sa: Column) = col("n") * saa - sa * sa
+    def r(nm: Column, d1: Column, d2: Column): Column =
+      when(d1 === 0L || d2 === 0L, lit(null).cast("double"))
+        .otherwise(nm.cast("double") /
+          sqrt(d1.cast("double") * d2.cast("double")))
+    val (dx, dy, dz) = (den(col("sxx"), col("sx")),
+      den(col("syy"), col("sy")), den(col("szz"), col("sz")))
+    a.select(col("source"), col("n").cast("long").as("n_sample"),
+      r(num(col("sxy"), col("sx"), col("sy")), dx, dy).as("r_len_ttr"),
+      r(num(col("sxz"), col("sx"), col("sz")), dx, dz).as("r_len_wlen"),
+      r(num(col("syz"), col("sy"), col("sz")), dy, dz).as("r_ttr_wlen"))
+      .orderBy(col("source"))
+  }
+
+  /** The q187 oracle, generated from the operator's constants (the
+    * sampling-hash family, K, the clamps). */
+  private[graft] def signalCorrOracleSql: String = {
+    import graft.operators.CorpusOps.{SampleHashC, SampleHashP}
+    s"""WITH sel AS (
+      |  SELECT doc_id, source FROM (
+      |    SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id % $SampleHashP) * $SampleHashC) % $SampleHashP, doc_id) AS rk
+      |    FROM documents) WHERE rk <= $CorrSampleK),
+      |t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+      |      FROM documents),
+      |sig AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(toks) AS BIGINT) AS nw,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(toks, w -> CAST(len(w) AS BIGINT))),
+      |      (a, b) -> a + b) AS tc
+      |  FROM t WHERE len(toks) > 0),
+      |xyz AS (
+      |  SELECT sig.source,
+      |    least(nw, $CorrMaxWords) AS x,
+      |    (1000 * nd + nw // 2) // nw AS y,
+      |    least((1000 * tc + nw // 2) // nw, $CorrMaxWlenPm) AS z
+      |  FROM sig JOIN sel ON sig.doc_id = sel.doc_id AND sig.source = sel.source),
+      |a AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(z) AS BIGINT) AS sz,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+      |    CAST(SUM(z*z) AS BIGINT) AS szz,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*z) AS BIGINT) AS sxz,
+      |    CAST(SUM(y*z) AS BIGINT) AS syz
+      |  FROM xyz GROUP BY source),
+      |b AS (
+      |  SELECT source, n,
+      |    n * sxy - sx * sy AS nxy, n * sxz - sx * sz AS nxz,
+      |    n * syz - sy * sz AS nyz,
+      |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+      |    n * szz - sz * sz AS dz
+      |  FROM a)
+      |SELECT source, CAST(n AS BIGINT) AS n_sample,
+      |  CASE WHEN dx = 0 OR dy = 0 THEN NULL
+      |    ELSE CAST(nxy AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) END AS r_len_ttr,
+      |  CASE WHEN dx = 0 OR dz = 0 THEN NULL
+      |    ELSE CAST(nxz AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dz AS DOUBLE)) END AS r_len_wlen,
+      |  CASE WHEN dy = 0 OR dz = 0 THEN NULL
+      |    ELSE CAST(nyz AS DOUBLE) / sqrt(CAST(dy AS DOUBLE) * CAST(dz AS DOUBLE)) END AS r_ttr_wlen
+      |FROM b ORDER BY source""".stripMargin
+  }
 }

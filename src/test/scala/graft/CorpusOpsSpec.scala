@@ -497,4 +497,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       CorpusOps.piiScrub(col("scrubbed")) =!= col("scrubbed")).count()
     assert(changed == 0L)
   }
+
+  test("q185 source overlap: bounds, non-vacuous, and consistent with the window rule") {
+    val rows = CorpusOps.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty) // cross-source spans exist at every SF
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sh, wa, wb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b)                       // unordered pairs, one row each
+      assert(sh >= 1 && sh <= math.min(wa, wb))
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0)
+    }
+    // a digest shared by k sources yields C(k,2) pair contributions:
+    // total pair count is bounded by the shared-window census from
+    // q84's rule on the SAME shared grid
+    val multi = CorpusOps.windowDigests(spark, sf)
+      .select(col("source"), col("wh")).distinct()
+      .groupBy(col("wh")).agg(countDistinct(col("source")).as("k"))
+      .filter(col("k") > 1)
+      .select(sum(col("k") * (col("k") - 1) / 2).cast("long")).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == multi)
+  }
 }

@@ -395,4 +395,69 @@ class DedupSpec extends AnyFunSuite {
     val cosSet = pairSet(Dedup.tfidfCosine(spark, sf), "doc_a", "doc_b")
     assert(strong.subsetOf(cosSet), s"missing strong pairs: ${strong -- cosSet}")
   }
+
+  test("q188 lsh calibration: valid rates, S-curve monotone across buckets") {
+    val rows = Dedup.lshCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n, f) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(b >= 10 && b <= 20, s"bucket $b outside the s>=0.5 range")
+      assert(f <= n)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= n.toDouble + 1e-6)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-6)
+    }
+    // the S-curve is increasing in s, buckets partition s ascending →
+    // expected_rate must be strictly monotone across non-empty buckets
+    val rates = rows.sortBy(_.getLong(0)).map(_.getDouble(5))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a < b + 1e-12 },
+      rates.mkString(","))
+    // prediction and measurement agree where theory is confident: in
+    // the near-certain region (s >= 0.8 → p > 0.98) recall is ~1
+    rows.filter(_.getLong(0) >= 16).foreach { r =>
+      assert(r.getDouble(4) >= 0.9, s"high-s bucket under-recalled: $r")
+    }
+  }
+
+  test("q186 embed outliers: a planted far vector is flagged and is its label's worst") {
+    // stage a corpus with one adversarial vector: all components at
+    // the clamp boundary (+1), far from any real centroid
+    val staged = java.nio.file.Files.createTempDirectory("graft_emb")
+    val plantedId = 999999L
+    val base = Tables.embeddings(spark, sf)
+    val planted = base.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(spark.range(1).select(
+        lit(plantedId).as("vec_id"),
+        array((1 to SimilaritySearch.EmbDim).map(_ => lit(1.0f)): _*)
+          .as("embedding"),
+        lit(0).as("label")))
+    planted.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staged/embeddings.parquet")
+    val out = SimilaritySearch.embedOutliers(spark, staged.toString).collect()
+    val l0 = out.find(_.getInt(0) == 0).get
+    assert(l0.getLong(2) >= 1L, s"planted outlier not flagged: $l0")
+    assert(l0.getLong(3) == plantedId, s"worst vector is not the plant: $l0")
+    // report invariants on the raw corpus too
+    val raw = SimilaritySearch.embedOutliers(spark, sf).collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      assert(r.getLong(2) < r.getLong(1))       // outliers are a minority
+      assert(r.getLong(4) >= r.getLong(5))      // worst_d2 >= mean_d2
+    }
+  }
+
+  test("q187 signal correlations are valid Pearson values on a bounded sample") {
+    val rows = graft.operators.TextOps.signalCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L &&
+        r.getLong(1) <= graft.operators.TextOps.CorrSampleK)
+      for (i <- 2 to 4; if !r.isNullAt(i)) {
+        val v = r.getDouble(i)
+        assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12, s"r out of range: $v")
+      }
+    }
+    // non-vacuous: length and TTR anti-correlate on natural-ish text
+    assert(rows.exists(r => !r.isNullAt(2) && r.getDouble(2) < 0))
+  }
 }

@@ -491,4 +491,70 @@ class PlanShapeSpec extends AnyFunSuite {
         l.contains("ShuffledHashJoin"))
     assert(joins == 2, s"expected exactly 2 verify joins, got $joins:\n$p")
   }
+
+  test("q182 pii scrub: one scan, row-local regex, no join/window; text never shuffles") {
+    val p = plan(graft.operators.CorpusOps.piiScrubReport(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.split("\n").count(_.contains("FileScan")) == 1, p)
+    // scrubbed text must be consumed by the MAP-SIDE partial agg —
+    // the child of the hash exchange (the next printed line, plans
+    // print root-first) must be the partial HashAggregate, so only
+    // |sources|-row partials ever shuffle
+    val lines = p.linesIterator.toSeq
+    val hashEx = lines.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("hashpartitioning") => i }.get
+    assert(lines(hashEx + 1).contains("partial_"), p)
+  }
+
+  test("q183 zipf slope: head via TopKByKey, window-free at any vocab size") {
+    val p = plan(TextOps.zipfSlope(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q184 distinct-ngrams: per-order two-level aggs, no EXPAND, no join") {
+    val p = plan(TextOps.distinctNgrams(spark, sf))
+    assert(!p.contains("Expand") && !p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q185 source overlap: digest equi-join, never cartesian; counts broadcast") {
+    val p = plan(graft.operators.CorpusOps.sourceOverlap(spark, sf))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q186 embed outliers: wide per-dim sums (no posexplode), centroid broadcasts") {
+    spark.catalog.clearCache() // cache-backed frames defeat plan asserts
+    val p = plan(SimilaritySearch.embedOutliers(spark, sf))
+    // no Generate (posexplode-per-dimension) anywhere — the wide-agg rule
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // every broadcast build side is a bounded aggregate (|labels| rows)
+    val lines = p.linesIterator.toSeq
+    // the build side is Project/Filter dressing over the bounded
+    // aggregate — an Aggregate node must appear within 3 lines
+    val heads = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("BroadcastExchange") =>
+        lines.slice(i + 1, i + 4).mkString("\n")
+    }
+    assert(heads.nonEmpty, p)
+    heads.foreach(h => assert(h.contains("Aggregate"),
+      s"broadcast build side is not the bounded aggregate:\n$h"))
+  }
+
+  test("q188 lsh calibration: rides the disk artifacts, no corpus scan") {
+    val p = plan(Dedup.lshCalibration(spark, sf))
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("graft_"), p) // the staged pair artifacts
+  }
+
+  test("q187 signal corr: sample via TopKByKey (no rank window), signals row-local") {
+    val p = plan(TextOps.signalCorr(spark, sf))
+    assert(!p.contains("Window"), p)
+    // the bounded selection broadcasts against the signal scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
