@@ -216,6 +216,7 @@ object SparkEntry {
     "q187_signal_corr" -> TextOps.signalCorr _,
     "q188_lsh_calibration" -> ((s: SparkSession, d: String) =>
       Dedup.lshCalibration(s, d)),
+    "q189_dedup_savings" -> CorpusOps.dedupSavings _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2372,6 +2373,8 @@ object SparkEntry {
     // q186: generated over the 64 dims from the operator constants
     // (floor fixed-point rule, integer centroid, HUGEINT τ-compare)
     "q186_embed_outliers" -> SimilaritySearch.embedOutliersOracleSql,
+    // q189: three verified granularity fragments composed (lever (d))
+    "q189_dedup_savings" -> CorpusOps.dedupSavingsOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

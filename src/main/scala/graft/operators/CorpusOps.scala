@@ -2003,6 +2003,90 @@ object CorpusOps {
           .cast("long").as("scrub_checksum"))
       .orderBy(col("source"))
 
+  // ---- q189 dedup savings card ------------------------------------
+
+  /** q189: the dedup ROI card — removable token volume at each
+    * exact-dedup granularity in ONE report: whole-doc (q30's
+    * normText digest), fixed 64-token chunks (q77/q81's grid), and
+    * content-defined chunks (q175's kernel). The planning question
+    * dedup ordering starts from: which granularity pays for its pass
+    * at this corpus? (Overlapping-WINDOW spans are deliberately
+    * absent — overlapping units double-count tokens; q119's span
+    * cover is the non-overlapping span accounting and reports
+    * per-source already.)
+    *
+    * Accounting per granularity: units, duplicate units beyond each
+    * group's keeper, total tokens, and tokens removable (keeper
+    * stays; equal content ⇒ equal token counts within a group, so
+    * removed = Σ(group_sum − group_min)). savings_pct = one raw IEEE
+    * division of exact longs (lever (c)).
+    *
+    * Scale shape: three one-scan pipelines, each shuffling (digest,
+    * count-partials) only — the q30/q81/q175 shapes unchanged — into
+    * a 3-row union. Every rule is the SAME shared def its standalone
+    * query gates (normText, chunks, cdcChunkFrame). */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    def rollup(keyed: DataFrame, gran: String): DataFrame =
+      keyed
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), sum(col("nt")).as("snt"),
+          min(col("nt")).as("mnt"))
+        .agg(sum(col("cnt")).as("n_units"),
+          sum(col("cnt") - 1L).as("n_dup_units"),
+          sum(col("snt")).as("tokens_total"),
+          sum(col("snt") - col("mnt")).as("tokens_removed"))
+        .select(lit(gran).as("granularity"), col("n_units"),
+          col("n_dup_units"), col("tokens_total"), col("tokens_removed"))
+    val doc = rollup(Tables.documents(spark, dir)
+      .select(md5(Dedup.normText).as("k"),
+        graft.functions.TextFns.tokenCount(col("text")).as("nt")), "doc")
+    val ch64 = rollup(chunks(spark, dir)
+      .select(col("chunk_hash").as("k"), col("chunk_tokens").as("nt")),
+      "chunk64")
+    val cdc = rollup(cdcChunkFrame(Tables.documents(spark, dir))
+      .select(col("fp").cast("string").as("k"), col("n_tok").as("nt")), "cdc")
+    doc.unionByName(ch64).unionByName(cdc)
+      .select(col("granularity"), col("n_units"), col("n_dup_units"),
+        col("tokens_total"), col("tokens_removed"),
+        (col("tokens_removed").cast("double") /
+          col("tokens_total").cast("double")).as("savings_pct"))
+      .orderBy(col("granularity"))
+  }
+
+  /** The q189 oracle: the three verified granularity fragments (q30
+    * digest, the [[ChunkSize]]-generated chunk grid, the generated
+    * [[cdcChunkCteSql]] chain) composed into one WITH (lever (d)). */
+  private[graft] def dedupSavingsOracleSql: String = {
+    val roll = "COUNT(*) AS c, CAST(SUM(nt) AS BIGINT) AS s, MIN(nt) AS m"
+    val card = "CAST(SUM(c) AS BIGINT) AS n_units, " +
+      "CAST(SUM(c - 1) AS BIGINT) AS n_dup_units, " +
+      "CAST(SUM(s) AS BIGINT) AS tokens_total, " +
+      "CAST(SUM(s - m) AS BIGINT) AS tokens_removed"
+    s"""WITH dh AS (
+      |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+      |  FROM documents),
+      |dg AS (SELECT k, $roll FROM dh GROUP BY k),
+      |d AS (SELECT 'doc' AS granularity, $card FROM dg),
+      |ct AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      |       FROM documents),
+      |cc AS (
+      |  SELECT md5(array_to_string(
+      |      toks[CAST(ci*$ChunkSize+1 AS BIGINT):CAST(ci*$ChunkSize+$ChunkSize AS BIGINT)], ' ')) AS k,
+      |    CAST(least($ChunkSize, len(toks) - ci*$ChunkSize) AS BIGINT) AS nt
+      |  FROM ct, UNNEST(range(0, CAST(ceil(len(toks) / $ChunkSize.0) AS BIGINT))) AS u(ci)),
+      |cg AS (SELECT k, $roll FROM cc GROUP BY k),
+      |c AS (SELECT 'chunk64' AS granularity, $card FROM cg),
+      |${cdcChunkCteSql("documents", "text", "z")},
+      |zg AS (SELECT CAST(fp AS VARCHAR) AS k, n_tok AS nt FROM zch),
+      |zr AS (SELECT k, $roll FROM zg GROUP BY k),
+      |z AS (SELECT 'cdc' AS granularity, $card FROM zr)
+      |SELECT granularity, n_units, n_dup_units, tokens_total, tokens_removed,
+      |  CAST(tokens_removed AS DOUBLE) / CAST(tokens_total AS DOUBLE) AS savings_pct
+      |FROM (SELECT * FROM d UNION ALL SELECT * FROM c UNION ALL SELECT * FROM z)
+      |ORDER BY granularity""".stripMargin
+  }
+
   // ---- q185 cross-source overlap matrix --------------------------
 
   /** q185: cross-source duplicated-SPAN overlap matrix — for every

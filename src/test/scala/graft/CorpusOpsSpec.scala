@@ -498,6 +498,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(changed == 0L)
   }
 
+  test("q189 dedup savings: each granularity row matches its standalone query's accounting") {
+    val rows = CorpusOps.dedupSavings(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == Set("doc", "chunk64", "cdc"))
+    rows.values.foreach { case (n, d, t, rm, pct) =>
+      assert(d < n && rm < t)
+      assert(pct >= 0.0 && pct < 1.0)
+    }
+    // doc == q30: dup units = sum(cluster_size - 1)
+    val q30dups = Dedup.exact(spark, sf).collect()
+      .map(r => r.getLong(2) - 1).sum
+    assert(rows("doc")._2 == q30dups)
+    // chunk64 == q81: dup units = sum(n_chunks - n_kept)
+    val q81 = CorpusOps.chunkDedup(spark, sf).collect()
+    assert(rows("chunk64")._2 == q81.map(r => r.getLong(1) - r.getLong(2)).sum)
+    // cdc == q175: dup units = chunks where kept = false
+    val q175 = CorpusOps.cdcChunks(spark, sf).collect()
+    assert(rows("cdc")._2 == q175.count(!_.getBoolean(5)))
+    assert(rows("cdc")._4 == q175.filter(!_.getBoolean(5)).map(_.getLong(2)).sum)
+  }
+
   test("q185 source overlap: bounds, non-vacuous, and consistent with the window rule") {
     val rows = CorpusOps.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty) // cross-source spans exist at every SF
