@@ -217,6 +217,7 @@ object SparkEntry {
     "q188_lsh_calibration" -> ((s: SparkSession, d: String) =>
       Dedup.lshCalibration(s, d)),
     "q189_dedup_savings" -> CorpusOps.dedupSavings _,
+    "q190_embed_admit" -> SimilaritySearch.embedAdmit _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2375,6 +2376,9 @@ object SparkEntry {
     "q186_embed_outliers" -> SimilaritySearch.embedOutliersOracleSql,
     // q189: three verified granularity fragments composed (lever (d))
     "q189_dedup_savings" -> CorpusOps.dedupSavingsOracleSql,
+    // q190: q186's generated fragments + the q86 residue split; LEFT
+    // JOIN keeps the fail-closed rule
+    "q190_embed_admit" -> SimilaritySearch.embedAdmitOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -586,21 +586,34 @@ object SimilaritySearch {
     * d²) frame is persisted for its two consumers (stats + flag
     * count) — at 100 TB that second consumer re-scans instead
     * (documented; both passes are map-side). */
-  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared q186/q190 building blocks, one def each (copies
+    * drift): fixed-point vector columns, integer centroid, row-local
+    * d² against a broadcast centroid table. */
+  private[graft] def fixedVectors(df: DataFrame): DataFrame = {
     val dims = 1 to EmbDim
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id") +: col("label") +: dims.map(vFix): _*)
-    val cent = base.groupBy(col("label"))
+    df.select(col("vec_id") +: col("label") +: dims.map(vFix): _*)
+  }
+
+  private[graft] def centroidOf(base: DataFrame): DataFrame = {
+    val dims = 1 to EmbDim
+    base.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         dims.map(i => sum(col(s"v$i")).as(s"s$i")): _*)
       .select(col("label") +: col("n") +:
         dims.map(i => expr(s"(2 * s$i + n) div (2 * n)").as(s"c$i")): _*)
-    val d2col = dims.map(i => {
+  }
+
+  private[graft] def d2Col: Column =
+    (1 to EmbDim).map { i =>
       val d = col(s"v$i") - col(s"c$i")
       d * d
-    }).reduce(_ + _)
+    }.reduce(_ + _)
+
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = fixedVectors(Tables.embeddings(spark, dir))
+    val cent = centroidOf(base)
     val d2f = base.join(broadcast(cent), Seq("label"))
-      .select(col("label"), col("vec_id"), d2col.as("d2"))
+      .select(col("label"), col("vec_id"), d2Col.as("d2"))
       .persist()
     val stats = d2f.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -620,16 +633,25 @@ object SimilaritySearch {
       .orderBy(col("label"))
   }
 
+  // The q186/q190 generated-SQL fragments, one def each (shared by
+  // both oracles — the lever-(a)/(t) discipline).
+  private def embedVColsSql: String = (1 to EmbDim).map(i =>
+    s"CAST(floor(least(greatest(CAST(embedding[$i] AS DOUBLE), -1.0), 1.0) " +
+      s"* $EmbFixS.0 + 0.5) AS BIGINT) + $EmbFixS AS v$i").mkString(",\n    ")
+  private def embedSColsSql: String =
+    (1 to EmbDim).map(i => s"CAST(SUM(v$i) AS BIGINT) AS s$i").mkString(", ")
+  private def embedCColsSql: String =
+    (1 to EmbDim).map(i => s"(2 * s$i + n) // (2 * n) AS c$i").mkString(", ")
+  private def embedD2Sql: String =
+    (1 to EmbDim).map(i => s"(v$i - c$i) * (v$i - c$i)").mkString(" + ")
+
   /** The q186 oracle, GENERATED over the [[EmbDim]] dimensions from
     * the operator's own constants (lever (a)). */
   private[graft] def embedOutliersOracleSql: String = {
-    val dims = 1 to EmbDim
-    val vCols = dims.map(i =>
-      s"CAST(floor(least(greatest(CAST(embedding[$i] AS DOUBLE), -1.0), 1.0) " +
-        s"* $EmbFixS.0 + 0.5) AS BIGINT) + $EmbFixS AS v$i").mkString(",\n    ")
-    val sCols = dims.map(i => s"CAST(SUM(v$i) AS BIGINT) AS s$i").mkString(", ")
-    val cCols = dims.map(i => s"(2 * s$i + n) // (2 * n) AS c$i").mkString(", ")
-    val d2 = dims.map(i => s"(v$i - c$i) * (v$i - c$i)").mkString(" + ")
+    val vCols = embedVColsSql
+    val sCols = embedSColsSql
+    val cCols = embedCColsSql
+    val d2 = embedD2Sql
     s"""WITH e AS (
       |  SELECT vec_id, label,
       |    $vCols
@@ -659,5 +681,88 @@ object SimilaritySearch {
       |FROM st JOIN wv ON st.label = wv.label
       |     LEFT JOIN fl ON st.label = fl.label
       |ORDER BY st.label""".stripMargin
+  }
+
+  // ---- q190 embedding admission at ingest --------------------------
+
+  /** The store's per-label gate artifact: integer centroid + vector
+    * count + exact Σd² over the STORE vectors (q86's residue split
+    * keyed on vec_id). |labels|-row bounded — the broadcast/stream-
+    * static side of every admission. */
+  private[graft] def embedStoreStats(spark: SparkSession, dir: String): DataFrame = {
+    val store = fixedVectors(
+      Tables.embeddings(spark, dir).filter(!isBatchVec))
+    val cent = centroidOf(store)
+    val sd2 = store.join(broadcast(cent), Seq("label"))
+      .select(col("label"), d2Col.as("d2"))
+      .groupBy(col("label"))
+      .agg(sum(col("d2").cast("decimal(38,0)")).as("sd2"))
+    cent.join(sd2, Seq("label"))
+  }
+
+  /** THE admission projection, one def (batch report + ingest twin —
+    * copies drift): each vector's exact d² against the store's
+    * centroid and the fail-closed verdict — admitted iff its label
+    * HAS store stats AND d²·n_store ≤ τ·Σd²_store (the q186 rule with
+    * thresholds frozen from the store). Row-local after the bounded
+    * stats join, so it runs unchanged on a vector stream
+    * (StreamOps.embedAdmitStream). */
+  private[graft] def embedAdmitProjection(vecs: DataFrame,
+      stats: DataFrame): DataFrame =
+    fixedVectors(vecs)
+      .join(broadcast(stats), Seq("label"), "left")
+      .select(col("vec_id"), col("label"),
+        when(col("n").isNull, lit(null).cast("long"))
+          .otherwise(d2Col).as("d2"),
+        when(col("n").isNull, lit(false))
+          .otherwise(d2Col.cast("decimal(38,0)") * col("n") <=
+            lit(OutlierTau) * col("sd2")).as("admitted"))
+
+  /** q190: embedding ADMISSION at ingest — q186's quality gate in
+    * steady state (q96/q92's shape on the vector side): arriving
+    * vectors (q86's residue split on vec_id) are gated against the
+    * STORE's frozen centroid statistics, never against themselves —
+    * a batch of correlated junk must not be able to vouch for itself
+    * by dragging the centroid toward it. Fail-closed: a label the
+    * store has never seen is rejected (a compliance stance, not an
+    * optimization — cf. the suppression-list and q170 gates).
+    *
+    * Exactness: the store artifact and every per-vector d² are the
+    * q186 integer pipeline unchanged, and the admission compare runs
+    * in DECIMAL(38,0)/HUGEINT — the whole steady-state gate is
+    * oracle-checked. Scale shape: the artifact is |labels| rows; the
+    * batch side is one scan + broadcast join + row-local d²; nothing
+    * batch-sized shuffles before the presentation ORDER BY. */
+  def embedAdmit(spark: SparkSession, dir: String): DataFrame =
+    embedAdmitProjection(
+      Tables.embeddings(spark, dir).filter(isBatchVec),
+      embedStoreStats(spark, dir))
+      .orderBy(col("vec_id"))
+
+  /** The q190 oracle: the shared generated fragments with the store/
+    * batch residue split; LEFT JOIN keeps the fail-closed rule. */
+  private[graft] def embedAdmitOracleSql: String = {
+    import graft.operators.CorpusOps.{SampleHashC, SampleHashP}
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |    ((vec_id % $SampleHashP) * $SampleHashC) % $SampleHashP % 10 = 3 AS is_batch,
+      |    $embedVColsSql
+      |  FROM embeddings),
+      |st AS (SELECT * FROM e WHERE NOT is_batch),
+      |ct AS (SELECT label, COUNT(*) AS n, $embedSColsSql FROM st GROUP BY label),
+      |cc AS (SELECT label, n, $embedCColsSql FROM ct),
+      |sd AS (
+      |  SELECT st.label, CAST(SUM($embedD2Sql) AS HUGEINT) AS sd2
+      |  FROM st JOIN cc ON st.label = cc.label GROUP BY st.label),
+      |ba AS (SELECT * FROM e WHERE is_batch),
+      |d AS (
+      |  SELECT ba.vec_id, ba.label, cc.n, sd.sd2,
+      |    CASE WHEN cc.n IS NULL THEN NULL ELSE $embedD2Sql END AS d2
+      |  FROM ba LEFT JOIN cc ON ba.label = cc.label
+      |          LEFT JOIN sd ON ba.label = sd.label)
+      |SELECT vec_id, label, d2,
+      |  CASE WHEN n IS NULL THEN FALSE
+      |    ELSE CAST(d2 AS HUGEINT) * n <= $OutlierTau * sd2 END AS admitted
+      |FROM d ORDER BY vec_id""".stripMargin
   }
 }

@@ -578,6 +578,28 @@ object StreamOps {
   def piiScrubBatch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.CorpusOps.piiProjection(Tables.documents(spark, dir))
 
+  /** q190's INGEST twin: arriving vectors gated against the STORE's
+    * frozen centroid artifact (the shared embedAdmitProjection — ONE
+    * def, batch == stream). The artifact is a |labels|-row static
+    * frame derived from `staticDir` once and stream-static-joined, so
+    * the per-vector work is row-local d² + one bounded broadcast —
+    * fail-closed (unknown label ⇒ rejected) before any arriving
+    * vector can reach an index or a training shard. Parity spec in
+    * MlStreamSpec: replayed file == the batch projection
+    * vector-for-vector. */
+  def embedAdmitStream(spark: SparkSession, embDir: String,
+      staticDir: String): DataFrame =
+    graft.operators.SimilaritySearch.embedAdmitProjection(
+      streamEmbeddings(spark, embDir),
+      graft.operators.SimilaritySearch.embedStoreStats(spark, staticDir))
+
+  /** Batch side of the q190 parity contract (same shared def, same
+    * store artifact, applied to the FULL file the stream replays). */
+  def embedAdmitBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilaritySearch.embedAdmitProjection(
+      Tables.embeddings(spark, dir),
+      graft.operators.SimilaritySearch.embedStoreStats(spark, dir))
+
   case class BucketState(rep: Long)
   case class DupCandidate(band: Int, key: Long, rep_doc: Long, doc_id: Long)
 
@@ -699,7 +721,7 @@ object StreamOps {
       .orderBy(col("t"), col("bucket"), col("vec_id"))
   }
 
-  private def streamEmbeddings(spark: SparkSession, embDir: String): DataFrame =
+  private[graft] def streamEmbeddings(spark: SparkSession, embDir: String): DataFrame =
     spark.readStream.schema(StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),

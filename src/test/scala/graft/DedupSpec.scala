@@ -446,6 +446,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 embed admit: clean batch admits; a planted far batch vector is rejected") {
+    // raw corpus: every batch vector should pass the 3x-mean gate
+    val raw = SimilaritySearch.embedAdmit(spark, sf).collect()
+    assert(raw.nonEmpty)
+    assert(raw.forall(_.getBoolean(3)), "clean corpus rejected a vector")
+    // plant: first id >= 10^6 landing in the batch residue (the
+    // SAME arithmetic as CorpusOps.sampleHash — compile-time link)
+    val p = graft.operators.CorpusOps.SampleHashP
+    val c = graft.operators.CorpusOps.SampleHashC
+    val plantedId = Iterator.from(1000000)
+      .find(id => ((id % p) * c) % p % 10 == 3).get.toLong
+    val staged = java.nio.file.Files.createTempDirectory("graft_emb_admit")
+    Tables.embeddings(spark, sf)
+      .unionByName(spark.range(1).select(
+        lit(plantedId).as("vec_id"),
+        array((1 to SimilaritySearch.EmbDim).map(_ => lit(1.0f)): _*)
+          .as("embedding"),
+        lit(0).as("label")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staged/embeddings.parquet")
+    val out = SimilaritySearch.embedAdmit(spark, staged.toString).collect()
+    val plant = out.find(_.getLong(0) == plantedId).get
+    assert(!plant.getBoolean(3), s"far batch vector admitted: $plant")
+    // fail-closed: a label the store never saw is rejected with null d2
+    val labelOnly = Iterator.from(2000000)
+      .find(id => ((id % p) * c) % p % 10 == 3).get.toLong
+    val staged2 = java.nio.file.Files.createTempDirectory("graft_emb_admit2")
+    Tables.embeddings(spark, sf)
+      .unionByName(spark.range(1).select(
+        lit(labelOnly).as("vec_id"),
+        array((1 to SimilaritySearch.EmbDim).map(_ => lit(0.1f)): _*)
+          .as("embedding"),
+        lit(99).as("label")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staged2/embeddings.parquet")
+    val out2 = SimilaritySearch.embedAdmit(spark, staged2.toString).collect()
+    val orphan = out2.find(_.getLong(0) == labelOnly).get
+    assert(!orphan.getBoolean(3) && orphan.isNullAt(2), s"unknown label admitted: $orphan")
+  }
+
   test("q187 signal correlations are valid Pearson values on a bounded sample") {
     val rows = graft.operators.TextOps.signalCorr(spark, sf).collect()
     assert(rows.nonEmpty)

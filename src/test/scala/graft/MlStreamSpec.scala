@@ -293,6 +293,27 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("embed-admit-at-ingest matches the q190 batch projection vector for vector") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_embadm")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      staged.resolve("embeddings.parquet"))
+    val q = StreamOps.embedAdmitStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("embadm_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))
+      val streamed = spark.table("embadm_test").collect().map(key).toSet
+      val batch = StreamOps.embedAdmitBatch(spark, sf).collect().map(key).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: lower-bound invariant at small k, exact at large k") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft_mg")
