@@ -218,6 +218,7 @@ object SparkEntry {
       Dedup.lshCalibration(s, d)),
     "q189_dedup_savings" -> CorpusOps.dedupSavings _,
     "q190_embed_admit" -> SimilaritySearch.embedAdmit _,
+    "q191_rec_ndcg" -> WordItemApp.recNdcg _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -3152,45 +3153,18 @@ object SparkEntry {
     // the key is reduced mod p BEFORE the multiplicative mix so both
     // engines stay in BIGINT range at any id scale.
     "q157_rec_eval" ->
-      s"""WITH ui AS (
-        |  SELECT DISTINCT user_id,
-        |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
-        |  FROM events WHERE event_type = 'click'),
-        |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
-        |tagged AS (
-        |  SELECT user_id, item,
-        |    ((user_id % ${WordItemApp.SplitP} * 1009 + item) % ${WordItemApp.SplitP})
-        |      * ${WordItemApp.SplitC}
-        |      % ${WordItemApp.SplitP} % ${WordItemApp.SplitMod} = 0 AS is_test
-        |  FROM uif),
-        |train AS (SELECT user_id, item FROM tagged WHERE NOT is_test),
-        |test AS MATERIALIZED (SELECT user_id, item FROM tagged WHERE is_test),
-        |topm AS (
-        |  SELECT item, pop_rank FROM (
-        |    SELECT item, COUNT(*) AS n_clicks,
-        |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS pop_rank
-        |    FROM train GROUP BY item) WHERE pop_rank <= ${WordItemApp.RecTopM}),
-        |users AS (SELECT DISTINCT user_id FROM test),
-        |recs AS (
-        |  SELECT u.user_id, t.item,
-        |    ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY t.pop_rank) AS rec_rank
-        |  FROM users u CROSS JOIN topm t
-        |  LEFT JOIN train tr ON tr.user_id = u.user_id AND tr.item = t.item
-        |  WHERE tr.item IS NULL),
+      (RecChainCte + s""",
         |pu AS (
-        |  SELECT r.user_id, COUNT(*) AS n_rec,
-        |    CAST(SUM(CASE WHEN te.item IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-        |  FROM recs r LEFT JOIN test te
-        |    ON te.user_id = r.user_id AND te.item = r.item
-        |  WHERE r.rec_rank <= ${WordItemApp.RecK} GROUP BY 1),
+        |  SELECT user_id, COUNT(*) AS n_rec,
+        |    CAST(SUM(hit) AS BIGINT) AS n_hit, MIN(n_test) AS n_test
+        |  FROM sc GROUP BY 1),
         |m AS (
-        |  SELECT pu.user_id, pu.n_rec, pu.n_hit, tc.n_test,
+        |  SELECT pu.user_id, pu.n_rec, pu.n_hit, pu.n_test,
         |    CAST(round(CAST(pu.n_hit AS DOUBLE) / CAST(pu.n_rec AS DOUBLE), 6)
         |      AS DECIMAL(18,6)) AS p_u,
-        |    CAST(round(CAST(pu.n_hit AS DOUBLE) / CAST(tc.n_test AS DOUBLE), 6)
+        |    CAST(round(CAST(pu.n_hit AS DOUBLE) / CAST(pu.n_test AS DOUBLE), 6)
         |      AS DECIMAL(18,6)) AS r_u
-        |  FROM pu JOIN (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1) tc
-        |    USING (user_id))
+        |  FROM pu)
         |SELECT COUNT(*) AS n_users,
         |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_hit,
         |  CAST(SUM(n_hit) AS BIGINT) AS total_hits,
@@ -3200,8 +3174,82 @@ object SparkEntry {
         |    CAST(COUNT(*) AS DOUBLE) AS macro_precision,
         |  CAST(CAST(SUM(r_u) AS DECIMAL(18,6)) AS DOUBLE) /
         |    CAST(COUNT(*) AS DOUBLE) AS macro_recall
-        |FROM m""".stripMargin,
+        |FROM m""").stripMargin,
+    // q191: the same scored chain, closed by the nDCG/MRR rollup;
+    // gain terms round(,6)→DECIMAL before every sum (lever (i)); the
+    // IDCG table is the same rounded gain expression cumulated
+    "q191_rec_ndcg" ->
+      (RecChainCte + s""",
+        |g AS (
+        |  SELECT i, CAST(round(CAST(1 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0), 6)
+        |    AS DECIMAL(18,6)) AS g
+        |  FROM range(1, ${WordItemApp.RecK + 1}) t(i)),
+        |gc AS (
+        |  SELECT i AS k, CAST(SUM(g) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+        |    AS DECIMAL(18,6)) AS idcg
+        |  FROM g),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN hit = 1
+        |      THEN CAST(round(CAST(1 AS DOUBLE) / log2(CAST(rec_rank AS DOUBLE) + 1.0), 6)
+        |        AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS dcg,
+        |    MIN(CASE WHEN hit = 1 THEN rec_rank END) AS first_hit,
+        |    least(MIN(n_test), ${WordItemApp.RecK}) AS k
+        |  FROM sc GROUP BY 1),
+        |u AS (
+        |  SELECT pu.user_id, first_hit,
+        |    CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) AS ndcg,
+        |    CASE WHEN first_hit IS NULL THEN CAST(0 AS DOUBLE)
+        |      ELSE round(CAST(1 AS DOUBLE) / CAST(first_hit AS DOUBLE), 6) END AS rr
+        |  FROM pu JOIN gc ON pu.k = gc.k)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_users_hit,
+        |  CAST(CAST(SUM(CAST(round(ndcg, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS macro_ndcg,
+        |  CAST(CAST(SUM(CAST(rr AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS macro_mrr
+        |FROM u""").stripMargin,
   )
+
+  /** The q157/q191 shared scored-candidate chain (one def, mirroring
+    * WordItemApp.recScored): popularity recs for test users with the
+    * hit flag and per-user test size, capped at RecK. */
+  private def RecChainCte: String =
+    s"""WITH ui AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
+      |  FROM events WHERE event_type = 'click'),
+      |uif AS (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
+      |tagged AS (
+      |  SELECT user_id, item,
+      |    ((user_id % ${WordItemApp.SplitP} * 1009 + item) % ${WordItemApp.SplitP})
+      |      * ${WordItemApp.SplitC}
+      |      % ${WordItemApp.SplitP} % ${WordItemApp.SplitMod} = 0 AS is_test
+      |  FROM uif),
+      |train AS (SELECT user_id, item FROM tagged WHERE NOT is_test),
+      |test AS MATERIALIZED (SELECT user_id, item FROM tagged WHERE is_test),
+      |topm AS (
+      |  SELECT item, pop_rank FROM (
+      |    SELECT item, COUNT(*) AS n_clicks,
+      |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS pop_rank
+      |    FROM train GROUP BY item) WHERE pop_rank <= ${WordItemApp.RecTopM}),
+      |users AS (SELECT DISTINCT user_id FROM test),
+      |recs AS (
+      |  SELECT u.user_id, t.item,
+      |    ROW_NUMBER() OVER (PARTITION BY u.user_id ORDER BY t.pop_rank) AS rec_rank
+      |  FROM users u CROSS JOIN topm t
+      |  LEFT JOIN train tr ON tr.user_id = u.user_id AND tr.item = t.item
+      |  WHERE tr.item IS NULL),
+      |tc AS (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1),
+      |sc AS (
+      |  SELECT r.user_id, r.item, r.rec_rank,
+      |    CASE WHEN te.item IS NOT NULL THEN 1 ELSE 0 END AS hit, tc.n_test
+      |  FROM recs r
+      |  LEFT JOIN test te ON te.user_id = r.user_id AND te.item = r.item
+      |  JOIN tc ON tc.user_id = r.user_id
+      |  WHERE r.rec_rank <= ${WordItemApp.RecK})""".stripMargin
 
   /** q145 oracle GENERATED from GraphOps' own constants (iteration
     * count, damping, per-step rounding scale, support threshold) —

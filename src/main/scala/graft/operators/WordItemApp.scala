@@ -174,7 +174,11 @@ object WordItemApp {
     * once. Float discipline: per-user precision/recall divide exact
     * ints (identical IEEE), round(,6)-ed then decimal-summed; the
     * macro means are RAW quotients of exact operands (lever (k)). */
-  def recEval(spark: SparkSession, dir: String): DataFrame = {
+  /** The SHARED q157/q191 scored-candidate frame (one def — the two
+    * eval queries must grade the same recommendations): per test
+    * user, the ≤[[RecK]] popularity-ranked unseen candidates with
+    * the test-hit flag and the user's test size. */
+  private[graft] def recScored(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clicks = userItemClicks(spark, dir)
     val isTest =
@@ -194,13 +198,20 @@ object WordItemApp {
       .withColumn("rec_rank", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("pop_rank"))).cast("long"))
       .filter(col("rec_rank") <= RecK)
-    val perUser = recs
+    recs
       .join(test.withColumn("hit", lit(1L)), Seq("user_id", "item"), "left")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_rec"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .join(test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test")),
         Seq("user_id"))
+      .select(col("user_id"), col("item"), col("rec_rank"),
+        coalesce(col("hit"), lit(0L)).as("hit"), col("n_test"))
+  }
+
+  def recEval(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = recScored(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rec"),
+        sum(col("hit")).as("n_hit"),
+        min(col("n_test")).as("n_test"))
       .withColumn("p_u",
         round(col("n_hit").cast("double") / col("n_rec").cast("double"), 6)
           .cast("decimal(18,6)"))
@@ -217,5 +228,62 @@ object WordItemApp {
         count(lit(1)).cast("double")).as("macro_precision"),
       (sum(col("r_u")).cast("decimal(18,6)").cast("double") /
         count(lit(1)).cast("double")).as("macro_recall"))
+  }
+
+  /** q191: RANKING quality for the same recommendations — nDCG@K and
+    * MRR@K macro-averaged over test users (hit_rate/precision/recall
+    * in q157 say WHETHER the list contains test items; these say
+    * WHERE — the metric a ranker is actually tuned on; Järvelin &
+    * Kekäläinen 2002). Binary gains: DCG = Σ_hits 1/log2(rank+1),
+    * ideal DCG from min(n_test, K) leading ranks, RR = 1/first-hit
+    * rank.
+    *
+    * Float discipline: log2 is the one 1-ulp-risky op → each gain
+    * term rounds to DECIMAL(18,6) before the ≤K-term exact sums
+    * (lever (i), PSI's boundedness argument); the IDCG table is a
+    * K-row cumulative-sum broadcast built from the SAME rounded
+    * gain expression; ndcg_u = one IEEE division of identically-
+    * derived doubles; macro means follow q157's round→decimal→raw-
+    * quotient pattern. 1/rank at 6 decimals has no half-boundary for
+    * rank ≤ K (verified by enumeration: .333333|3, .142857|1, …).
+    *
+    * Scale shape: rides the SAME shared scored frame as q157 (the
+    * users×K-bounded candidate table); the gains table is K rows;
+    * one user-keyed agg + one broadcast join. */
+  def recNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gain(rank: Column): Column =
+      round(lit(1.0d) / log2(rank.cast("double") + lit(1.0d)), 6)
+        .cast("decimal(18,6)")
+    val gains = spark.range(1, RecK + 1)
+      .select(col("id").as("i"), gain(col("id")).as("g"))
+      .withColumn("idcg", sum(col("g")).over(
+        Window.orderBy(col("i")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("decimal(18,6)"))
+      .select(col("i").as("k"), col("idcg"))
+    val perUser = recScored(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("hit") === 1L, gain(col("rec_rank")))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("dcg"),
+        min(when(col("hit") === 1L, col("rec_rank"))).as("first_hit"),
+        min(col("n_test")).as("n_test"))
+      .withColumn("k", least(col("n_test"), lit(RecK.toLong)))
+      .join(broadcast(gains), Seq("k"))
+      .withColumn("ndcg",
+        col("dcg").cast("double") / col("idcg").cast("double"))
+      .withColumn("rr", when(col("first_hit").isNull, lit(0.0d))
+        .otherwise(round(lit(1.0d) / col("first_hit").cast("double"), 6)))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("first_hit").isNotNull, 1L).otherwise(0L))
+        .as("n_users_hit"),
+      (sum(round(col("ndcg"), 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)").cast("double") /
+        count(lit(1)).cast("double")).as("macro_ndcg"),
+      (sum(col("rr").cast("decimal(18,6)")).cast("decimal(18,6)")
+        .cast("double") /
+        count(lit(1)).cast("double")).as("macro_mrr"))
   }
 }

@@ -486,6 +486,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!orphan.getBoolean(3) && orphan.isNullAt(2), s"unknown label admitted: $orphan")
   }
 
+  test("q191 ndcg/mrr: bounded metrics, user accounting matches q157 (shared chain)") {
+    import graft.operators.WordItemApp
+    val n = WordItemApp.recNdcg(spark, sf).collect().head
+    val e = WordItemApp.recEval(spark, sf).collect().head
+    assert(n.getLong(0) == e.getLong(0)) // n_users
+    assert(n.getLong(1) == e.getLong(1)) // n_users_hit
+    assert(n.getDouble(2) >= 0.0 && n.getDouble(2) <= 1.0) // macro_ndcg
+    assert(n.getDouble(3) >= 0.0 && n.getDouble(3) <= 1.0) // macro_mrr
+    // MRR >= nDCG contribution of a single first hit is not a general
+    // invariant, but both must be 0 iff no user hit anything
+    assert((n.getLong(1) == 0) == (n.getDouble(2) == 0.0))
+    assert(n.getLong(1) > 0) // the eval is non-vacuous at every SF
+  }
+
   test("q187 signal correlations are valid Pearson values on a bounded sample") {
     val rows = graft.operators.TextOps.signalCorr(spark, sf).collect()
     assert(rows.nonEmpty)
