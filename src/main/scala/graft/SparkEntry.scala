@@ -219,6 +219,7 @@ object SparkEntry {
     "q189_dedup_savings" -> CorpusOps.dedupSavings _,
     "q190_embed_admit" -> SimilaritySearch.embedAdmit _,
     "q191_rec_ndcg" -> WordItemApp.recNdcg _,
+    "q192_embed_drift" -> SimilaritySearch.embedDrift _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2380,6 +2381,8 @@ object SparkEntry {
     // q190: q186's generated fragments + the q86 residue split; LEFT
     // JOIN keeps the fail-closed rule
     "q190_embed_admit" -> SimilaritySearch.embedAdmitOracleSql,
+    // q192: the shared fragments instantiated for both residue sides
+    "q192_embed_drift" -> SimilaritySearch.embedDriftOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

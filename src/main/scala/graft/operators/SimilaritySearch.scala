@@ -739,6 +739,90 @@ object SimilaritySearch {
       embedStoreStats(spark, dir))
       .orderBy(col("vec_id"))
 
+  /** q192: embedding DRIFT report — per label, how far the arriving
+    * batch's centroid sits from the store's (the vector-side twin of
+    * q140's PSI gate: a retrained encoder, a new crawl domain, or a
+    * poisoning attempt all show up as centroid shift before any
+    * downstream metric moves). Purely descriptive — counts, the
+    * exact integer shift² between the two integer centroids
+    * (≤ 64·(2S)², int64 at any scale), each side's quantized mean
+    * d², and shift²/store_mean_d² as one raw IEEE division. FULL
+    * join: a label seen on only one side reports with nulls — the
+    * appearance/disappearance of a label IS drift.
+    *
+    * Exactness: both centroids and both mean d²'s are the shared
+    * q186/q190 integer defs; every output is int64 or one division
+    * of identically-cast doubles — oracle-gated end to end. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    def sideStats(pred: Column, p: String): DataFrame = {
+      val side = fixedVectors(
+        Tables.embeddings(spark, dir).filter(pred))
+      val cent = centroidOf(side)
+      val md2 = side.join(broadcast(cent), Seq("label"))
+        .select(col("label"), d2Col.as("d2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2").cast("decimal(38,0)")).as("sd2"))
+        .select(col("label"), col("n").as(s"n_$p"),
+          expr("(2 * sd2 + n) div (2 * n)").cast("long").as(s"mean_d2_$p"))
+      cent.select(col("label") +:
+        (1 to EmbDim).map(i => col(s"c$i").as(s"${p}_c$i")): _*)
+        .join(md2, Seq("label"))
+    }
+    val st = sideStats(!isBatchVec, "store")
+    val ba = sideStats(isBatchVec, "batch")
+    val shift = (1 to EmbDim).map { i =>
+      val d = col(s"store_c$i") - col(s"batch_c$i")
+      d * d
+    }.reduce(_ + _)
+    st.join(ba, Seq("label"), "full")
+      .select(col("label"), col("n_store"), col("n_batch"),
+        shift.as("shift_d2"),
+        col("mean_d2_store"), col("mean_d2_batch"),
+        when(col("mean_d2_store").isNull || col("mean_d2_batch").isNull ||
+          col("mean_d2_store") === 0L, lit(null).cast("double"))
+          .otherwise(shift.cast("double") /
+            col("mean_d2_store").cast("double")).as("drift_ratio"))
+      .orderBy(col("label"))
+  }
+
+  /** The q192 oracle: the shared generated fragments instantiated
+    * for both residue sides, FULL JOIN mirrored. */
+  private[graft] def embedDriftOracleSql: String = {
+    import graft.operators.CorpusOps.{SampleHashC, SampleHashP}
+    def side(p: String, cond: String): String = {
+      val cAlias = (1 to EmbDim).map(i => s"c$i AS ${p}_c$i").mkString(", ")
+      s"""${p}v AS (SELECT * FROM e WHERE $cond),
+        |${p}ct AS (SELECT label, COUNT(*) AS n, $embedSColsSql FROM ${p}v GROUP BY label),
+        |${p}cc AS (SELECT label, n, $embedCColsSql FROM ${p}ct),
+        |${p}md AS (
+        |  SELECT v.label, COUNT(*) AS n, CAST(SUM($embedD2Sql) AS HUGEINT) AS sd2
+        |  FROM ${p}v v JOIN ${p}cc cc ON v.label = cc.label GROUP BY v.label),
+        |${p}s AS (
+        |  SELECT cc.label, $cAlias, md.n AS n_$p,
+        |    CAST((2 * md.sd2 + md.n) // (2 * md.n) AS BIGINT) AS mean_d2_$p
+        |  FROM ${p}cc cc JOIN ${p}md md ON cc.label = md.label)""".stripMargin
+    }
+    val shift = (1 to EmbDim)
+      .map(i => s"(store_c$i - batch_c$i) * (store_c$i - batch_c$i)")
+      .mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |    ((vec_id % $SampleHashP) * $SampleHashC) % $SampleHashP % 10 = 3 AS is_batch,
+      |    $embedVColsSql
+      |  FROM embeddings),
+      |${side("store", "NOT is_batch")},
+      |${side("batch", "is_batch")}
+      |SELECT COALESCE(s.label, b.label) AS label, n_store, n_batch,
+      |  $shift AS shift_d2, mean_d2_store, mean_d2_batch,
+      |  CASE WHEN mean_d2_store IS NULL OR mean_d2_batch IS NULL
+      |         OR mean_d2_store = 0 THEN NULL
+      |    ELSE CAST($shift AS DOUBLE) / CAST(mean_d2_store AS DOUBLE) END
+      |    AS drift_ratio
+      |FROM stores s FULL JOIN batchs b ON s.label = b.label
+      |ORDER BY label""".stripMargin
+  }
+
   /** The q190 oracle: the shared generated fragments with the store/
     * batch residue split; LEFT JOIN keeps the fail-closed rule. */
   private[graft] def embedAdmitOracleSql: String = {

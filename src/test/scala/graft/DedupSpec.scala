@@ -486,6 +486,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!orphan.getBoolean(3) && orphan.isNullAt(2), s"unknown label admitted: $orphan")
   }
 
+  test("q192 embed drift: full-join semantics, a one-sided label reports with nulls") {
+    val raw = SimilaritySearch.embedDrift(spark, sf).collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      if (!r.isNullAt(1) && !r.isNullAt(2)) {
+        assert(r.getLong(3) >= 0L)            // shift_d2
+        assert(!r.isNullAt(6) || r.getLong(4) == 0L)
+      }
+    }
+    // plant a batch-only label: it must appear with null store stats
+    // and a null drift ratio (appearance IS drift, fail-visible)
+    val p = graft.operators.CorpusOps.SampleHashP
+    val c = graft.operators.CorpusOps.SampleHashC
+    val id = Iterator.from(3000000)
+      .find(id => ((id % p) * c) % p % 10 == 3).get.toLong
+    val staged = java.nio.file.Files.createTempDirectory("graft_emb_drift")
+    Tables.embeddings(spark, sf)
+      .unionByName(spark.range(1).select(
+        lit(id).as("vec_id"),
+        array((1 to SimilaritySearch.EmbDim).map(_ => lit(0.5f)): _*)
+          .as("embedding"),
+        lit(77).as("label")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$staged/embeddings.parquet")
+    val out = SimilaritySearch.embedDrift(spark, staged.toString).collect()
+    val novel = out.find(_.getInt(0) == 77).get
+    assert(novel.isNullAt(1) && novel.getLong(2) == 1L &&
+      novel.isNullAt(3) && novel.isNullAt(6), s"batch-only label wrong: $novel")
+  }
+
   test("q191 ndcg/mrr: bounded metrics, user accounting matches q157 (shared chain)") {
     import graft.operators.WordItemApp
     val n = WordItemApp.recNdcg(spark, sf).collect().head
