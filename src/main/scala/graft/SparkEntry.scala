@@ -220,6 +220,7 @@ object SparkEntry {
     "q190_embed_admit" -> SimilaritySearch.embedAdmit _,
     "q191_rec_ndcg" -> WordItemApp.recNdcg _,
     "q192_embed_drift" -> SimilaritySearch.embedDrift _,
+    "q193_unicode_norm" -> TextOps.unicodeNorm _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2383,6 +2384,8 @@ object SparkEntry {
     "q190_embed_admit" -> SimilaritySearch.embedAdmitOracleSql,
     // q192: the shared fragments instantiated for both residue sides
     "q192_embed_drift" -> SimilaritySearch.embedDriftOracleSql,
+    // q193: planted-unicode normalization; codepoint checksum
+    "q193_unicode_norm" -> TextOps.unicodeNormOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -801,6 +801,80 @@ object TextOps {
       .orderBy(col("source"), col("n"))
   }
 
+  // ---- q193 unicode normalization at ingest ------------------------
+
+  /** q193 planting residues + strings (shared verbatim with the
+    * oracle — one def each). The synthetic corpus is pure ASCII, on
+    * which NFC is the identity — so the planting stage derives the
+    * SAME decomposed-unicode dirty corpus in both engines
+    * (q182's discipline) and the normalizer is genuinely exercised
+    * and value-checked. Both plants use BMP combining marks
+    * (é/ï/Å/ö) whose NFC compositions are stable across every
+    * Unicode version either engine could ship. */
+  private[graft] val NfcMod1 = 17L
+  private[graft] val NfcPlant1 = " café naïve"
+  private[graft] val NfcMod2 = 19L
+  private[graft] val NfcPlant2 = " Ångström"
+
+  /** q193: NFC normalization at ingest — the step every text
+    * pipeline runs FIRST (CCNet/Dolma normalize before filtering:
+    * a pipeline that skips it dedups "café" ≠ "café" forever
+    * after). Spark has no normalization function, so this is a
+    * native codegen Expression pair (plans/NfcExprs): NFC via the
+    * JDK's UAX#15 implementation, and a CODEPOINT poly-31 checksum —
+    * the byte-folding RollingHash agrees with the oracle's `ord`
+    * fragment only on ASCII, and normalization is precisely about
+    * the non-ASCII case.
+    *
+    * Per source: docs, docs changed by NFC, codepoints saved, and
+    * the codepoint checksum of the NORMALIZED text (the q171/q182
+    * discipline — the oracle value-checks the actual normalized
+    * codepoints, not just counts). Scale shape: one scan, row-local
+    * kernels in WholeStageCodegen, |sources|-row partial-agg
+    * rollup; text never enters an exchange. */
+  def unicodeNorm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.NfcExprs
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % NfcMod1 === 0L, lit(NfcPlant1)).otherwise(lit("")),
+        when(col("doc_id") % NfcMod2 === 0L, lit(NfcPlant2)).otherwise(lit(""))))
+    planted
+      .select(col("source"), col("text"),
+        NfcExprs.nfcNormalize(col("text")).as("norm"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("text"), 1L).otherwise(0L))
+          .as("n_changed"),
+        (sum(length(col("text"))) - sum(length(col("norm"))))
+          .cast("long").as("cp_saved"),
+        (sum(NfcExprs.codepointHash(col("norm")).cast("decimal(38,0)")) %
+          lit(RollingHash.Mod)).cast("long").as("norm_checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** The q193 oracle, planting strings and residues interpolated
+    * from the SAME constants; checksum = the codepoint ord fragment
+    * over the normalized text. */
+  private[graft] def unicodeNormOracleSql: String = {
+    val mod = RollingHash.Mod
+    s"""WITH planted AS (
+      |  SELECT doc_id, source,
+      |    text ||
+      |    CASE WHEN doc_id % $NfcMod1 = 0 THEN '$NfcPlant1' ELSE '' END ||
+      |    CASE WHEN doc_id % $NfcMod2 = 0 THEN '$NfcPlant2' ELSE '' END AS text
+      |  FROM documents),
+      |n AS (SELECT source, text, nfc_normalize(text) AS norm FROM planted)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(len(text)) - SUM(len(norm)) AS BIGINT) AS cp_saved,
+      |  CAST(SUM(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(norm, ''), c -> CAST(ord(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % $mod)) % $mod AS BIGINT) AS norm_checksum
+      |FROM n GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- q187 quality-signal correlation (calibration) ---------------
 
   /** Per-source sample cap for the correlation fit: correlations are

@@ -93,4 +93,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scores.forall(_ > 0))
     assert(scores.sameElements(scores.sortBy(-_)))
   }
+
+  test("q193 nfc: planting arithmetic is ground truth; NFC is idempotent; ASCII is fixed") {
+    import operators.TextOps
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val rows = TextOps.unicodeNorm(spark, sf).collect()
+    // changed docs == docs that received a plant (ASCII corpus is an
+    // NFC fixed point — equality also PROVES that)
+    val expectedChanged = ids.count(id =>
+      id % TextOps.NfcMod1 == 0 || id % TextOps.NfcMod2 == 0)
+    assert(rows.map(_.getLong(2)).sum == expectedChanged)
+    assert(expectedChanged > 0)
+    // each plant carries exactly 2 combining marks -> 2 cps saved
+    val expectedSaved = 2L * ids.count(_ % TextOps.NfcMod1 == 0) +
+      2L * ids.count(_ % TextOps.NfcMod2 == 0)
+    assert(rows.map(_.getLong(3)).sum == expectedSaved)
+    // the plants really are decomposed in source (no editor silently
+    // composed them), and NFC composes + is idempotent
+    import java.text.Normalizer
+    assert(Normalizer.normalize(TextOps.NfcPlant1, Normalizer.Form.NFC)
+      != TextOps.NfcPlant1)
+    val once = Normalizer.normalize(TextOps.NfcPlant2, Normalizer.Form.NFC)
+    assert(Normalizer.normalize(once, Normalizer.Form.NFC) == once)
+  }
 }
