@@ -121,22 +121,34 @@ object Bench {
       // a round-over-round move can be read against the query's own
       // steady-state noise floor instead of guessed at
       val spread = if (med > 0) warmSpread(runs) / med else 0.0
-      name -> (med, spread)
+      name -> (med, spread, runs)
     }.toMap
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query relative spreads ((max−min)/median over the reps
     // taken) in the DETAILED line only — the judge/driver can read a
     // round-over-round delta against the query's own noise floor
-    val sp = results.map { case (k, (_, s)) => f""""$k":$s%.2f""" }
+    val sp = results.map { case (k, (_, s, _)) => f""""$k":$s%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // wide = noisy where it MATTERS: >50% relative spread on a query
     // whose median is big enough for the wobble to move the total
-    val nWide = results.values.count { case (m, s) => s > 0.5 && m * s > 0.25 }
+    val nWide = results.values.count { case (m, s, _) => s > 0.5 && m * s > 0.25 }
     // Detailed per-query line first (penultimate): ~10 KB, useful for
     // humans/tools reading the full log.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$sp,"sf":"$sfDir"}""")
+    // Top-10 most expensive queries WITH their per-rep times (short
+    // id, 1-decimal secs) as a second compact line: a driver-run
+    // total that moved can be split into swing vs regression without
+    // a rerun — a big first rep + small warm reps is the designed
+    // cold artifact build, warm movement is real. Fits the tail
+    // budget next to the compact total (~260 chars for 10 entries).
+    val top10 = results.toSeq.sortBy { case (_, (m, _, _)) => -m }.take(10)
+      .map { case (k, (_, _, runs)) =>
+        val short = k.takeWhile(_ != '_')
+        s"""\"$short\":[${runs.map(t => f"$t%.1f").mkString(",")}]"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"top10_reps","unit":"sec","q":$top10}""")
     // Compact line LAST: the driver keeps only a 2000-char tail of
     // stdout, so the parseable metric must fit there (≤200 chars).
     // Failed queries are named (capped at 5) so a regression can't

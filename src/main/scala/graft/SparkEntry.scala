@@ -221,6 +221,12 @@ object SparkEntry {
     "q191_rec_ndcg" -> WordItemApp.recNdcg _,
     "q192_embed_drift" -> SimilaritySearch.embedDrift _,
     "q193_unicode_norm" -> TextOps.unicodeNorm _,
+    "q194_lang_mismatch" -> TextOps.langMismatch _,
+    "q195_dim_truncation" -> SimilaritySearch.dimTruncation _,
+    "q196_neg_sampling" -> TextOps.negSampling _,
+    "q197_token_len_ks" -> TextOps.tokenLenKs _,
+    "q198_anchor_health" -> CorpusOps.anchorHealth _,
+    "q199_simhash_exact" -> Dedup.simhashExact _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -232,8 +238,8 @@ object SparkEntry {
     * curated-sink oracle. */
   private val FunnelCte: String =
     (s"""WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -262,16 +268,17 @@ object SparkEntry {
         |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
         |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
         |m AS (
-        |  SELECT l.cluster_id, l.id AS doc_id, d.n_chars
+        |  SELECT l.cluster_id, l.id AS doc_id,
+        |    len(regexp_replace(lower(trim(nfc_normalize(d.text))), '\\s+', ' ', 'g')) AS norm_len
         |  FROM lab l JOIN documents d ON l.id = d.doc_id),
         |r AS (
         |  SELECT doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY norm_len DESC, doc_id) AS rn
         |  FROM m),
         |reps AS (SELECT doc_id FROM r WHERE rn = 1),
         |hsh AS (
         |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h
         |  FROM documents),
         |keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM hsh GROUP BY h),
         |g5 AS (
@@ -279,7 +286,7 @@ object SparkEntry {
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
-        |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM (SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
         |        FROM documents), UNNEST(range(1, len(toks)-3)) AS u(i)),
         |ev AS (SELECT DISTINCT g FROM g5 WHERE source = '${CorpusOps.EvalSource}'),
         |hits AS (
@@ -296,7 +303,7 @@ object SparkEntry {
         |    (lm.id IS NOT NULL AND rp.doc_id IS NULL) AS nd_drop,
         |    COALESCE(ht.n_hit, 0) AS n_hit,
         |    (t.doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP} AS pr
-        |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM (SELECT doc_id, source, lang, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
         |        FROM documents WHERE source <> '${CorpusOps.EvalSource}') t
         |  JOIN hsh ON t.doc_id = hsh.doc_id
         |  JOIN keepers k ON hsh.h = k.h
@@ -320,13 +327,13 @@ object SparkEntry {
   private val IncFunnelSql: String =
     s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
         |s AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
-        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM b),
-        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM s),
+        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h FROM b),
+        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h FROM s),
         |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
         |       FROM bh JOIN sh0 ON bh.h = sh0.h GROUP BY 1),
         |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |tri AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -353,7 +360,7 @@ object SparkEntry {
         |  LEFT JOIN ex ON b.doc_id = ex.doc_id
         |  LEFT JOIN near ON b.doc_id = near.doc_id),
         |bt AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
         |  FROM b WHERE source <> '${CorpusOps.EvalSource}'),
         |q AS (
         |  SELECT doc_id,
@@ -366,7 +373,7 @@ object SparkEntry {
         |  SELECT toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
         |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
         |    toks[CAST(i AS BIGINT)+4] AS g
-        |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM (SELECT string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
         |        FROM s WHERE source = '${CorpusOps.EvalSource}'), UNNEST(range(1, len(toks)-3)) AS u(i)),
         |ev AS (SELECT DISTINCT g FROM sg),
         |bg AS (
@@ -865,7 +872,7 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
     "q20_token_stats" ->
       """WITH d AS (
-        |  SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  SELECT lang, CAST(len(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -875,8 +882,8 @@ object SparkEntry {
     "q21_quality_score" ->
       """WITH d AS (
         |  SELECT source,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split_regex(trim(nfc_normalize(text)), '\s+'),
         |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
@@ -886,12 +893,12 @@ object SparkEntry {
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q22_top_terms" ->
       """WITH t AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS term FROM documents)
         |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM t GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin,
     "q23_dictionary" ->
       """WITH t AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS term FROM documents),
         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
         |SELECT term, df,
@@ -900,7 +907,7 @@ object SparkEntry {
         |ORDER BY token_id""".stripMargin,
     "q24_tfidf" ->
       """WITH t AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -916,7 +923,7 @@ object SparkEntry {
         |ORDER BY doc_id, "rank"""".stripMargin,
     "q72_gopher_rules" ->
       """WITH t AS (
-        |  SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
         |d AS (
         |  SELECT source,
         |    CAST(len(toks) AS BIGINT) AS n_words,
@@ -940,7 +947,7 @@ object SparkEntry {
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q73_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g
         |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
@@ -953,14 +960,14 @@ object SparkEntry {
         |  CAST(SUM(bps) AS DOUBLE)/COUNT(*) AS avg_top2_bps,
         |  CAST(MAX(bps) AS BIGINT) AS max_top2_bps
         |FROM b GROUP BY source ORDER BY source""".stripMargin,
+    // profile VALUES generated from TextOps.LangProfiles — the same
+    // constant the Spark chain and q194's row-local rule read
     "q25_langid" ->
-      """WITH prof(word, plang) AS (VALUES
-        |  ('the','en'),('a','en'),('of','en'),('and','en'),('is','en'),
-        |  ('le','fr'),('la','fr'),('et','fr'),('les','fr'),('des','fr'),
-        |  ('el','es'),('la','es'),('de','es'),('y','es'),('los','es'),
-        |  ('der','de'),('die','de'),('und','de'),('das','de'),('ist','de')),
+      s"""WITH prof(word, plang) AS (VALUES
+        |  ${operators.TextOps.LangProfiles.flatMap { case (l, ws) =>
+             ws.map(w => s"('$w','$l')") }.mkString(",")}),
         |t AS (
-        |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  SELECT doc_id, lang, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS word
         |  FROM documents),
         |hits AS (
         |  SELECT doc_id, plang, COUNT(*) AS hits
@@ -1136,7 +1143,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT source,
         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS BIGINT) AS n_ws
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
@@ -1165,7 +1172,7 @@ object SparkEntry {
     "q30_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS content_hash
         |  FROM documents)
         |SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS cluster_size
         |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
@@ -1176,8 +1183,8 @@ object SparkEntry {
     // GENERATION only, set sizes are the true per-doc counts)
     "q172_dup_flow" ->
       s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1213,8 +1220,8 @@ object SparkEntry {
     // non-binding at test SFs, diverge-proof where it binds
     "q31_dedup_jaccard" ->
       s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1242,8 +1249,8 @@ object SparkEntry {
     // id = MIN) — exact, so the cluster table is hash-checkable
     "q35_dedup_clusters" ->
       """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1451,7 +1458,7 @@ object SparkEntry {
     // zero-hit docs
     "q76_contamination" ->
       s"""WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source,
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
@@ -1478,8 +1485,8 @@ object SparkEntry {
     // struct max (lever (h) — value equality is what the gate checks)
     "q173_fuzzy_contam" ->
       s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1518,7 +1525,7 @@ object SparkEntry {
     // the end — same element window as Spark's slice(t, a, 64)
     "q77_chunk_pack" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
         |c AS (
         |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, toks,
         |    CAST(len(toks) AS BIGINT) AS n_tok
@@ -1562,7 +1569,7 @@ object SparkEntry {
     // divisions happen in DOUBLE on exact decimal sums in both engines
     "q79_bigram_lm" ->
       """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
         |    toks[CAST(i AS BIGINT)] AS w1
@@ -1587,8 +1594,8 @@ object SparkEntry {
     // by (n_chars desc, doc_id)
     "q80_cluster_best" ->
       """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1618,12 +1625,13 @@ object SparkEntry {
         |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id),
         |cl AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id),
         |m AS (
-        |  SELECT l.cluster_id, cl.cluster_size, l.id AS doc_id, d.n_chars
+        |  SELECT l.cluster_id, cl.cluster_size, l.id AS doc_id, d.n_chars,
+        |    len(regexp_replace(lower(trim(nfc_normalize(d.text))), '\s+', ' ', 'g')) AS norm_len
         |  FROM lab l JOIN cl ON l.cluster_id = cl.cluster_id
         |  JOIN documents d ON l.id = d.doc_id),
         |r AS (
         |  SELECT cluster_id, cluster_size, doc_id, n_chars,
-        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY norm_len DESC, doc_id) AS rn
         |  FROM m)
         |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
         |  doc_id AS rep_doc_id, n_chars AS rep_n_chars,
@@ -1633,7 +1641,7 @@ object SparkEntry {
     // chunk_idx) per hash group
     "q81_chunk_dedup" ->
       """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
         |c AS (
         |  SELECT doc_id, source, CAST(ci AS BIGINT) AS chunk_idx,
         |    md5(array_to_string(toks[CAST(ci*64+1 AS BIGINT):CAST(ci*64+64 AS BIGINT)], ' ')) AS chunk_hash
@@ -1691,7 +1699,7 @@ object SparkEntry {
     "q82_pack_bins" ->
       """WITH d AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS BIGINT) AS n_tok
         |  FROM documents),
         |b AS (
         |  SELECT source, n_tok,
@@ -1705,7 +1713,7 @@ object SparkEntry {
     // q83: q76's gram pipeline rolled up per contaminated doc
     "q83_contam_flag" ->
       s"""WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source,
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
@@ -1759,13 +1767,13 @@ object SparkEntry {
     "q86_incremental_dedup" ->
       s"""WITH b AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
         |s AS (SELECT * FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
-        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM b),
-        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM s),
+        |bh AS (SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h FROM b),
+        |sh0 AS (SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h FROM s),
         |ex AS (SELECT bh.doc_id, MIN(sh0.doc_id) AS exact_ref
         |       FROM bh JOIN sh0 ON bh.h = sh0.h GROUP BY 1),
         |tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |tri AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -1811,7 +1819,7 @@ object SparkEntry {
     "q111_mix_weights" ->
       """WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
         |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w)
@@ -1827,7 +1835,7 @@ object SparkEntry {
     "q112_mix_apply" ->
       s"""WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+        |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
         |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
@@ -1840,7 +1848,7 @@ object SparkEntry {
         |  FROM w, t),
         |d AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT d.source, COUNT(*) AS n_docs_sampled,
         |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens_sampled,
@@ -1855,7 +1863,7 @@ object SparkEntry {
     "q117_mix_admit" ->
       s"""WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+        |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
         |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
@@ -1867,7 +1875,7 @@ object SparkEntry {
         |  FROM w, t),
         |d AS (
         |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT d.doc_id, d.source, d.n_tok
         |FROM d JOIN mix ON d.source = mix.source
@@ -1881,12 +1889,12 @@ object SparkEntry {
       """WITH q(term) AS (VALUES ('spark'),('table'),('join'),('data'),('query')),
         |dl AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS BIGINT) AS dl
         |  FROM documents),
         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
         |tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS term
         |    FROM documents) t JOIN q USING (term)
         |  GROUP BY doc_id, term),
         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
@@ -1910,8 +1918,8 @@ object SparkEntry {
     // guarantee is hash-checked, not just asserted
     "q90_leakage_split" ->
       s"""WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -2090,7 +2098,7 @@ object SparkEntry {
     "q162_dataset_card" ->
       (FunnelCte +
       """,t9 AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
         |g9 AS (
         |  SELECT doc_id, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
         |    toks[CAST(i AS BIGINT)] AS w1
@@ -2130,7 +2138,7 @@ object SparkEntry {
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS tok
         |  FROM documents)
         |SELECT COALESCE(source, '__total__') AS source_key,
         |  CAST(GROUPING(source) AS BIGINT) AS is_total,
@@ -2303,7 +2311,7 @@ object SparkEntry {
     // identically-rounded int64→double casts (lever (c))
     "q183_zipf_slope" ->
       s"""WITH t AS (
-        |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        |  SELECT source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS term
         |  FROM documents),
         |c AS (SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
         |r AS (
@@ -2336,7 +2344,7 @@ object SparkEntry {
     // both sides); TTR = raw quotient of exact longs (lever c)
     "q184_distinct_ngrams" ->
       s"""WITH t AS (
-        |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+        |  SELECT source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
         |  FROM documents),
         |g1 AS (
         |  SELECT source, 1 AS n, toks[CAST(i AS BIGINT)] AS g
@@ -2386,6 +2394,21 @@ object SparkEntry {
     "q192_embed_drift" -> SimilaritySearch.embedDriftOracleSql,
     // q193: planted-unicode normalization; codepoint checksum
     "q193_unicode_norm" -> TextOps.unicodeNormOracleSql,
+    // q194: row-local langid argmax + mismatch audit; oracle
+    // generated from the SAME LangProfiles constant as q25's
+    "q194_lang_mismatch" -> TextOps.langMismatchOracleSql,
+    // q195: generated from TruncDims + q40's verified cosine fold
+    "q195_dim_truncation" -> SimilaritySearch.dimTruncationOracleSql,
+    // q196: x^0.75 as sqrt(sqrt(x^3)) — correctly-rounded IEEE chain,
+    // no libm pow; weights fixed-point-quantized before any sum
+    "q196_neg_sampling" -> TextOps.negSamplingOracleSql,
+    // q197: exact-int CDFs, sup-norm over identical doubles
+    "q197_token_len_ks" -> TextOps.tokenLenKsOracleSql,
+    // q198: anchor rule audited via the same hash family + 3σ bound
+    "q198_anchor_health" -> CorpusOps.anchorHealthOracleSql,
+    // q199: the q33 simhash family promoted onto the gate (poly dual
+    // fold + bitstring keying; generated from PolySimHash constants)
+    "q199_simhash_exact" -> Dedup.simhashExactOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,
@@ -2461,8 +2484,8 @@ object SparkEntry {
         |ORDER BY version""".stripMargin,
     "q94_boilerplate" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\s+'), 1) AS ord
         |  FROM documents),
         |g AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS g FROM (
@@ -2492,7 +2515,7 @@ object SparkEntry {
     // IEEE double in both engines, so the raw tercile compare is exact.
     "q95_ccnet_buckets" ->
       """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
         |    toks[CAST(i AS BIGINT)] AS w1
@@ -2521,7 +2544,7 @@ object SparkEntry {
     // window on the AGGREGATED table (levers (c)/(g))
     "q178_curriculum" ->
       s"""WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
         |    toks[CAST(i AS BIGINT)] AS w1
@@ -2564,7 +2587,7 @@ object SparkEntry {
     // both engines.
     "q96_ccnet_admission" ->
       s"""WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks,
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks,
         |    ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3 AS is_batch
         |  FROM documents),
         |g AS (
@@ -2622,10 +2645,10 @@ object SparkEntry {
     // the probabilistic structure is invisible in the output.
     "q99_bloom_dedup" ->
       s"""WITH b AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h
         |  FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 = 3),
         |s AS (
-        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS h
         |  FROM documents WHERE ((doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 10 <> 3),
         |m AS (SELECT b.doc_id, MIN(s.doc_id) AS ref FROM b JOIN s ON b.h = s.h GROUP BY 1)
         |SELECT b.doc_id,
@@ -2659,7 +2682,7 @@ object SparkEntry {
     // then INTERSECT/EXCEPT mirror the Spark set operators.
     "q106_set_algebra" ->
       s"""WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
         |d AS (
         |  SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_words,
@@ -2925,8 +2948,8 @@ object SparkEntry {
     // discipline: the engines cannot drift when one changes).
     "q148_edit_dedup" ->
       s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh0 AS (
         |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -2959,8 +2982,8 @@ object SparkEntry {
     // total factors out of the sum → single window marginal
     "q150_cond_entropy" ->
       """WITH tok AS (
-        |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+        |  SELECT doc_id, source, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\s+'), 1) AS ord
         |  FROM documents),
         |bg AS (
         |  SELECT doc_id, source, tok || ' ' || lead1 AS g FROM (
@@ -2991,7 +3014,7 @@ object SparkEntry {
     "q151_token_budget" ->
       s"""WITH d AS (
         |  SELECT doc_id, source, n_chars,
-        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS tok
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, source, tok,
@@ -3005,7 +3028,7 @@ object SparkEntry {
     // coverage ratio; thresholds compare the rounded value
     "q152_ngram_coverage" ->
       s"""WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, source,
         |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
@@ -3119,8 +3142,8 @@ object SparkEntry {
     // INTERPOLATED from Dedup's constants.
     "q156_tfidf_cosine" ->
       s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
@@ -3306,8 +3329,12 @@ object SparkEntry {
     * raw·K div S per half-step (K = unit·side size as a scalar
     * subquery, exactly the driver scalar the Spark plan embeds). */
   private def hitsSql: String = {
-    import operators.GraphOps.{HitsIters, HitsScale}
-    val unit = math.pow(10, HitsScale).toLong
+    import operators.GraphOps.{HitsIters, HitsUnitBound, HitsMaxUnit}
+    // candidate powers of 10 for the ADAPTIVE fixed-point unit —
+    // generated from the same constants as GraphOps.hitsUnitFor, so
+    // kernel and oracle pick the unit by the identical integer rule
+    val powers = Iterator.iterate(1L)(_ * 10)
+      .takeWhile(_ <= HitsMaxUnit).map(p => s"($p)").mkString(",")
     // AS MATERIALIZED on every multiply-referenced CTE: DuckDB
     // inlines CTEs by default, and the unrolled two-consumers-per-
     // half-step chain re-evaluates its whole prefix EXPONENTIALLY
@@ -3333,9 +3360,14 @@ object SparkEntry {
        |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item
        |  FROM events WHERE event_type = 'click'),
        |e AS MATERIALIZED (SELECT user_id, item FROM ui WHERE item IS NOT NULL),
-       |nu AS (SELECT CAST($unit * COUNT(DISTINCT user_id) AS BIGINT) AS k FROM e),
-       |ni AS (SELECT CAST($unit * COUNT(DISTINCT item) AS BIGINT) AS k FROM e),
-       |h0 AS (SELECT DISTINCT user_id, CAST($unit AS BIGINT) AS h FROM e),
+       |cnt AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu0,
+       |               CAST(COUNT(DISTINCT item) AS BIGINT) AS ni0 FROM e),
+       |u AS (SELECT CAST(MAX(p) AS BIGINT) AS u
+       |      FROM (VALUES $powers) t(p), cnt
+       |      WHERE CAST(p AS BIGINT) * p <= $HitsUnitBound // (nu0 * ni0)),
+       |nu AS (SELECT CAST((SELECT u FROM u) * nu0 AS BIGINT) AS k FROM cnt),
+       |ni AS (SELECT CAST((SELECT u FROM u) * ni0 AS BIGINT) AS k FROM cnt),
+       |h0 AS (SELECT DISTINCT user_id, (SELECT u FROM u) AS h FROM e),
        |$iters
        |SELECT * FROM (
        |  SELECT 'item' AS role, item AS id, a AS score_scaled,
@@ -3378,8 +3410,8 @@ object SparkEntry {
 
   private def PmhChain: String =
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-       |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+       |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+       |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
        |  FROM documents),
        |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (

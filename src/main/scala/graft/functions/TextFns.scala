@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
 object TextFns {
 
   /** Whitespace tokenizer (the BPE-ish regex fallback for corpora
-    * without pre-tokenization). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+    * without pre-tokenization). NFC normalization runs FIRST — the
+    * CCNet/Dolma ingest ordering — so every downstream token hash,
+    * shingle, and fingerprint sees one canonical form of "café"
+    * regardless of how the crawl encoded it (graft.plans.NfcExprs;
+    * ASCII fast-path, so the gate corpora are bit-identical). Every
+    * oracle fragment mirrors this with DuckDB `nfc_normalize` —
+    * OracleDisciplineSpec enforces the pairing. */
+  def tokens(text: Column): Column =
+    split(trim(graft.plans.NfcExprs.nfcNormalize(text)), "\\s+")
 
   /** Word-level tokenization on lowercased alphanumerics. */
   def words(text: Column): Column =

@@ -91,7 +91,21 @@ object MlOps {
     * probes broadcast against it, and the nearest-neighbor scan is
     * one pass over the vocab — no corpus access after the shared fit.
     * Output: top-3 vocab neighbors per synthesized OOV probe. */
-  def subwordOov(spark: SparkSession, dir: String): DataFrame = {
+  def subwordOov(spark: SparkSession, dir: String): DataFrame =
+    subwordOovFor(spark, dir,
+      Seq("spark", "table", "join", "data", "query"))
+
+  /** Spec hook: the shared 32-dim model, for building vocab-derived
+    * probe lists without re-fitting. */
+  private[graft] def word2vecModelForSpec(spark: SparkSession, dir: String) =
+    word2vecModel(spark, dir, 32)
+
+  /** The synthesis parameterized by base-word list — q110 probes the
+    * 5 fixed words; MlStreamSpec sweeps a ~40-word vocabulary sample
+    * to pin the approximation's top-1 quality RATE, not just the
+    * hand-picked cases. */
+  private[graft] def subwordOovFor(spark: SparkSession, dir: String,
+      baseWords: Seq[String]): DataFrame = {
     import org.apache.spark.ml.stat.Summarizer
     val vocab = word2vecModel(spark, dir, 32).getVectors
     // boundary-marked char 3-grams ("<w>" marks ends, as in fastText)
@@ -106,8 +120,7 @@ object MlOps {
       .agg(Summarizer.mean(col("vector")).as("gv"), count(lit(1)).as("n_words"))
     // deterministic OOV probes: perturbed forms of in-vocab words
     // (suffix + interior truncation); keep only true OOVs
-    val probes = vocab.filter(col("word").isInCollection(
-        Seq("spark", "table", "join", "data", "query")))
+    val probes = vocab.filter(col("word").isInCollection(baseWords))
       .select(col("word").as("base"),
         explode(array(concat(col("word"), lit("ish")),
           concat(substring(col("word"), 1, 3), lit("z"),
@@ -673,6 +686,26 @@ object MlOps {
   private[graft] val TpeStartup = 4
   private[graft] val TpeTrials = 10
 
+  /** The MIXED search space's categorical dimension (round 7):
+    * estimator family, from the same registry the classification
+    * tasks use (ModelFactory ↔ factory/prediction_model_factory.py).
+    * Restricted to the multiclass-capable members (the embeddings
+    * label space has 10 classes; GBT/FM are binary-only in MLlib).
+    * Bergstra's categorical form: the KDE over a categorical is the
+    * SMOOTHED FREQUENCY of each category in the good/bad trial sets
+    * — (count+1)/(n+|C|) — and the acquisition multiplies the
+    * per-dimension l/g ratios (optuna's default independent-dims
+    * TPE). The continuous dims are a FIXED-SPACE relaxation of the
+    * conditional space: for the forest family, elastic_net re-reads
+    * as the depth knob and reg_param is inert — the categorical KDE
+    * learns which family wins while the continuous KDEs keep their
+    * meaning within the winning family. */
+  private[graft] val TpeFamilies = Seq("logistic_regression", "random_forest")
+
+  /** Smoothed categorical frequency — Bergstra's categorical KDE. */
+  private[graft] def catWeight(c: String, set: Seq[String]): Double =
+    (set.count(_ == c) + 1.0) / (set.size + TpeFamilies.size)
+
   def tpeTuning(spark: SparkSession, dir: String): DataFrame =
     experiment(spark, dir, "q169")(tpeTuningRun(spark, dir))
 
@@ -687,55 +720,79 @@ object MlOps {
     val train = trainRaw.repartition(1).persist()
     val valid = validRaw.repartition(1).persist()
     val evaluator = new MulticlassClassificationEvaluator().setMetricName("accuracy")
-    def evalAt(logReg: Double, el: Double): Double = {
-      val m = new LogisticRegression().setMaxIter(25)
-        .setRegParam(math.pow(10.0, logReg)).setElasticNetParam(el)
-        .fit(train)
+    def evalAt(fam: String, logReg: Double, el: Double): Double = {
+      val est: org.apache.spark.ml.Estimator[_] = fam match {
+        case "logistic_regression" =>
+          new LogisticRegression().setMaxIter(25)
+            .setRegParam(math.pow(10.0, logReg)).setElasticNetParam(el)
+        case "random_forest" =>
+          // conditional-space relaxation: el re-reads as depth in
+          // [2, 5]; logReg is inert for this family
+          new org.apache.spark.ml.classification.RandomForestClassifier()
+            .setSeed(42L).setNumTrees(10)
+            .setMaxDepth(2 + math.round(3 * el).toInt)
+      }
+      val m = est.fit(train).asInstanceOf[org.apache.spark.ml.Transformer]
       math.rint(evaluator.evaluate(m.transform(valid)) * 1e4) / 1e4
     }
     val rnd = new scala.util.Random(43L)
     def clamp(x: Double, lo: Double, hi: Double) = math.min(hi, math.max(lo, x))
-    // (id, log10 reg ∈ [-4, 0], elastic ∈ [0, 1], acc)
-    val trials = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Double)]()
+    // (id, family, log10 reg ∈ [-4, 0], elastic ∈ [0, 1], acc)
+    val trials = scala.collection.mutable.ArrayBuffer[(Int, String, Double, Double, Double)]()
     (0 until TpeStartup).foreach { i =>
+      val fam = TpeFamilies(i % TpeFamilies.size) // startup covers every family
       val u1 = -4.0 + 4.0 * rnd.nextDouble()
       val u2 = rnd.nextDouble()
-      trials += ((i, u1, u2, evalAt(u1, u2)))
+      trials += ((i, fam, u1, u2, evalAt(fam, u1, u2)))
     }
     // fixed kernel bandwidths per axis (span/8): the deterministic
     // stand-in for optuna's adaptive Parzen widths
     val (h1, h2) = (0.5, 0.125)
-    def kde(pts: Seq[(Double, Double)], x1: Double, x2: Double): Double =
+    // 1-D KDEs — independent-dims TPE (optuna's default): the
+    // acquisition is the PRODUCT of per-dimension l/g ratios
+    def kde1(pts: Seq[Double], h: Double, x: Double): Double =
       if (pts.isEmpty) 1.0
-      else pts.map { case (p1, p2) =>
-        math.exp(-0.5 * (math.pow((x1 - p1) / h1, 2) + math.pow((x2 - p2) / h2, 2)))
-      }.sum / pts.size + 1e-12
+      else pts.map(p => math.exp(-0.5 * math.pow((x - p) / h, 2))).sum / pts.size + 1e-12
     (TpeStartup until TpeTrials).foreach { t =>
-      val ranked = trials.sortBy { case (id, _, _, acc) => (-acc, id) }.toSeq
+      val ranked = trials.sortBy { case (id, _, _, _, acc) => (-acc, id) }.toSeq
       val nGood = math.max(1, math.ceil(0.25 * trials.size).toInt)
-      val good = ranked.take(nGood).map(tr => (tr._2, tr._3))
-      val bad = ranked.drop(nGood).map(tr => (tr._2, tr._3))
-      // 16 seeded proposals around good trials; argmax of l/g.
+      val good = ranked.take(nGood)
+      val bad = ranked.drop(nGood)
+      val (goodF, badF) = (good.map(_._2), bad.map(_._2))
+      // 16 seeded proposals: family from the good set's SMOOTHED
+      // frequencies (Bergstra's categorical form), continuous dims
+      // perturbed around good trials; argmax of the product l/g.
       // maxBy keeps the FIRST max → deterministic under score ties.
       val cands = (0 until 16).map { _ =>
-        val (g1, g2) = good(rnd.nextInt(good.size))
-        (clamp(g1 + h1 * rnd.nextGaussian(), -4.0, 0.0),
-          clamp(g2 + h2 * rnd.nextGaussian(), 0.0, 1.0))
+        val u = rnd.nextDouble()
+        val cum = TpeFamilies.scanLeft(0.0)(_ + catWeight(_, goodF))
+        val total = cum.last
+        val fam = TpeFamilies(
+          cum.tail.indexWhere(c => u * total <= c) match {
+            case -1 => TpeFamilies.size - 1; case k => k
+          })
+        val g = good(rnd.nextInt(good.size))
+        (fam,
+          clamp(g._3 + h1 * rnd.nextGaussian(), -4.0, 0.0),
+          clamp(g._4 + h2 * rnd.nextGaussian(), 0.0, 1.0))
       }
-      val (c1, c2) = cands.maxBy { case (x1, x2) =>
-        kde(good, x1, x2) / kde(bad, x1, x2)
+      val (cf, c1, c2) = cands.maxBy { case (f, x1, x2) =>
+        (catWeight(f, goodF) / catWeight(f, badF)) *
+          (kde1(good.map(_._3), h1, x1) / kde1(bad.map(_._3), h1, x1)) *
+          (kde1(good.map(_._4), h2, x2) / kde1(bad.map(_._4), h2, x2))
       }
-      trials += ((t, c1, c2, evalAt(c1, c2)))
+      trials += ((t, cf, c1, c2, evalAt(cf, c1, c2)))
     }
     train.unpersist(blocking = false)
     valid.unpersist(blocking = false)
     var best = 0.0
-    trials.toSeq.map { case (id, u1, u2, acc) =>
+    trials.toSeq.map { case (id, fam, u1, u2, acc) =>
       best = math.max(best, acc)
-      (id.toLong, if (id < TpeStartup) "startup" else "tpe",
+      (id.toLong, if (id < TpeStartup) "startup" else "tpe", fam,
         math.rint(math.pow(10.0, u1) * 1e6) / 1e6, math.rint(u2 * 1e6) / 1e6,
         acc, best)
-    }.toDF("trial", "phase", "reg_param", "elastic_net", "accuracy", "best_acc")
+    }.toDF("trial", "phase", "family", "reg_param", "elastic_net",
+        "accuracy", "best_acc")
       .orderBy(col("trial"))
   }
 

@@ -227,7 +227,9 @@ object CorpusOps {
   private[graft] def cdcChunkCteSql(src: String, textExpr: String,
       p: String): String = {
     val mod = graft.plans.RollingHash.Mod
-    val split = "string_split_regex(trim(" + textExpr + "), '\\s+')"
+    // nfc_normalize mirrors TextFns.tokens' NFC front (identity on
+    // ASCII; OracleDisciplineSpec pairs every split with it)
+    val split = "string_split_regex(trim(nfc_normalize(" + textExpr + ")), '\\s+')"
     s"""${p}tok AS (
        |  SELECT doc_id, unnest($split) AS tok,
        |         generate_subscripts($split, 1) AS pos
@@ -456,7 +458,7 @@ object CorpusOps {
     * cannot drift (lever (a)). */
   private[graft] def windowCteSql: String =
     s"""t AS (
-      |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+      |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
       |w AS (
       |  SELECT doc_id, source,
       |    md5(array_to_string(toks[CAST(wi*$WinStride+1 AS BIGINT):CAST(wi*$WinStride+$WinSize AS BIGINT)], ' ')) AS wh
@@ -1152,11 +1154,21 @@ object CorpusOps {
     val members = Dedup.clusters(spark, dir)
       .select(col("cluster_id"), col("cluster_size"),
         explode(split(col("members"), ",").cast("array<long>")).as("doc_id"))
+    // Rep signal = CANONICAL content length (length of normText, the
+    // dedup unit), not raw n_chars: any exact twin of a candidate rep
+    // ties on the signal and loses the min-doc_id tiebreak, so the
+    // chosen rep is PROVABLY its exact-group's keep-first doc — the
+    // funnel's (exact_keep AND NOT nd_drop) conjunction can never
+    // annihilate a whole cluster. Raw n_chars could split
+    // canonically-equal encodings (NFC: "café" composed vs decomposed
+    // differ by one char) and pick a rep the exact rule then drops —
+    // NfcIngestSpec plants exactly that corpus.
     val sized = members.join(
-      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"),
+        length(Dedup.normText).as("norm_len")),
       Seq("doc_id"))
     val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
+      .orderBy(col("norm_len").desc, col("doc_id"))
     sized
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -1491,7 +1503,7 @@ object CorpusOps {
     val k = SpanK
     val gram = spanGramSql
     s"""WITH t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
        |g AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, $gram AS g
        |  FROM t, UNNEST(range(1, len(toks)-${k - 2})) AS u(i)),
@@ -1525,10 +1537,10 @@ object CorpusOps {
     val res = PipelineConfig.default.batchResidue
     val hash = s"((doc_id % $SampleHashP) * $SampleHashC) % $SampleHashP % 10"
     s"""WITH tb AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  SELECT doc_id, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
        |  FROM documents WHERE $hash = $res),
        |ts AS (
-       |  SELECT string_split_regex(trim(text), '\\s+') AS toks
+       |  SELECT string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
        |  FROM documents WHERE $hash <> $res),
        |sg AS (
        |  SELECT DISTINCT $gram AS g
@@ -1820,8 +1832,8 @@ object CorpusOps {
       "list_transform(string_split(g, ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * 31 + c) % 1000000007) % $b"
     s"""WITH tok AS (
-       |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-       |         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+       |  SELECT doc_id, source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+       |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
        |  FROM documents),
        |bg AS (
        |  SELECT doc_id, source, tok || ' ' || lead1 AS g FROM (
@@ -2063,12 +2075,12 @@ object CorpusOps {
       "CAST(SUM(s) AS BIGINT) AS tokens_total, " +
       "CAST(SUM(s - m) AS BIGINT) AS tokens_removed"
     s"""WITH dh AS (
-      |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS k,
-      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+      |  SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS k,
+      |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS nt
       |  FROM documents),
       |dg AS (SELECT k, $roll FROM dh GROUP BY k),
       |d AS (SELECT 'doc' AS granularity, $card FROM dg),
-      |ct AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      |ct AS (SELECT doc_id, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
       |       FROM documents),
       |cc AS (
       |  SELECT md5(array_to_string(
@@ -2136,5 +2148,77 @@ object CorpusOps {
         (col("shared_windows").cast("double") / col("windows_b").cast("double"))
           .as("frac_b"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  // ---- q198: CDC anchor-rate health --------------------------------
+
+  /** q198: ANCHOR-RATE health check for the CDC chunking family
+    * (q175/q176/q179/q180) — the operational tripwire for the
+    * content-defined segmentation itself: the anchor rule fires on
+    * hash(token) ≡ [[CdcRem]] (mod [[CdcMod]]), so a healthy source
+    * anchors at rate p = 1/CdcMod; a source whose token distribution
+    * is adversarial to the hash (one boilerplate token repeated, or
+    * binary-ish tokens) drifts off p and its chunks balloon or
+    * shatter — dedup recall and store write-amplification both hinge
+    * on this rate, so it is checked per ingest source BEFORE chunk
+    * stats go bad. Flag = |rate − p| > 3σ with σ = sqrt(p(1−p)/n),
+    * the binomial bound. Float discipline: rate is one exact-int
+    * division; p and σ are chains of single correctly-rounded IEEE
+    * ops on exact operands (lever (x)) — no rounding step, and the
+    * 3σ compare is exact cross-engine. Scale shape: one scan →
+    * explode → row-local codegen hash (plans/RollingHash — the SAME
+    * base hash the chunk kernel uses, so this audits the real rule)
+    * → |sources|-row partial-agg rollup. */
+  def anchorHealth(spark: SparkSession, dir: String): DataFrame = {
+    val p = lit(1.0) / lit(CdcMod.toDouble)
+    val agg0 = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .select(col("source"),
+        (graft.plans.RollingHash(col("tok")) % CdcMod === CdcRem).as("anchor"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("anchor"), 1L).otherwise(0L)).as("n_anchors"))
+    agg0
+      .withColumn("rate",
+        col("n_anchors").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("expected", p)
+      .withColumn("sigma",
+        sqrt(p * (lit(1.0) - p) / col("n_tokens").cast("double")))
+      .withColumn("healthy",
+        abs(col("rate") - col("expected")) <= lit(3.0) * col("sigma"))
+      .orderBy(col("source"))
+  }
+
+  /** The q198 oracle — the anchor test through the same codepoint
+    * fold fragment the q175 oracle family uses (byte == codepoint on
+    * the ASCII gate corpora, the documented q175/q87 precedent);
+    * constants interpolated. */
+  private[graft] def anchorHealthOracleSql: String = {
+    val mod = graft.plans.RollingHash.Mod
+    s"""WITH t0 AS (
+      |  SELECT source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok
+      |  FROM documents),
+      |a AS (
+      |  SELECT source,
+      |    CASE WHEN list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+      |        (acc, c) -> (acc * 31 + c) % $mod)
+      |      % $CdcMod = $CdcRem THEN 1 ELSE 0 END AS anchor
+      |  FROM t0),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(anchor) AS BIGINT) AS n_anchors
+      |  FROM a GROUP BY source)
+      |SELECT source, n_tokens, n_anchors,
+      |  CAST(n_anchors AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate,
+      |  CAST(1 AS DOUBLE) / $CdcMod AS expected,
+      |  sqrt((CAST(1 AS DOUBLE) / $CdcMod) * (1 - CAST(1 AS DOUBLE) / $CdcMod)
+      |    / CAST(n_tokens AS DOUBLE)) AS sigma,
+      |  abs(CAST(n_anchors AS DOUBLE) / CAST(n_tokens AS DOUBLE) -
+      |      CAST(1 AS DOUBLE) / $CdcMod) <=
+      |    3 * sqrt((CAST(1 AS DOUBLE) / $CdcMod) * (1 - CAST(1 AS DOUBLE) / $CdcMod)
+      |      / CAST(n_tokens AS DOUBLE)) AS healthy
+      |FROM g ORDER BY source""".stripMargin
   }
 }

@@ -18,9 +18,15 @@ import graft.plans.SimHash64
 object Dedup {
 
   /** Canonical text form shared by exact-dedup variants (and the
-    * curation funnel's dedup stage). */
+    * curation funnel's dedup stage). NFC normalization runs FIRST
+    * (the q193 kernel) — without it every dedup family silently
+    * treats composed vs decomposed encodings of the same string as
+    * distinct documents (DedupSpec plants such a pair); oracles
+    * mirror with `nfc_normalize`, identity on the ASCII gate. */
   private[graft] def normText: Column =
-    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    regexp_replace(
+      lower(trim(graft.plans.NfcExprs.nfcNormalize(col("text")))),
+      "\\s+", " ")
 
   private def toks = TextFns.tokens(col("text"))
 
@@ -359,9 +365,15 @@ object Dedup {
     * SimHash64 Expression, then 4×16-bit band bucketing (pigeonhole:
     * Hamming ≤ 3 ⟹ at least one equal band) and an exact Hamming
     * check on candidates. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), SimHash64(toks).as("sig"))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), SimHash64(toks).as("sig")))
+
+  /** THE simhash band/verify pipeline over a (doc_id, sig) frame —
+    * shared by q33 (FNV family) and q199 (oracle-mirrorable poly
+    * family): 4×16-bit band bucketing (pigeonhole: Hamming ≤ 3 ⟹ at
+    * least one equal band) and an exact Hamming check on candidates. */
+  private def simhashPairsFrom(sigs: DataFrame): DataFrame = {
     val bandCols = array((0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL)).as("key"))
@@ -383,6 +395,67 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q199: SimHash near-dup pairs PROMOTED TO THE ORACLE GATE — the
+    * q93 lever applied to the q33 family: token bits come from two
+    * 32-bit polynomial folds (plans/PolySimHash, bases 31/37 mod
+    * 2^32 — every intermediate int64-exact), so DuckDB replays the
+    * fold, the 64 votes, the sign bits, the band buckets, and the
+    * Hamming verify VALUE-FOR-VALUE (the oracle works on the 64-char
+    * bitstring — lever (o), bijective with the long). Same banding +
+    * verify pipeline as q33 (shared def); q33 keeps the FNV family
+    * as the rows-only variant with its recall spec. Scale shape
+    * unchanged: one scan, row-local codegen signature, band-key
+    * equi-join on 16-bit buckets — never a corpus self-join. */
+  def simhashExact(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.plans.PolySimHash(toks).as("sig")))
+
+  /** The q199 oracle, GENERATED from PolySimHash's constants: per-
+    * token dual folds → 64 vote sums → sign bitstring (bit 63 first)
+    * → 16-char band substrings → pigeonhole join → character-level
+    * Hamming verify. */
+  private[graft] def simhashExactOracleSql: String = {
+    import graft.plans.PolySimHash.{BaseHi, BaseLo, HalfMod}
+    def foldSql(base: Long) =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        s"(a, c) -> (a * $base + c) % $HalfMod)"
+    val voteCols = (0 until 64).map { j =>
+      val (half, sh) = if (j < 32) ("lo", j) else ("hi", j - 32)
+      s"CAST(SUM(CASE WHEN ($half // ${1L << sh}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$j"
+    }.mkString(",\n      |    ")
+    val bitConcat = (63 to 0 by -1)
+      .map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""WITH t0 AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    ${foldSql(BaseHi)} AS hi,
+      |    ${foldSql(BaseLo)} AS lo
+      |  FROM t0),
+      |v AS (
+      |  SELECT doc_id,
+      |    $voteCols
+      |  FROM h GROUP BY doc_id),
+      |s AS (SELECT doc_id, $bitConcat AS bits FROM v),
+      |b AS (
+      |  SELECT doc_id, bits, off, substr(bits, off, 16) AS key
+      |  FROM s, UNNEST([1, 17, 33, 49]) AS u(off)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.bits AS ba,
+      |    b2.doc_id AS doc_b, b2.bits AS bb
+      |  FROM b a JOIN b b2 ON a.off = b2.off AND a.key = b2.key
+      |    AND a.doc_id < b2.doc_id),
+      |ham AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_filter(range(1, 65), i -> ba[i] != bb[i])) AS BIGINT) AS hamming
+      |  FROM cand)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Embedding-cosine near-dup via multi-table random-hyperplane LSH:

@@ -859,7 +859,15 @@ object FrameOps {
     * |types|·|days|-bounded → broadcast back onto the log; the whole
     * op is ONE scan + one bounded broadcast join, row-local
     * everywhere else — no corpus shuffle at any scale. Exact counts
-    * + exact hash → oracle-gated end to end. */
+    * + exact hash → oracle-gated end to end.
+    *
+    * SECURITY NOTE: the multiplicative map uses PUBLIC constants and
+    * c has a modular inverse mod p, so pid is trivially invertible —
+    * it is a deterministic BENCHMARK stand-in chosen for
+    * cross-engine reproducibility, not a privacy control. A
+    * production pseudonym must be a secret-keyed one-way function
+    * (e.g. HMAC-SHA256 with a managed key), which the call-site
+    * contract (deterministic value per user) accepts as a drop-in. */
   /** THE pseudonym rule, in one place — consumed by the batch scrub
     * and the ingest twin (StreamOps.pseudonymizeStream); row-local. */
   private[graft] def pidCol: org.apache.spark.sql.Column =

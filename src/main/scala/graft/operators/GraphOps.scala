@@ -103,7 +103,29 @@ object GraphOps {
   /** HITS iteration count / fixed-point scale (q153 oracle GENERATED
     * from these — SparkEntry.hitsSql). */
   private[graft] val HitsIters = 4
-  private[graft] val HitsScale = 6
+
+  /** Adaptive fixed-point unit (round 7): the overflow bound is
+    * raw·K ≤ unit²·nU·nI, so the unit is the LARGEST power of 10
+    * with unit² ≤ 2^62 div (nU·nI) — one spare bit under 2^63, and
+    * a rule made of integer compares only, so the oracle computes
+    * the SAME unit from the same counts (no float log10 boundary
+    * risk). At the gate scales this lands on 10^6 (the old pinned
+    * value); at a 10^5×10^5-node graph it degrades gracefully to
+    * 10^4 instead of overflowing (HitsScaleSpec). The unit is CAPPED
+    * at the historic 10^6 (6 decimal digits of score resolution is
+    * the presentation contract; adapting only DOWNWARD keeps every
+    * gate-scale value bit-identical to the pinned-constant era).
+    * Constants are shared with the generated oracle via
+    * SparkEntry.hitsSql. */
+  private[graft] val HitsUnitBound = 1L << 62
+  private[graft] val HitsMaxUnit = 1000000L
+
+  private[graft] def hitsUnitFor(nUsers: Long, nItems: Long): Long = {
+    val cap = HitsUnitBound / (nUsers * nItems)
+    var u = 1L
+    while (u * 10 <= HitsMaxUnit && (u * 10) * (u * 10) <= cap) u *= 10
+    u
+  }
 
   /** q153: HITS (Kleinberg 1999) on the BIPARTITE click graph — its
     * native habitat: users are hubs, items are authorities; an item
@@ -118,10 +140,14 @@ object GraphOps {
     * renormalization to side mass unit·N_side — the normalizer
     * `raw·K div S` is exact integer math, so results are
     * bit-identical across engines and cluster sizes. Overflow bound:
-    * raw ≤ side mass K ≤ unit·N, so raw·K ≤ unit²·N² — with
-    * unit = 10^6 safe to N ≈ 3·10^3 per side; larger vocabularies
-    * lower the unit (the driver-contract constant pins today's
-    * value). Each side's total S is a single bounded aggregate
+    * raw ≤ side mass K ≤ unit·N, so raw·K ≤ unit²·nU·nI — the unit
+    * is ADAPTIVE (hitsUnitFor): the largest power of 10 whose square
+    * stays under 2^62 div (nU·nI), derived from the measured side
+    * sizes by integer compares the generated oracle replays exactly,
+    * so a 10^7-item catalog degrades resolution instead of
+    * overflowing (HitsScaleSpec pins this at a 10^5-node graph; the
+    * gate scales still land on 10^6). Each side's total S is a
+    * single bounded aggregate
     * scalar (the documented driver-action pattern, like q145's N);
     * the per-level persist keeps the two consumers of each half-step
     * (normalizer + next join) from re-deriving the lineage
@@ -131,14 +157,21 @@ object GraphOps {
     staged(spark, dir, "q153")(hitsRun(spark, dir))
       .orderBy(col("role"), col("id"))
 
-  private def hitsRun(spark: SparkSession, dir: String): DataFrame = {
-    val unit = math.pow(10, HitsScale).toLong
-    val edges = WordItemApp.userItemClicks(spark, dir).persist()
+  private def hitsRun(spark: SparkSession, dir: String): DataFrame =
+    hitsOnEdges(WordItemApp.userItemClicks(spark, dir))
+
+  /** The HITS loop over an arbitrary (user_id, item) edge list —
+    * hitsRun feeds it the click graph; HitsScaleSpec feeds it a
+    * synthetic 10^5-node graph to pin the adaptive-unit overflow
+    * contract. */
+  private[graft] def hitsOnEdges(edgeList: DataFrame): DataFrame = {
+    val edges = edgeList.persist()
     // one action for both side sizes (driver scalars, bounded)
     val sizes = edges.agg(
       countDistinct(col("user_id")).as("nu"),
       countDistinct(col("item")).as("ni")).head
     val (nUsers, nItems) = (sizes.getLong(0), sizes.getLong(1))
+    val unit = hitsUnitFor(nUsers, nItems)
     val kU = unit * nUsers
     val kI = unit * nItems
     var hub = edges.select(col("user_id")).distinct()

@@ -849,4 +849,97 @@ object SimilaritySearch {
       |    ELSE CAST(d2 AS HUGEINT) * n <= $OutlierTau * sd2 END AS admitted
       |FROM d ORDER BY vec_id""".stripMargin
   }
+
+  // ---- q195: Matryoshka dim-truncation quality -------------------
+
+  /** Truncation levels probed by q195 — oracle fragments are
+    * GENERATED from this list (lever (a)). */
+  private[graft] val TruncDims = Seq(8, 16, 32)
+
+  /** q195: DIMENSION-TRUNCATION quality report (the Matryoshka
+    * question: how much ranking fidelity survives if ANN reads only
+    * the first-T prefix of each vector?). At 100 TB the answer
+    * decides the serving layout — a T=16 prefix scan reads 1/4 of
+    * the bytes, and the standard pattern is prefix-ANN then exact
+    * re-rank of the shortlist; this query measures the top-1 cost of
+    * that move per truncation level against q40's exact full-dim
+    * baseline. Scale shape: ONE corpus scan — per-side prefix norms
+    * are computed once per row BEFORE the broadcast cross join
+    * (q40's norms-not-per-pair rule), all four cosines per pair are
+    * row-local codegen folds, and the single shuffle carries four
+    * bounded TopKByKey heaps in one aggregation (≤ 1 row per query
+    * per heap per partition; no window over candidates — lever (h)).
+    * Float discipline: left-to-right double folds (VecExprs ==
+    * list_reduce), round(,6) before ranking with doc-id tie-breaks
+    * (lever (i)); output is IDs and booleans only — no derived-float
+    * aggregate leaves the query. Reference analogue: the
+    * word-item similarity app serves fixed-dim gensim vectors
+    * (app/word_item_similarity/); truncated serving is the scale
+    * path it never needed. */
+  def dimTruncation(spark: SparkSession, dir: String): DataFrame = {
+    def norms(v: Column, p: String): Seq[Column] =
+      VecFns.norm(v).as(s"${p}f") +:
+        TruncDims.map(t => VecFns.norm(slice(v, 1, t)).as(s"$p$t"))
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val emb = base.select(Seq(col("vec_id"), col("embedding")) ++
+      norms(col("embedding"), "n"): _*)
+    val q = base.filter(col("vec_id") < 10)
+      .select(Seq(col("vec_id").as("query_id"), col("embedding").as("qv")) ++
+        norms(col("embedding"), "qn"): _*)
+    def cosT(t: Int): Column = round(VecFns.ratio(
+      VecFns.dot(slice(col("embedding"), 1, t), slice(col("qv"), 1, t)),
+      col(s"n$t") * col(s"qn$t")), 6)
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("vec_id"),
+        round(VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nf") * col("qnf")), 6).as("cf")) ++
+        TruncDims.map(t => cosT(t).as(s"c$t")): _*)
+    val agg = scored.groupBy(col("query_id")).agg(
+      graft.plans.TopKByKey.topK(1)(col("vec_id"), col("cf")).as("tf"),
+      TruncDims.map(t =>
+        graft.plans.TopKByKey.topK(1)(col("vec_id"), col(s"c$t")).as(s"t$t")): _*)
+    agg.select(col("query_id"), col("tf").getItem(0).getField("id").as("full_top1"),
+        explode(array(TruncDims.map(t => struct(
+          lit(t.toLong).as("t"),
+          col(s"t$t").getItem(0).getField("id").as("tt"))): _*)).as("e"))
+      .select(col("e.t").as("t"), col("query_id"), col("full_top1"),
+        col("e.tt").as("trunc_top1"),
+        (col("e.tt") === col("full_top1")).as("agree"))
+      .orderBy(col("t"), col("query_id"))
+  }
+
+  /** The q195 oracle, generated from [[TruncDims]] and q40's verified
+    * cosine fragment parameterized by prefix length. */
+  private[graft] def dimTruncationOracleSql: String = {
+    def fold(side: String, vcol: String, other: String, ocol: String, t: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range($t), " +
+        s"i -> CAST($side.$vcol[i+1] AS DOUBLE) * CAST($other.$ocol[i+1] AS DOUBLE))), " +
+        "(acc, v) -> acc + v)"
+    def cosSql(t: String) =
+      s"round(${fold("e", "embedding", "q", "qv", t)} / " +
+        s"(sqrt(${fold("e", "embedding", "e", "embedding", t)}) * " +
+        s"sqrt(${fold("q", "qv", "q", "qv", t)})), 6)"
+    val cosCols = (s"    ${cosSql("len(e.embedding)")} AS cf" +:
+      TruncDims.map(t => s"    ${cosSql(t.toString)} AS c$t")).mkString(",\n")
+    def rankCte(name: String, c: String) =
+      s"$name AS (SELECT query_id, nid AS top1 FROM (SELECT query_id, nid, " +
+        s"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY $c DESC, nid) AS rn FROM c) WHERE rn = 1)"
+    val rankCtes = (rankCte("f", "cf") +:
+      TruncDims.map(t => rankCte(s"t$t", s"c$t"))).mkString(",\n")
+    val unions = TruncDims.map(t =>
+      s"SELECT CAST($t AS BIGINT) AS t, f.query_id, f.top1 AS full_top1, " +
+        s"t$t.top1 AS trunc_top1, t$t.top1 = f.top1 AS agree " +
+        s"FROM f JOIN t$t USING (query_id)").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 10),
+       |c AS (
+       |  SELECT q.query_id, e.vec_id AS nid,
+       |$cosCols
+       |  FROM e, q WHERE e.vec_id != q.query_id),
+       |$rankCtes
+       |SELECT * FROM (
+       |$unions)
+       |ORDER BY t, query_id""".stripMargin
+  }
 }

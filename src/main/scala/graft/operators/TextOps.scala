@@ -159,7 +159,7 @@ object TextOps {
       """v0 AS (
         |  SELECT word, array_to_string(string_split(word,''), ' ') || ' </w>' AS sym,
         |    CAST(COUNT(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  FROM (SELECT unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS word FROM documents)
         |  GROUP BY 1)""".stripMargin)
     for (i <- 1 to BpeSteps) {
       blocks += s"""p$i AS (
@@ -172,7 +172,7 @@ object TextOps {
     }
     "WITH " + blocks.mkString(",\n") + s"""
       |, enc AS (SELECT word, CAST(len(string_split(sym,' ')) AS BIGINT) AS n_pieces FROM v$BpeSteps),
-      |d AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+      |d AS (SELECT source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS word FROM documents)
       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_words,
       |  CAST(SUM(enc.n_pieces) AS BIGINT) AS n_pieces,
       |  round(CAST(CAST(SUM(enc.n_pieces) AS BIGINT) AS DOUBLE)
@@ -201,7 +201,7 @@ object TextOps {
       """v0 AS (
         |  SELECT array_to_string(string_split(word,''), ' ') || ' </w>' AS sym,
         |    CAST(COUNT(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  FROM (SELECT unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS word FROM documents)
         |  GROUP BY 1)""".stripMargin)
     for (i <- 1 to BpeSteps) {
       blocks += s"""p$i AS (
@@ -371,14 +371,20 @@ object TextOps {
     * against exploded tokens; prediction = argmax hits per doc;
     * output is the lang × predicted confusion matrix. Rows-only check
     * (the heuristic itself isn't ANSI-SQL-portable). */
+  /** THE language-ID stopword profiles — q25's explode+join chain,
+    * q194's row-local argmax, and BOTH their generated oracles all
+    * interpolate this one constant (shared-rule discipline). */
+  private[graft] val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val profiles = Seq(
-      ("en", "the"), ("en", "a"), ("en", "of"), ("en", "and"), ("en", "is"),
-      ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "les"), ("fr", "des"),
-      ("es", "el"), ("es", "la"), ("es", "de"), ("es", "y"), ("es", "los"),
-      ("de", "der"), ("de", "die"), ("de", "und"), ("de", "das"), ("de", "ist"),
-    ).toDF("plang", "word")
+    val profiles = LangProfiles
+      .flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("plang", "word")
     val docs = Tables.documents(spark, dir)
     val hits = docs.select(col("doc_id"), col("lang"), explode(toks).as("word"))
       .join(broadcast(profiles), Seq("word"))
@@ -395,6 +401,88 @@ object TextOps {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** The per-doc language prediction as ONE ROW-LOCAL column — the
+    * 100 TB shape of q25's explode+join+window chain: per profile
+    * language, hits = a higher-order count over the token array (no
+    * explode, so no row multiplication), argmax folded as a when-
+    * chain with q25's exact tie-break (hits desc, language asc —
+    * profiles are pre-sorted so keeping the incumbent on ties IS the
+    * alphabetical rule), zero hits everywhere → 'unknown' (q25's
+    * left-join semantics). TextOpsSpec asserts row-for-row parity
+    * with q25's chain; being row-local it runs unchanged on
+    * Structured Streaming frames (the q72/q112 twin discipline). */
+  private[graft] def langPredCol: Column = {
+    val t = toks
+    val hits = LangProfiles.sortBy(_._1)
+      .map { case (l, ws) => (l, TextFns.countIn(t, ws)) }
+    val (bestLang, bestHits) = hits.tail.foldLeft((lit(hits.head._1), hits.head._2)) {
+      case ((bl, bh), (l, h)) =>
+        (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    when(bestHits > 0L, bestLang).otherwise(lit("unknown"))
+  }
+
+  /** q194: per-source LANGUAGE-CONSISTENCY AUDIT — the ops check a
+    * multilingual pipeline runs before trusting its `lang` metadata
+    * (a crawler that mislabels a source poisons every lang-keyed
+    * sampling/mixing decision downstream, q85/q112's lang rates
+    * included). Declared vs predicted language per doc via the
+    * row-local [[langPredCol]]; per source: doc counts, agreement,
+    * unknowns, mismatches, and the mismatch rate (exact-int
+    * division — one correctly-rounded IEEE op, bit-identical
+    * cross-engine, lever (c)). Scale shape: ONE corpus scan, all
+    * signals row-local in WholeStageCodegen, |sources|-row partial
+    * agg; no explode, no join, no window anywhere — this is the plan
+    * q25 cannot have (its oracle states the declarative chain; this
+    * op's generated oracle replays the row-local rule itself). */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), langPredCol.as("pred"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("pred") === "unknown", 1L).otherwise(0L)).as("n_unknown"),
+        sum(when(col("pred") =!= col("lang") && col("pred") =!= "unknown", 1L)
+          .otherwise(0L)).as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        col("n_mismatch").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+
+  /** The q194 oracle, GENERATED from [[LangProfiles]] (lever (a)):
+    * per-language hit counts as list_filter/list_contains over the
+    * token array, argmax as a greatest + CASE chain in language-asc
+    * order — the same row-local rule, replayed. */
+  private[graft] def langMismatchOracleSql: String = {
+    val profs = LangProfiles.sortBy(_._1)
+    val hitCols = profs.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, w -> list_contains($lst, w))) AS h_$l"
+    }.mkString(",\n      |    ")
+    val m = profs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val argmax = profs.map { case (l, _) => s"WHEN h_$l = m THEN '$l'" }
+      .mkString(" ")
+    s"""WITH t AS (
+      |  SELECT source, lang,
+      |    string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT source, lang,
+      |    $hitCols
+      |  FROM t),
+      |p AS (
+      |  SELECT source, lang,
+      |    CASE WHEN m = 0 THEN 'unknown' $argmax END AS pred
+      |  FROM (SELECT *, $m AS m FROM h))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |  CAST(SUM(CASE WHEN pred = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+      |  CAST(SUM(CASE WHEN pred <> lang AND pred <> 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      |  CAST(SUM(CASE WHEN pred <> lang AND pred <> 'unknown' THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS mismatch_rate
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Gopher-style quality RULE filter (Rae et al. 2021 §A1.1 — the
@@ -583,7 +671,7 @@ object TextOps {
   private[graft] def pmiOracleSql: String = {
     val w = PmiWindow
     s"""WITH t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
        |p AS (
        |  SELECT least(toks[CAST(i AS BIGINT)], toks[CAST(i AS BIGINT)+CAST(j AS BIGINT)])
        |    || ' ' ||
@@ -672,7 +760,7 @@ object TextOps {
     def term(k: String, r: String, c: String): String =
       s"CASE WHEN $k = 0 THEN 0.0 ELSE CAST($k AS DOUBLE) * ln(CAST($k AS DOUBLE) * CAST(n AS DOUBLE) / (CAST($r AS DOUBLE) * CAST($c AS DOUBLE))) END"
     s"""WITH t AS (
-       |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       |  SELECT source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS w FROM documents),
        |cells AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM t GROUP BY 1, 2),
        |wt AS (SELECT w, CAST(SUM(a) AS BIGINT) AS cw FROM cells GROUP BY 1),
        |st AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM cells GROUP BY 1),
@@ -922,13 +1010,22 @@ object TextOps {
         -CorpusOps.sampleHash(col("doc_id")).cast("double")).as("top"))
       .select(col("source"), explode(col("top")).as("e"))
       .select(col("source"), col("e.id").as("doc_id"))
-    val sig = docs.select(col("doc_id"), col("source"), toks.as("t"))
+    // Join the (|sources|·K)-row selection onto the corpus BEFORE
+    // computing any signal: Catalyst won't push a join below a
+    // computing Project, so the projection order IS the plan — this
+    // way tokenize + the interpreted char-count fold run on at most
+    // K·|sources| surviving rows, never the whole corpus
+    // (PlanShapeSpec pins the order; values are unchanged because
+    // the signals are row-local).
+    val sig = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(broadcast(sel), Seq("source", "doc_id"))
+      .select(col("doc_id"), col("source"), toks.as("t"))
       .select(col("doc_id"), col("source"),
         size(col("t")).cast("long").as("nw"),
         size(array_distinct(col("t"))).cast("long").as("nd"),
         aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("tc"))
       .filter(col("nw") > 0L)
-    val xyz = sig.join(broadcast(sel), Seq("source", "doc_id"))
+    val xyz = sig
       .select(col("source"),
         least(col("nw"), lit(CorrMaxWords)).as("x"),
         expr("(1000 * nd + nw div 2) div nw").as("y"),
@@ -968,7 +1065,7 @@ object TextOps {
       |    SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
       |      ORDER BY ((doc_id % $SampleHashP) * $SampleHashC) % $SampleHashP, doc_id) AS rk
       |    FROM documents) WHERE rk <= $CorrSampleK),
-      |t AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+      |t AS (SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
       |      FROM documents),
       |sig AS (
       |  SELECT doc_id, source,
@@ -1009,4 +1106,148 @@ object TextOps {
       |    ELSE CAST(nyz AS DOUBLE) / sqrt(CAST(dy AS DOUBLE) * CAST(dz AS DOUBLE)) END AS r_ttr_wlen
       |FROM b ORDER BY source""".stripMargin
   }
+
+  // ---- q196: word2vec negative-sampling table ---------------------
+
+  /** Vocabulary floor (== the shared Word2Vec fit's minCount — the
+    * sampling table serves the same trainer) and the fixed-point
+    * quantization scale for the weights. Count clamp keeps cnt³
+    * inside int64 on BOTH engines (2e6³ = 8e18 < 2^63). */
+  private[graft] val NegMinCount = 5L
+  private[graft] val NegCntCap = 2000000L
+  private[graft] val NegWScale = 1024L
+
+  /** q196: the NEGATIVE-SAMPLING distribution word2vec training draws
+    * noise words from — unigram count^(3/4), the published smoothing
+    * (Mikolov et al. 2013 §2.2; gensim builds this table inside the
+    * trainer the reference wraps, train/train_word2vec.py:10). As a
+    * standalone table it also serves contrastive-pair mining for any
+    * embedding fit. Float discipline (lever (x) composition): x^0.75
+    * NEVER calls libm pow — cnt³ is exact int64 (clamped), the
+    * int64→double cast and the two nested sqrts are all IEEE
+    * correctly-rounded, so the weight double is bit-identical
+    * cross-engine; it is then fixed-point-quantized
+    * (floor(w·S + 0.5), the lever-(w) portable quantizer) so the
+    * total and cumulative ranges are EXACT integer sums — the
+    * sampling contract (draw u ∈ [0, total), walk cum) is integer-
+    * exact and engine-portable. Scale shape: one corpus scan →
+    * map-side-combined (word) counts; everything after is
+    * vocab-bounded, incl. the rank/cum window (the q121 bounded-
+    * survivor class). */
+  def negSampling(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= NegMinCount)
+    val c = least(col("cnt"), lit(NegCntCap))
+    val w = sqrt(sqrt((c * c * c).cast("double")))
+    val wq = floor(w * NegWScale + lit(0.5)).cast("long")
+    val byW = Window.orderBy(col("wq").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.select(col("word"), col("cnt"), wq.as("wq"))
+      .withColumn("cum_wq", sum(col("wq")).over(byW))
+      .withColumn("share",
+        col("wq").cast("double") / sum(col("wq")).over(all).cast("double"))
+      .orderBy(col("cum_wq"), col("word"))
+  }
+
+  // ---- q197: token-length KS drift --------------------------------
+
+  /** KS alarm threshold: a source whose token-length distribution
+    * sits more than this sup-distance from the corpus blend gets
+    * flagged (the tokenizer-drift tripwire: a source that suddenly
+    * ships URLs/base64/minified text moves this statistic first,
+    * before any quality rule fires). */
+  private[graft] val KsTau = 0.10
+
+  /** q197: per-source Kolmogorov–Smirnov distance between the
+    * source's word-length distribution and the whole-corpus blend —
+    * the cheap distribution-drift check run per ingest batch (the
+    * PSI report q140 buckets DOC lengths; this is the TOKEN-level
+    * complement with a sup-norm statistic). Float discipline: every
+    * CDF point is one exact-int division (identical doubles both
+    * engines, lever (c)); the KS sup is max over |identical −
+    * identical| — no rounding anywhere, and the τ compare is exact.
+    * Scale shape: one scan → explode → map-side-combined
+    * (source, wlen) counts (the TF-IDF aggregation shape); the CDFs
+    * and the sup run over the (|sources|·|lengths|)-bounded rollup
+    * table — window over aggregated rows, never over the corpus. */
+  def tokenLenKs(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("w"))
+      .select(col("source"), length(col("w")).cast("long").as("wlen"))
+      .groupBy(col("source"), col("wlen")).agg(count(lit(1)).as("c"))
+    val tot = lens.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val corpus = lens.groupBy(col("wlen")).agg(sum(col("c")).as("cc"))
+    val nAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // dense grid: every (source, wlen) pair, zero-filled, so both
+    // CDFs step at every length the corpus has seen
+    val grid = tot.select(col("source"), col("n_src"))
+      .crossJoin(corpus.select(col("wlen"), col("cc"),
+        sum(col("cc")).over(nAll).as("n_all")))
+      .join(lens, Seq("source", "wlen"), "left")
+      .na.fill(0L, Seq("c"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("wlen"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cdf_src",
+        sum(col("c")).over(bySrc).cast("double") / col("n_src").cast("double"))
+      .withColumn("cdf_all",
+        sum(col("cc")).over(bySrc).cast("double") / col("n_all").cast("double"))
+      .withColumn("d", abs(col("cdf_src") - col("cdf_all")))
+      .groupBy(col("source"))
+      .agg(first(col("n_src")).as("n_tokens"), max(col("d")).as("ks"))
+      .withColumn("drifted", col("ks") > KsTau)
+      .orderBy(col("source"))
+  }
+
+  /** The q197 oracle — the same dense grid and exact-int CDFs. */
+  private[graft] def tokenLenKsOracleSql: String =
+    s"""WITH l0 AS (
+      |  SELECT source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS w
+      |  FROM documents),
+      |l AS (SELECT source, len(w) AS wlen FROM l0),
+      |c AS (SELECT source, CAST(wlen AS BIGINT) AS wlen, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM l GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM c GROUP BY 1),
+      |corp AS (SELECT wlen, CAST(SUM(c) AS BIGINT) AS cc FROM c GROUP BY 1),
+      |nall AS (SELECT CAST(SUM(cc) AS BIGINT) AS n_all FROM corp),
+      |grid AS (
+      |  SELECT tot.source, tot.n_src, corp.wlen, corp.cc, nall.n_all,
+      |    COALESCE(c.c, 0) AS c
+      |  FROM tot CROSS JOIN corp CROSS JOIN nall
+      |  LEFT JOIN c ON c.source = tot.source AND c.wlen = corp.wlen),
+      |k AS (
+      |  SELECT source, n_src,
+      |    abs(CAST(SUM(c) OVER w AS DOUBLE) / CAST(n_src AS DOUBLE) -
+      |        CAST(SUM(cc) OVER w AS DOUBLE) / CAST(n_all AS DOUBLE)) AS d
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY source ORDER BY wlen
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT source, CAST(MAX(n_src) AS BIGINT) AS n_tokens, MAX(d) AS ks,
+      |  MAX(d) > $KsTau AS drifted
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** The q196 oracle — same exact-IEEE chain, constants
+    * interpolated. */
+  private[graft] def negSamplingOracleSql: String =
+    s"""WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS word
+      |  FROM documents),
+      |c AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM t GROUP BY 1 HAVING COUNT(*) >= $NegMinCount),
+      |w AS (
+      |  SELECT word, cnt,
+      |    CAST(floor(sqrt(sqrt(CAST(least(cnt, $NegCntCap) * least(cnt, $NegCntCap) *
+      |      least(cnt, $NegCntCap) AS DOUBLE))) * $NegWScale + 0.5) AS BIGINT) AS wq
+      |  FROM c)
+      |SELECT word, cnt, wq,
+      |  CAST(SUM(wq) OVER (ORDER BY wq DESC, word
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_wq,
+      |  CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS share
+      |FROM w ORDER BY cum_wq, word""".stripMargin
 }

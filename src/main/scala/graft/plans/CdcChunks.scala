@@ -27,7 +27,11 @@ import org.apache.spark.sql.types._
   */
 object CdcChunks {
 
-  private val M = 1000000007L
+  // THE poly-31 base-hash modulus — the same constant every CDC
+  // oracle fragment interpolates (cdcChunkCteSql); referencing the
+  // owning family instead of holding a private copy keeps kernel and
+  // oracle incapable of drifting (shared-rule discipline).
+  private val M = RollingHash.Mod
 
   /** Static so generated code calls it directly (PairExprs pattern).
     * Output rows: (chunk_idx, n_tok, fp) per chunk, in order. */

@@ -24,9 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NfcExprs {
 
-  /** Static so generated code calls it directly. */
+  /** Static so generated code calls it directly. ASCII fast path:
+    * pure-ASCII text is already NFC (combining marks start at
+    * U+0300), so the common case — this runs on EVERY tokenize since
+    * it fronts the shared normText/tokens defs — is one byte scan
+    * with zero allocation, no String round-trip. */
   def nfc(s: UTF8String): UTF8String =
-    UTF8String.fromString(
+    if (s.isFullAscii) s
+    else UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
 
   def cpHash(s: UTF8String): Long = {

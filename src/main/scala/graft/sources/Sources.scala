@@ -238,14 +238,6 @@ object Sources {
     readVersionFrom(spark, vacuumedStore(spark, dir), 3)
       .orderBy(col("doc_id"))
 
-  /** Text-level as-of state (doc_id, text) — q180's chunk-delta
-    * input; same partition-pruned LWW pass as every other read. */
-  private def asOfText(spark: SparkSession, base: String,
-      version: Int): DataFrame =
-    lwwRows(spark.read.parquet(base), version)
-      .filter(col("op") === "upsert")
-      .select(col("doc_id"), col("text"))
-
   /** q180: CHUNK-INDEX DELTA under store revisions — incremental
     * maintenance of a DERIVED artifact: at 100 TB the chunk index
     * (q175/q176's dedup substrate) must update from commit deltas,
@@ -257,17 +249,28 @@ object Sources {
     * re-writes, which is precisely the promise q175's spec pins and
     * this query QUANTIFIES on the lakehouse (a fixed-window index
     * would re-write nothing-reusable whenever lengths shift).
-    * Scale shape: the changed set is delta-sized (a full-outer join
-    * of two partition-pruned LWW reads, fingerprint-free because the
-    * texts join directly); only changed docs reach the kernel; the
-    * rollup is |kinds|-bounded. Oracle derives both sides from the
-    * raw corpus with the store's %-rules (q165's pattern) through
-    * the SAME generated chunk CTE as q175/q176. */
+    * Scale shape: the changed-candidate set is the version=2 COMMIT
+    * PARTITION alone — only keys written in that commit can differ
+    * between the v1 and v2 as-of states — so both LWW text reads are
+    * restricted (broadcast semi-shape join on the request-bounded id
+    * list) BEFORE any window runs, and the full-outer diff join is
+    * delta-sized, never store-sized; only truly-changed docs reach
+    * the kernel; the rollup is |kinds|-bounded. Oracle derives both
+    * sides from the raw corpus with the store's %-rules (q165's
+    * pattern) through the SAME generated chunk CTE as q175/q176. */
   def chunkDelta(spark: SparkSession, dir: String): DataFrame = {
     val base = versionedStore(spark, dir)
-    val oldT = asOfText(spark, base, 1)
+    val deltaIds = spark.read.parquet(base)
+      .filter(col("version") === 2)
+      .select(col("doc_id")).distinct()
+    def restricted(version: Int) =
+      lwwRows(spark.read.parquet(base)
+          .join(broadcast(deltaIds), Seq("doc_id")), version)
+        .filter(col("op") === "upsert")
+        .select(col("doc_id"), col("text"))
+    val oldT = restricted(1)
       .select(col("doc_id"), col("text").as("text_old"))
-    val newT = asOfText(spark, base, 2)
+    val newT = restricted(2)
       .select(col("doc_id"), col("text").as("text_new"))
     val changed = oldT.join(newT, Seq("doc_id"), "full_outer")
       .filter(!coalesce(col("text_old") === col("text_new"), lit(false)))

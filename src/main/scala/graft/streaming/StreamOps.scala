@@ -935,6 +935,22 @@ object StreamOps {
   def qualityFlagStream(spark: SparkSession, docsDir: String): DataFrame =
     qualityFlags(streamDocs(spark, docsDir))
 
+  /** Language-ID at ingest (q194's twin): the row-local argmax
+    * projection (TextOps.langPredCol — no explode/join/window, so it
+    * runs unchanged on an unbounded frame) stamps every arriving doc
+    * with its predicted language and a consistency flag against the
+    * declared `lang`; a router can fork mismatches to review before
+    * they poison lang-keyed sampling. Stream == batch doc-for-doc
+    * (TextOpsSpec parity). */
+  def langFlagStream(spark: SparkSession, docsDir: String): DataFrame =
+    langFlags(streamDocs(spark, docsDir))
+
+  /** The shared per-doc language-verdict projection. */
+  def langFlags(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("lang"),
+        graft.operators.TextOps.langPredCol.as("pred"))
+      .withColumn("lang_ok", col("pred") === col("lang"))
+
   /** The shared per-doc quality-verdict projection. */
   def qualityFlags(docs: DataFrame): DataFrame = {
     import graft.operators.TextOps

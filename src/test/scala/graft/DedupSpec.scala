@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.VecFns
+import graft.functions.{TextFns, VecFns}
 import graft.operators.{Dedup, SimilaritySearch}
 
 class DedupSpec extends AnyFunSuite {
@@ -112,6 +112,32 @@ class DedupSpec extends AnyFunSuite {
     assert((capped -- uncapped).isEmpty)
     val recall = (uncapped intersect capped).size.toDouble / uncapped.size
     assert(recall >= 0.8, s"capped recall $recall over ${uncapped.size} pairs")
+  }
+
+  test("q199 poly simhash: guaranteed recall on identical-token docs; hamming bounded") {
+    val pairs = Dedup.simhashExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.values.forall(h => h >= 0 && h <= 3))
+    // ground-truth verify against a driver-side brute force over the
+    // signatures: pigeonhole (4 bands × 16 bits, ≤ 3 flipped bits ⟹
+    // ≥ 1 intact band) makes the banded result EXACTLY the brute
+    // force — not approximately
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.plans.PolySimHash(
+        TextFns.tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    pairs.foreach { case (p, h) => assert(brute.get(p).contains(h), s"pair $p") }
+    brute.filter(_._2 == 0L).foreach { case (p, _) =>
+      assert(pairs.get(p).contains(0L), s"hamming-0 pair $p missed")
+    }
+    // pigeonhole recall on this corpus: banding finds everything the
+    // brute force admits (16-bit bands, <= 3 flipped bits)
+    assert(pairs == brute)
   }
 
   test("simhash near-dups overlap heavily with jaccard near-dups") {

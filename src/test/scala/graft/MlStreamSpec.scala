@@ -66,6 +66,24 @@ class MlStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("subword OOV quality rate: top-1 base recovery >= 0.8 on a vocab sweep") {
+    // the quantified quality bound the fastText approximation is held
+    // to (round 7): a deterministic ~40-word vocabulary sample (not
+    // hand-picked), each perturbed two ways; the synthesized vector's
+    // nearest vocab word must be the base form for >= 80% of probes
+    val bases = MlOps
+      .word2vecModelForSpec(spark, sf).getVectors
+      .collect().map(_.getString(0))
+      .filter(w => w.length >= 4 && w.forall(_.isLetter))
+      .sorted.take(40).toSeq
+    val out = MlOps.subwordOovFor(spark, sf, bases).collect()
+    val top1 = out.filter(_.getLong(2) == 1L)
+    assert(top1.length >= 30, s"too few OOV probes survived: ${top1.length}")
+    val hit = top1.count(r => r.getString(3) == r.getString(1))
+    val rate = hit.toDouble / top1.length
+    assert(rate >= 0.8, s"top-1 base recovery $rate (${hit}/${top1.length})")
+  }
+
   test("adaptive search matches the exhaustive grid's best within epsilon") {
     val adaptive = MlOps.adaptiveTuning(spark, sf).collect()
     // successive halving: 8 → 4 → 2 candidates across the three rungs
@@ -94,6 +112,15 @@ class MlStreamSpec extends AnyFunSuite {
     assert(t.length == 10)
     assert(t.count(_.getString(1) == "startup") == 4)
     assert(t.count(_.getString(1) == "tpe") == 6)
+    // MIXED space (round 7): every trial carries a declared family;
+    // the startup block covers the full categorical support
+    val fams = t.map(_.getAs[String]("family"))
+    assert(fams.forall(MlOps.TpeFamilies.contains), fams.mkString(","))
+    assert(fams.take(4).toSet == MlOps.TpeFamilies.toSet)
+    // Bergstra categorical weights: smoothed, positive, sum to 1
+    val w = MlOps.TpeFamilies.map(c =>
+      MlOps.catWeight(c, Seq("logistic_regression")))
+    assert(w.forall(_ > 0) && math.abs(w.sum - 1.0) < 1e-12)
     // running best is monotone and consistent with the trial accs
     val accs = t.map(_.getAs[Double]("accuracy"))
     val bests = t.map(_.getAs[Double]("best_acc"))

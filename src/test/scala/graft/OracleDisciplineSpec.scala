@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable shared-rule discipline for the oracle SQL surface:
+  * every DuckDB fragment that tokenizes or canonicalizes raw `text`
+  * must run `nfc_normalize` FIRST, mirroring the NFC front wired
+  * into TextFns.tokens and Dedup.normText (round 7). A future
+  * fragment written without the mirror would silently diverge from
+  * the Spark side on any non-ASCII corpus — this spec turns the
+  * pairing into a compile-ish gate instead of a review convention.
+  */
+class OracleDisciplineSpec extends AnyFunSuite {
+
+  // the two ingest-entry shapes a fragment may take; z-renamed
+  // compositions (lever d) rename the column but keep the function
+  // nest, so a whole-word column rename still matches here.
+  private val splitNoNfc = """string_split_regex\(trim\((?!nfc_normalize\()""".r
+  private val normNoNfc = """regexp_replace\(lower\(trim\((?!nfc_normalize\()""".r
+
+  test("every oracle tokenizer/normalizer fragment applies nfc_normalize first") {
+    val offenders = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+      val bad =
+        splitNoNfc.findFirstIn(sql).map(m => s"$name: $m...") ++
+          normNoNfc.findFirstIn(sql).map(m => s"$name: $m...")
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"oracle fragments tokenizing raw text without nfc_normalize:\n${offenders.mkString("\n")}")
+  }
+
+  test("the NFC-fronted fragments actually exist (the check is not vacuous)") {
+    val n = SparkEntry.oracleSql.values
+      .count(_.contains("string_split_regex(trim(nfc_normalize("))
+    assert(n >= 40, s"expected >=40 NFC-fronted tokenizer fragments, found $n")
+  }
+}

@@ -544,6 +544,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"broadcast build side is not the bounded aggregate:\n$h"))
   }
 
+  test("q167 sketch profile has no Expand; q135's exact distincts do") {
+    // q135's multiple exact count-distincts ride EXPAND (row
+    // multiplication per distinct) — acceptable as the exact gate;
+    // q167 is the DECLARED 100 TB path: approx_count_distinct keeps
+    // mergeable HLL state, single pass, no row expansion. This pins
+    // the documented contrast as an executable contract.
+    val exact = plan(FrameOps.profile(spark, sf))
+    val sketch = plan(FrameOps.profileSketch(spark, sf))
+    assert(exact.contains("Expand"), exact)
+    assert(!sketch.contains("Expand"), sketch)
+    assert(sketch.contains("approx_count_distinct") || sketch.contains("HyperLogLog"), sketch)
+  }
+
   test("q188 lsh calibration: rides the disk artifacts, no corpus scan") {
     val p = plan(Dedup.lshCalibration(spark, sf))
     assert(!p.contains("documents.parquet"), p)
@@ -556,5 +569,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // the bounded selection broadcasts against the signal scan
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // ORDER: the expensive signal projection (tokenize + interpreted
+    // char-count fold, recognizable by array_distinct) sits ABOVE the
+    // broadcast join — i.e. runs only on the K-per-source survivors,
+    // never the whole corpus (round-7 fix of the round-6 `weak`).
+    // explain prints parents first, so the Project line must come
+    // strictly before the join line.
+    val lines = p.linesIterator.toSeq
+    val sigLine = lines.indexWhere(_.contains("array_distinct"))
+    val joinLine = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(sigLine >= 0 && joinLine >= 0, p)
+    assert(sigLine < joinLine,
+      s"signal projection (line $sigLine) must be computed above the sample join (line $joinLine):\n$p")
   }
 }

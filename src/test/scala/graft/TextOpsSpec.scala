@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFns
+import graft.operators.TextOps
 import graft.plans.RollingHash
 
 class TextOpsSpec extends AnyFunSuite {
@@ -116,5 +117,64 @@ class TextOpsSpec extends AnyFunSuite {
       != TextOps.NfcPlant1)
     val once = Normalizer.normalize(TextOps.NfcPlant2, Normalizer.Form.NFC)
     assert(Normalizer.normalize(once, Normalizer.Form.NFC) == once)
+  }
+
+  test("q194 row-local langid == q25's declarative chain (confusion-matrix parity)") {
+    // the row-local argmax (no explode/join/window) must reproduce
+    // q25's explode+join+window chain exactly: compare the full
+    // (lang, predicted) count matrix over the corpus
+    val declarative = TextOps.langId(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rowLocal = graft.streaming.StreamOps
+      .langFlags(Tables.documents(spark, sf))
+      .groupBy(col("lang"), col("pred")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rowLocal == declarative)
+    assert(declarative.values.sum == Tables.documents(spark, sf).count())
+  }
+
+  test("q194 tie-break and zero-hit semantics match q25's rule on planted rows") {
+    // tie between fr and es ("la" is in BOTH profiles; one extra hit
+    // each) -> alphabetically smaller 'es' wins, q25's plang-asc rule;
+    // zero hits anywhere -> 'unknown'
+    val docs = Seq(
+      (1L, "la le el zzz", "fr", "web"),   // fr: la,le=2  es: la,el=2 -> tie -> es
+      (2L, "zzz yyy xxx", "en", "web"),    // no profile hits -> unknown
+      (3L, "the of and zzz", "en", "web")) // en wins
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.streaming.StreamOps.langFlags(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "es", 2L -> "unknown", 3L -> "en"), got.toString)
+  }
+
+  test("q194 per-source audit accounting is internally consistent") {
+    val rows = TextOps.langMismatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, m, u, mm) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m + u + mm == n, s"${r.getString(0)}: $m+$u+$mm != $n")
+      assert(r.getDouble(5) == mm.toDouble / n)
+    }
+  }
+
+  test("streaming lang flags equal the batch projection doc-for-doc") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_lang_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = graft.streaming.StreamOps
+      .langFlags(Tables.documents(spark, sf)).collect()
+      .map(_.toString).toSet
+    val q = graft.streaming.StreamOps.langFlagStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lang_flags_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lang_flags_test").collect()
+        .map(_.toString).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
   }
 }
