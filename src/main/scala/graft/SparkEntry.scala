@@ -227,6 +227,9 @@ object SparkEntry {
     "q197_token_len_ks" -> TextOps.tokenLenKs _,
     "q198_anchor_health" -> CorpusOps.anchorHealth _,
     "q199_simhash_exact" -> Dedup.simhashExact _,
+    "q200_term_burstiness" -> TextOps.termBurstiness _,
+    "q201_temporal_split" -> WordItemApp.temporalSplit _,
+    "q202_bot_audit" -> FrameOps.botAudit _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2409,6 +2412,16 @@ object SparkEntry {
     // q199: the q33 simhash family promoted onto the gate (poly dual
     // fold + bitstring keying; generated from PolySimHash constants)
     "q199_simhash_exact" -> Dedup.simhashExactOracleSql,
+    // q200: burst = tf/df exact-int division; global head stated as
+    // ORDER BY ... LIMIT (Spark plans TakeOrderedAndProject — same
+    // values, bounded heaps instead of a sort)
+    "q200_term_burstiness" -> TextOps.termBurstinessOracleSql,
+    // q201: integer epoch boundary from interpolated constants;
+    // LEFT-JOIN cold detection (null-safe, mirrors the Spark join)
+    "q201_temporal_split" -> WordItemApp.temporalSplitOracleSql,
+    // q202: identical keyed lag window + hour bucketing; flag rules
+    // interpolated
+    "q202_bot_audit" -> FrameOps.botAuditOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

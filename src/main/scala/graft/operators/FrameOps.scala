@@ -1311,4 +1311,88 @@ object FrameOps {
         atRank(75).as("p75"), atRank(90).as("p90"))
       .orderBy(col("event_type"))
   }
+
+  // ---- q202: bot-rate audit ----------------------------------------
+
+  /** Flag thresholds: sub-[[BotMinGapS]]-second adjacent events or
+    * ≥ [[BotHourlyBurst]] events inside one clock hour mark automated
+    * traffic (human browse gaps are minutes; the gate corpora's
+    * organic minimum is ~8 s at sf0.01, so the gap rule FIRES there);
+    * the q202 oracle interpolates both. */
+  private[graft] val BotMinGapS = 10L
+  private[graft] val BotHourlyBurst = 30L
+
+  /** q202: per-user BOT-RATE audit on the event log — the traffic
+    * hygiene every interaction-derived signal depends on: automated
+    * clients poison the click graph BEFORE it reaches training
+    * (q47's labels, q52/q107's factors, q145/q153's link scores,
+    * q157/q191's eval), so users are fingerprinted (event count,
+    * active span, minimum inter-event gap, busiest-hour burst, mean
+    * daily rate) and flagged by the interpolated rules — the event-
+    * log sibling of q72's content-side Gopher filter.
+    *
+    * Scale shape: one scan of a 3-column projection; the gap needs
+    * adjacency, so it is a lag window PARTITIONED BY user (a keyed
+    * shuffle — never the global-window antipattern; a hot automated
+    * key is exactly what AQE skew-split handles, and the flag output
+    * is |users|-bounded); the hourly burst is a two-level
+    * (user, hour)→(user) count rollup with map-side combine. Float
+    * discipline: events_per_day = exact int64 product n·86400 cast
+    * once, one IEEE division (lever (c)); span-0 (single-event user)
+    * → null rate (lever (q)); single-event users have no gap → null
+    * min_gap, and the flag coalesces it to false. */
+  def botAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsec"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("event_id"))
+    val byUser = ev
+      .withColumn("gap", col("tsec") - lag(col("tsec"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tsec")) - min(col("tsec"))).as("span_s"),
+        min(col("gap")).as("min_gap_s"))
+    val hourly = ev
+      .groupBy(col("user_id"), expr("tsec div 3600").as("hid"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max(col("c")).cast("long").as("max_hour_events"))
+    byUser.join(hourly, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("span_s"),
+        col("min_gap_s"), col("max_hour_events"),
+        when(col("span_s") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_events") * lit(86400L)).cast("double") /
+            col("span_s").cast("double")).as("events_per_day"),
+        (coalesce(col("min_gap_s") < BotMinGapS, lit(false)) ||
+          col("max_hour_events") >= BotHourlyBurst).as("is_bot"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The q202 oracle, generated from the flag constants — identical
+    * lag window (ts, event_id order), identical hour bucketing. */
+  private[graft] def botAuditOracleSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec,
+      |    event_id
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, tsec,
+      |    tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap
+      |  FROM e),
+      |u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(MAX(tsec) - MIN(tsec) AS BIGINT) AS span_s,
+      |    CAST(MIN(gap) AS BIGINT) AS min_gap_s
+      |  FROM g GROUP BY 1),
+      |h AS (SELECT user_id, tsec // 3600 AS hid, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |hm AS (SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_hour_events FROM h GROUP BY 1)
+      |SELECT u.user_id, n_events, span_s, min_gap_s, max_hour_events,
+      |  CASE WHEN span_s = 0 THEN NULL
+      |    ELSE CAST(n_events * 86400 AS DOUBLE) / CAST(span_s AS DOUBLE) END AS events_per_day,
+      |  (COALESCE(min_gap_s < $BotMinGapS, FALSE)
+      |    OR max_hour_events >= $BotHourlyBurst) AS is_bot
+      |FROM u JOIN hm ON u.user_id = hm.user_id
+      |ORDER BY u.user_id""".stripMargin
 }

@@ -1250,4 +1250,60 @@ object TextOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_wq,
       |  CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS share
       |FROM w ORDER BY cum_wq, word""".stripMargin
+
+  // ---- q200: term burstiness (Church & Gale 1995) -----------------
+
+  /** DF floor (burstiness is a statement about RECURRING terms — a
+    * df-1 term's tf/df is just its count) and head size; the q200
+    * oracle interpolates both. */
+  private[graft] val BurstMinDf = 3L
+  private[graft] val BurstTopK = 50
+
+  /** q200: TERM BURSTINESS — Church & Gale (1995): content words
+    * arrive in bursts (high occurrences-per-containing-doc), function
+    * words spread evenly, and pathologically bursty terms mark
+    * template/boilerplate/spam content. burst = tf/df, the mean
+    * within-document repetition of a term, with the per-doc peak
+    * (max_in_doc) alongside — the corpus-linguistics input to
+    * stopword and boilerplate rules (q94's block list, q22/q23's
+    * dictionary weighting; the reference's tfidf.py weights by the
+    * df side only — this is the complementary statistic).
+    *
+    * Scale shape: one scan → (term, doc) counts with map-side
+    * combine (the TF-IDF aggregation shape) → vocab-bounded (term)
+    * rollup → the global head via orderBy(...).limit(K), which Spark
+    * plans as TakeOrderedAndProject: per-partition bounded heaps +
+    * a K-row merge on the driver — NO window, NO global sort, NO
+    * single-partition exchange at any vocab size. Float discipline:
+    * burst = one IEEE division of exact longs (lever (c)); the
+    * (burst desc, term asc) ranking is a strict total order (term is
+    * unique), so the K-cut is deterministic cross-engine. */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("term"))
+      .agg(sum(col("c")).cast("long").as("tf"),
+        count(lit(1)).as("df"),
+        max(col("c")).cast("long").as("max_in_doc"))
+      .filter(col("df") >= BurstMinDf)
+      .withColumn("burst",
+        col("tf").cast("double") / col("df").cast("double"))
+      .orderBy(col("burst").desc, col("term"))
+      .limit(BurstTopK)
+  }
+
+  /** The q200 oracle, generated from [[BurstMinDf]]/[[BurstTopK]]. */
+  private[graft] def termBurstinessOracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS term
+      |  FROM documents),
+      |pd AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+      |a AS (
+      |  SELECT term, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(MAX(c) AS BIGINT) AS max_in_doc
+      |  FROM pd GROUP BY term HAVING COUNT(*) >= $BurstMinDf)
+      |SELECT term, tf, df, max_in_doc,
+      |  CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS burst
+      |FROM a ORDER BY burst DESC, term LIMIT $BurstTopK""".stripMargin
 }

@@ -83,15 +83,27 @@ object WordItemApp {
       .orderBy(col("split"))
   }
 
+  /** THE timestamped click-event stream (user, item, tsec, event_id)
+    * — the single item-extraction rule, with event time kept at the
+    * established second granularity (the unix_timestamp(date_trunc)
+    * ↔ epoch(date_trunc) parity pattern every event oracle uses).
+    * q201's temporal split reads it directly; [[userItemClicks]] is
+    * its distinct (user, item) projection. */
+  private[operators] def clickEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), itemFromProps.as("item"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("tsec"),
+        col("event_id"))
+      .filter(col("item").isNotNull)
+
   /** THE distinct (user, item) click set — the shared base of q48's
     * co-click pairs and q142's cosine similarity (shared-rule
     * discipline: one def, the pair list and the item marginals cannot
     * drift). */
   private[operators] def userItemClicks(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"), itemFromProps.as("item"))
-      .filter(col("item").isNotNull)
+    clickEvents(spark, dir)
+      .select(col("user_id"), col("item"))
       .distinct()
 
   /** THE co-click pair rule (q48 + q142 share it): support counts via
@@ -285,5 +297,97 @@ object WordItemApp {
       (sum(col("rr").cast("decimal(18,6)")).cast("decimal(18,6)")
         .cast("double") /
         count(lit(1)).cast("double")).as("macro_mrr"))
+  }
+
+  // ---- q201: temporal train/eval split audit ----------------------
+
+  /** Boundary position: train takes the first [[SplitNum]]/[[SplitDen]]
+    * of the log's time span (exact integer arithmetic on epoch
+    * seconds — both engines derive the identical boundary; the q201
+    * oracle interpolates these). */
+  private[graft] val SplitNum = 4L
+  private[graft] val SplitDen = 5L
+
+  /** q201: TEMPORAL split audit for the interaction log — the eval
+    * hygiene the recommender metrics (q157/q191) and every fit on
+    * the click graph (q47/q52/q65/q107) depend on: a RANDOM split of
+    * events leaks future interactions into training (the model
+    * "predicts" clicks it was shown), so the honest protocol is
+    * train-before / eval-after a time boundary. This query runs that
+    * split and reports its cost: per granularity (user / item), how
+    * many eval events involve an entity NEVER seen in train — the
+    * cold-start mass a temporal eval must score without history
+    * (q06's random-split counterpart on the event log; the reference
+    * splits interaction frames with sklearn, utils/train_test_split
+    * semantics, which is exactly the leak this audit quantifies).
+    *
+    * Scale shape: the boundary is ONE bounded agg action (two epoch
+    * scalars — the documented q145/q153 driver-scalar pattern) over
+    * the slim shared [[clickEvents]] projection (4 columns, filter
+    * pushed to the scan); per granularity, train keys are a DISTINCT
+    * on a bounded entity space joined back as an equi-join (AQE
+    * broadcasts it at gate scales; at 10^9 users it degrades to a
+    * shuffle join on the slim frame — never a corpus-width
+    * exchange); the rollup is 2 rows. Float discipline: rate = one
+    * IEEE division of exact longs (lever (c)); empty-side guard via
+    * coalesced sums + null rate (lever (q)). */
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = clickEvents(spark, dir).persist()
+    // one bounded action: the span scalars (null on an empty log —
+    // then every coalesced count below is 0 and the rate is null)
+    val b = ev.agg(min(col("tsec")).as("mn"), max(col("tsec")).as("mx")).head
+    val boundary =
+      if (b.isNullAt(0)) 0L
+      else b.getLong(0) + (b.getLong(1) - b.getLong(0)) * SplitNum / SplitDen
+    def audit(key: String, label: String): DataFrame = {
+      val trainKeys = ev.filter(col("tsec") < boundary)
+        .select(col(key)).distinct().withColumn("seen", lit(true))
+      val cold = col("tsec") >= boundary && col("seen").isNull
+      ev.join(trainKeys, Seq(key), "left")
+        .agg(
+          coalesce(sum(when(col("tsec") < boundary, 1L).otherwise(0L)), lit(0L))
+            .as("n_train"),
+          coalesce(sum(when(col("tsec") >= boundary, 1L).otherwise(0L)), lit(0L))
+            .as("n_eval"),
+          coalesce(sum(when(cold, 1L).otherwise(0L)), lit(0L)).as("n_cold_events"),
+          countDistinct(when(cold, col(key))).as("n_cold_keys"))
+        .select(lit(label).as("granularity"), col("n_train"), col("n_eval"),
+          col("n_cold_events"), col("n_cold_keys"),
+          when(col("n_eval") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_cold_events").cast("double") /
+              col("n_eval").cast("double")).as("cold_event_rate"))
+    }
+    audit("user_id", "user").unionByName(audit("item", "item"))
+      .orderBy(col("granularity"))
+  }
+
+  /** The q201 oracle, generated from [[SplitNum]]/[[SplitDen]] — the
+    * identical integer boundary, LEFT-JOIN cold detection (never
+    * NOT IN — null semantics), per-granularity CTE pair unioned. */
+  private[graft] def temporalSplitOracleSql: String = {
+    def side(key: String, label: String, p: String) =
+      s"""${p}t AS (SELECT DISTINCT $key FROM e2, b WHERE tsec < bd),
+         |${p}a AS (
+         |  SELECT '$label' AS granularity,
+         |    CAST(COALESCE(SUM(CASE WHEN tsec < bd THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_train,
+         |    CAST(COALESCE(SUM(CASE WHEN tsec >= bd THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_eval,
+         |    CAST(COALESCE(SUM(CASE WHEN tsec >= bd AND seen IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cold_events,
+         |    CAST(COUNT(DISTINCT CASE WHEN tsec >= bd AND seen IS NULL THEN e2.$key END) AS BIGINT) AS n_cold_keys,
+         |    CASE WHEN COALESCE(SUM(CASE WHEN tsec >= bd THEN 1 ELSE 0 END), 0) = 0 THEN NULL
+         |      ELSE CAST(COALESCE(SUM(CASE WHEN tsec >= bd AND seen IS NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         |        / CAST(SUM(CASE WHEN tsec >= bd THEN 1 ELSE 0 END) AS DOUBLE) END AS cold_event_rate
+         |  FROM e2 CROSS JOIN b
+         |  LEFT JOIN (SELECT $key, TRUE AS seen FROM ${p}t) s ON e2.$key = s.$key)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |    CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS item,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec
+       |  FROM events WHERE event_type = 'click'),
+       |e2 AS (SELECT * FROM e WHERE item IS NOT NULL),
+       |b AS (SELECT MIN(tsec) + ((MAX(tsec) - MIN(tsec)) * $SplitNum) // $SplitDen AS bd FROM e2),
+       |${side("user_id", "user", "u")},
+       |${side("item", "item", "i")}
+       |SELECT * FROM (SELECT * FROM ua UNION ALL SELECT * FROM ia)
+       |ORDER BY granularity""".stripMargin
   }
 }

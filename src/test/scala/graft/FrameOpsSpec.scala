@@ -179,4 +179,59 @@ class FrameOpsSpec extends AnyFunSuite {
         s"lattice level ($gy,$gp) does not cover all orders")
     }
   }
+
+  // planted event-log helper for the q201/q202 audits: the gate
+  // corpora are organic, so the flag branches are pinned on
+  // TESTDATA-independent synthetic logs (the NfcIngestSpec pattern)
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, String)]): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_events_plant").toString
+    rows.toDF("event_id", "tsec", "user_id", "event_type", "props")
+      .withColumn("ts", timestamp_seconds(col("tsec"))).drop("tsec")
+      .withColumn("value", lit(0.0d))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q201 temporal split: planted cold user and cold item are charged to eval") {
+    // span 0..100000 s -> boundary at 80000; train = {u10:i1, u11:i2};
+    // eval = u12 (cold user) on warm i1, u10 (warm) on cold i99, plus
+    // two warm-on-warm events
+    def click(item: Long) = s"""{"k": $item}"""
+    val dir = plantEvents(Seq(
+      (1L, 0L, 10L, "click", click(1)),
+      (2L, 50000L, 11L, "click", click(2)),
+      (3L, 85000L, 12L, "click", click(1)),
+      (4L, 90000L, 10L, "click", click(1)),
+      (5L, 95000L, 10L, "click", click(99)),
+      (6L, 100000L, 11L, "click", click(2)),
+      // non-click noise must not enter the audit
+      (7L, 99999L, 99L, "view", "{}")))
+    val out = operators.WordItemApp.temporalSplit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("user") == ((2L, 4L, 1L, 1L, 0.25d)), out.toString)
+    assert(out("item") == ((2L, 4L, 1L, 1L, 0.25d)), out.toString)
+  }
+
+  test("q202 bot audit: planted bot flagged by both rules, humans and singletons pass") {
+    val rows =
+      (0 until 30).map(i => ((100 + i).toLong, i * 3600L, 1L, "view", "{}")) ++
+        (0 until 40).map(i => ((200 + i).toLong, 1000L + i, 2L, "view", "{}")) ++
+        Seq((300L, 500L, 3L, "view", "{}"))
+    val out = operators.FrameOps.botAudit(spark, plantEvents(rows)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // human: hourly cadence, never flagged
+    assert(!out(1L).getBoolean(6))
+    assert(out(1L).getLong(3) == 3600L)
+    // bot: 1 s gaps AND a 40-event hour burst
+    assert(out(2L).getBoolean(6))
+    assert(out(2L).getLong(3) == 1L)
+    assert(out(2L).getLong(4) == 40L)
+    // singleton: no gap, no span -> null-guarded, not flagged
+    assert(out(3L).isNullAt(3) && out(3L).isNullAt(5))
+    assert(!out(3L).getBoolean(6))
+  }
 }

@@ -544,6 +544,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"broadcast build side is not the bounded aggregate:\n$h"))
   }
 
+  test("q200 head is a bounded heap (TakeOrderedAndProject), window-free") {
+    // the global top-K must be per-partition heaps + a K-row merge,
+    // never a window (single-partition exchange) or a full sort
+    val p = plan(TextOps.termBurstiness(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q202 gap window is keyed by user, never a global window") {
+    val p = plan(FrameOps.botAudit(spark, sf))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p)
+    // the partition spec prints on the Window line — every gap window
+    // must be keyed (a partition-less window is the single-partition
+    // antipattern this suite bans elsewhere)
+    assert(winLines.forall(_.contains("user_id")),
+      s"window not partitioned by user:\n$p")
+  }
+
   test("q167 sketch profile has no Expand; q135's exact distincts do") {
     // q135's multiple exact count-distincts ride EXPAND (row
     // multiplication per distinct) — acceptable as the exact gate;

@@ -157,6 +157,19 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q200 burstiness: df floor binds, burst consistent, head ordered") {
+    val out = TextOps.termBurstiness(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= TextOps.BurstTopK)
+    out.foreach { r =>
+      val (tf, df, mx, b) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(df >= TextOps.BurstMinDf && tf >= df && mx <= tf && mx >= 1L)
+      assert(b == tf.toDouble / df.toDouble)
+    }
+    val keys = out.map(r => (-r.getDouble(4), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "head not in (burst desc, term asc) order")
+  }
+
   test("streaming lang flags equal the batch projection doc-for-doc") {
     val staged = java.nio.file.Files.createTempDirectory("graft_lang_stream")
     java.nio.file.Files.copy(
