@@ -230,6 +230,8 @@ object SparkEntry {
     "q200_term_burstiness" -> TextOps.termBurstiness _,
     "q201_temporal_split" -> WordItemApp.temporalSplit _,
     "q202_bot_audit" -> FrameOps.botAudit _,
+    "q203_source_scorecard" -> CorpusOps.sourceScorecard _,
+    "q204_ivf_recall_curve" -> SimilaritySearch.ivfRecallCurve _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -924,30 +926,9 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tfidf, "rank" FROM ranked WHERE "rank" <= 3
         |ORDER BY doc_id, "rank"""".stripMargin,
-    "q72_gopher_rules" ->
-      """WITH t AS (
-        |  SELECT source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
-        |d AS (
-        |  SELECT source,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
-        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
-        |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds
-        |  FROM t),
-        |r AS (
-        |  SELECT source,
-        |    (n_words >= 50 AND n_words <= 100000) AS words_ok,
-        |    (mean_wlen >= 3 AND mean_wlen <= 10) AS wlen_ok,
-        |    (ttr >= 0.2) AS ttr_ok,
-        |    (n_stop_kinds >= 2) AS stop_ok
-        |  FROM d)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN words_ok AND wlen_ok AND ttr_ok AND stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-        |  CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
-        |  CAST(SUM(CASE WHEN NOT wlen_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wlen,
-        |  CAST(SUM(CASE WHEN NOT ttr_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ttr,
-        |  CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
-        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // q72 SQL lives in TextOps (gopherRulesOracleSql) so q203's
+    // scorecard composes the SAME fragment
+    "q72_gopher_rules" -> operators.TextOps.gopherRulesOracleSql,
     "q73_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
@@ -2422,6 +2403,9 @@ object SparkEntry {
     // q202: identical keyed lag window + hour bucketing; flag rules
     // interpolated
     "q202_bot_audit" -> FrameOps.botAuditOracleSql,
+    // q203: the four verified audit fragments (q72/q194/q197/q198)
+    // composed VERBATIM as derived tables + interpolated thresholds
+    "q203_source_scorecard" -> CorpusOps.sourceScorecardOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

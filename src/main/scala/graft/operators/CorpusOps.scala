@@ -727,8 +727,7 @@ object CorpusOps {
       .join(ndDrop, Seq("doc_id"), "left").na.fill(false, Seq("nd_drop"))
       .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
       .withColumn("dedup_keep", col("exact_keep") && !col("nd_drop"))
-      .withColumn("quality", col("dedup_keep") &&
-        col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
+      .withColumn("quality", col("dedup_keep") && TextOps.gopherPass)
       .withColumn("clean", col("quality") && col("n_hit") === 0)
       .withColumn("pr", sampleHash(col("doc_id")))
       .persist() // consumed by the rates agg AND the write below
@@ -1108,8 +1107,7 @@ object CorpusOps {
     val qual = batchDocs
       .select(col("doc_id") +: TextOps.gopherSignalCols: _*)
       .select(col("doc_id") +: TextOps.gopherRuleCols: _*)
-      .withColumn("q_ok",
-        col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
+      .withColumn("q_ok", TextOps.gopherPass)
       .select(col("doc_id"), col("q_ok"))
     val storeEvalGrams = docs.filter(col("source") === cfg.evalSource && !isBatch)
       .select(explode(WordNGrams(toks, cfg.contamN)).as("g")).distinct()
@@ -2169,23 +2167,50 @@ object CorpusOps {
     * explode → row-local codegen hash (plans/RollingHash — the SAME
     * base hash the chunk kernel uses, so this audits the real rule)
     * → |sources|-row partial-agg rollup. */
-  def anchorHealth(spark: SparkSession, dir: String): DataFrame = {
-    val p = lit(1.0) / lit(CdcMod.toDouble)
-    val agg0 = Tables.documents(spark, dir)
+  def anchorHealth(spark: SparkSession, dir: String): DataFrame =
+    anchorHealthFromCounts(Tables.documents(spark, dir)
       .select(col("source"), explode(toks).as("tok"))
       .select(col("source"),
         (graft.plans.RollingHash(col("tok")) % CdcMod === CdcRem).as("anchor"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("anchor"), 1L).otherwise(0L)).as("n_anchors"))
+        sum(when(col("anchor"), 1L).otherwise(0L)).as("n_anchors")))
+
+  /** THE binomial anchor test over a (source, n_tokens, n_anchors)
+    * count table — q198 derives the counts itself; q203's scorecard
+    * feeds the anchor marginal of its shared token cube.
+    *
+    * Two reference rates, two different questions: `expected` =
+    * 1/CdcMod is the DESIGN rate (mean chunk = CdcMod tokens) —
+    * reported so the global calibration drift is visible (this
+    * corpus's poly-31 token hash lands residue 7 at ~0.035, not
+    * 0.0625: real English tokens are not uniform mod 16, so actual
+    * chunks run ~2× the design size — a calibration fact, not a
+    * per-source disease). The per-source FLAG therefore tests
+    * against the CORPUS BLEND (`corpus_rate`), not the design rate:
+    * a vocabulary-level hash bias moves every source together, while
+    * the adversarial source this tripwire exists for (boilerplate
+    * repetition, binary-ish tokens) moves ALONE — testing against
+    * the blend catches it without alarm-storming on the shared bias
+    * (an earlier design tested against 1/CdcMod and flagged 18/20
+    * healthy sources). The blend is a window over the
+    * |sources|-bounded rollup (lever (g): never a second scan). */
+  private[graft] def anchorHealthFromCounts(agg0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     agg0
       .withColumn("rate",
         col("n_anchors").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("expected", p)
+      .withColumn("expected", lit(1.0) / lit(CdcMod.toDouble))
+      .withColumn("corpus_rate",
+        sum(col("n_anchors")).over(all).cast("double") /
+          sum(col("n_tokens")).over(all).cast("double"))
       .withColumn("sigma",
-        sqrt(p * (lit(1.0) - p) / col("n_tokens").cast("double")))
+        sqrt(col("corpus_rate") * (lit(1.0) - col("corpus_rate")) /
+          col("n_tokens").cast("double")))
       .withColumn("healthy",
-        abs(col("rate") - col("expected")) <= lit(3.0) * col("sigma"))
+        abs(col("rate") - col("corpus_rate")) <= lit(3.0) * col("sigma"))
       .orderBy(col("source"))
   }
 
@@ -2209,16 +2234,115 @@ object CorpusOps {
       |g AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
       |    CAST(SUM(anchor) AS BIGINT) AS n_anchors
-      |  FROM a GROUP BY source)
-      |SELECT source, n_tokens, n_anchors,
-      |  CAST(n_anchors AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate,
-      |  CAST(1 AS DOUBLE) / $CdcMod AS expected,
-      |  sqrt((CAST(1 AS DOUBLE) / $CdcMod) * (1 - CAST(1 AS DOUBLE) / $CdcMod)
-      |    / CAST(n_tokens AS DOUBLE)) AS sigma,
-      |  abs(CAST(n_anchors AS DOUBLE) / CAST(n_tokens AS DOUBLE) -
-      |      CAST(1 AS DOUBLE) / $CdcMod) <=
-      |    3 * sqrt((CAST(1 AS DOUBLE) / $CdcMod) * (1 - CAST(1 AS DOUBLE) / $CdcMod)
-      |      / CAST(n_tokens AS DOUBLE)) AS healthy
-      |FROM g ORDER BY source""".stripMargin
+      |  FROM a GROUP BY source),
+      |r AS (
+      |  SELECT source, n_tokens, n_anchors,
+      |    CAST(n_anchors AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rate,
+      |    CAST(1 AS DOUBLE) / $CdcMod AS expected,
+      |    CAST(SUM(n_anchors) OVER () AS DOUBLE)
+      |      / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS corpus_rate
+      |  FROM g)
+      |SELECT source, n_tokens, n_anchors, rate, expected, corpus_rate,
+      |  sqrt(corpus_rate * (1 - corpus_rate) / CAST(n_tokens AS DOUBLE)) AS sigma,
+      |  abs(rate - corpus_rate) <=
+      |    3 * sqrt(corpus_rate * (1 - corpus_rate) / CAST(n_tokens AS DOUBLE)) AS healthy
+      |FROM r ORDER BY source""".stripMargin
   }
+
+  // ---- q203: per-source data-contract scorecard ---------------------
+
+  /** Contract thresholds (both rates are exact-int divisions, so the
+    * raw compares against these literals are exact cross-engine —
+    * the percent_rank precedent, lever (c)); both pass AND fail
+    * branches fire on the gate corpora (src5/src12 fail the anchor
+    * test at sf0.01, several sources sit on either side of each rate
+    * bound). */
+  private[graft] val ScorePassMin = 0.4
+  private[graft] val ScoreMismatchMax = 0.6
+
+  /** q203: the per-source DATA-CONTRACT SCORECARD — the nightly
+    * dashboard a multi-source ingest pipeline actually reads: FOUR
+    * verified audits joined into one verdict row per source —
+    * Gopher quality pass rate (q72), declared-vs-predicted language
+    * mismatch (q194), token-length KS drift (q197), CDC anchor-rate
+    * health (q198) — and one composite `contract_ok`. A source that
+    * fails ANY axis is quarantined from the mix BEFORE its docs
+    * reach dedup/sampling (q85/q111 read per-source rates; this is
+    * the gate those rates should be conditioned on).
+    *
+    * Scale shape: TWO corpus scans instead of the four the
+    * standalone audits would pay — (1) a doc-row scan computing the
+    * SHARED row-local projections (gopherSignalCols/gopherRuleCols/
+    * gopherPass + langPredCol — the same defs q72/q194 gate, so the
+    * counts cannot drift) into one |sources|-row agg; (2) a token
+    * scan into ONE (source, wlen, anchor) count cube (bounded:
+    * |sources|·|lengths|·2 rows, persisted — lever (g): two
+    * consumers must not re-derive the explode), whose wlen marginal
+    * feeds THE q197 KS machinery (tokenLenKsFromCounts) and whose
+    * anchor marginal feeds THE q198 binomial test
+    * (anchorHealthFromCounts). Every rate is one IEEE division of
+    * exact longs. The oracle composes the four verified oracle
+    * fragments VERBATIM as derived tables (no z-renaming needed —
+    * CTE scopes are subquery-local), so the scorecard is
+    * value-anchored to the standalone audits by construction. */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextOps => T}
+    val docAgg = Tables.documents(spark, dir)
+      .select(Seq(col("source"), col("lang"),
+        T.langPredCol.as("pred")) ++ T.gopherSignalCols: _*)
+      .select(Seq(col("source"), col("lang"), col("pred")) ++
+        T.gopherRuleCols: _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(T.gopherPass, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("pred") =!= col("lang") && col("pred") =!= "unknown", 1L)
+          .otherwise(0L)).as("n_mismatch"))
+    val cube = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("tok"))
+      .select(col("source"), length(col("tok")).cast("long").as("wlen"),
+        (graft.plans.RollingHash(col("tok")) % CdcMod === CdcRem).as("anchor"))
+      .groupBy(col("source"), col("wlen"), col("anchor"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val ks = T.tokenLenKsFromCounts(
+        cube.groupBy(col("source"), col("wlen")).agg(sum(col("c")).as("c")))
+      .select(col("source"), col("ks"), col("drifted"))
+    val ah = anchorHealthFromCounts(cube.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(when(col("anchor"), col("c")).otherwise(0L)).cast("long")
+            .as("n_anchors")))
+      .select(col("source"), col("rate").as("anchor_rate"),
+        col("healthy").as("anchor_healthy"))
+    docAgg
+      .withColumn("gopher_pass_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .withColumn("lang_mismatch_rate",
+        col("n_mismatch").cast("double") / col("n_docs").cast("double"))
+      .join(ks, Seq("source")).join(ah, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        col("gopher_pass_rate"), col("lang_mismatch_rate"),
+        col("ks"), col("drifted").as("ks_drifted"),
+        col("anchor_rate"), col("anchor_healthy"),
+        (col("gopher_pass_rate") >= ScorePassMin &&
+          col("lang_mismatch_rate") <= ScoreMismatchMax &&
+          !col("drifted") && col("anchor_healthy")).as("contract_ok"))
+      .orderBy(col("source"))
+  }
+
+  /** The q203 oracle — the four verified fragments composed verbatim
+    * as derived tables, thresholds interpolated. */
+  private[graft] def sourceScorecardOracleSql: String =
+    s"""SELECT g.source, g.n_docs,
+       |  CAST(g.n_pass AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS gopher_pass_rate,
+       |  m.mismatch_rate AS lang_mismatch_rate,
+       |  k.ks, k.drifted AS ks_drifted,
+       |  a.rate AS anchor_rate, a.healthy AS anchor_healthy,
+       |  (CAST(g.n_pass AS DOUBLE) / CAST(g.n_docs AS DOUBLE) >= $ScorePassMin
+       |    AND m.mismatch_rate <= $ScoreMismatchMax
+       |    AND NOT k.drifted AND a.healthy) AS contract_ok
+       |FROM (${graft.operators.TextOps.gopherRulesOracleSql}) g
+       |JOIN (${graft.operators.TextOps.langMismatchOracleSql}) m ON g.source = m.source
+       |JOIN (${graft.operators.TextOps.tokenLenKsOracleSql}) k ON g.source = k.source
+       |JOIN ($anchorHealthOracleSql) a ON g.source = a.source
+       |ORDER BY g.source""".stripMargin
 }

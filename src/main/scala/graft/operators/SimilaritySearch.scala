@@ -850,6 +850,81 @@ object SimilaritySearch {
       |FROM d ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q204: IVF recall-vs-nprobe tuning curve --------------------
+
+  /** Probe levels swept by q204 (the max equals ivfCells, so the
+    * deepest level is exhaustive and its recall is EXACTLY 1 — the
+    * spec pins that identity) and the @K of the recall. */
+  private[graft] val RecallProbes = Seq(1, 2, 4, 8, 16)
+  private[graft] val RecallK = 5
+
+  /** q204: the IVF TUNING CURVE — recall@5 vs candidates-scanned at
+    * each nprobe level, measured against q40's exact baseline: the
+    * table an ANN deployment reads to pick its operating point
+    * (probe 1/16th of the corpus and accept X% recall, or pay more).
+    * q41 exposes the knob; this measures it — the word_item app's
+    * "how approximate can serving afford to be" question made a
+    * report (reference serves exact gensim most_similar; the knob is
+    * the scale path it never needed).
+    *
+    * Scale shape: ONE index pass (cell assignment, the q41 plan) and
+    * ONE probe join at the DEEPEST level with the probe rank kept
+    * (posexplode of the ordered cell list); per-(query, probe-rank)
+    * bounded top-K heaps reduce the candidate stream to
+    * |queries|·maxProbe·K rows (persisted — lever (g)), and every
+    * shallower level's exact top-K is re-derived from those heaps
+    * alone (a level's true top-K member is necessarily top-K within
+    * its own probe rank), so the curve costs one corpus pass, not
+    * one per level. The exact baseline is q40's plan (one streamed
+    * corpus pass, no shuffle). Approximate (seeded KMeans cells) →
+    * rows-only; the spec pins monotonicity and the exhaustive-level
+    * identity. */
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embWithNorm(spark, dir)
+    val cents = cellArrays(coarseModel(spark, dir, emb))
+    val maxP = RecallProbes.max
+    val corpusCells = nearestCells(emb, cents, keep = 1)
+    val cellsCol = graft.plans.CellExprs.nearestCells(col("embedding"), cents, maxP)
+    val queryCells = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qnrm"), posexplode(cellsCol).as(Seq("cr", "cent_id")))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
+    val perCr = scored.groupBy(col("query_id"), col("cr"))
+      .agg(graft.plans.TopKByKey.topK(RecallK)(col("vec_id"), col("cosine"))
+          .as("top"),
+        count(lit(1)).as("n_cand"))
+      .persist() // |queries|·maxProbe rows — bounded
+    val exact = knnBrute(spark, dir)
+      .select(col("query_id").as("xq"), col("neighbor_id").as("xn"))
+    val nq = exact.select(col("xq")).distinct().count()
+    RecallProbes.map { p =>
+      val lvl = perCr.filter(col("cr") < p)
+      val scanned = lvl.groupBy().agg(
+        coalesce(sum(col("n_cand")), lit(0L)).as("n_scanned"))
+      val hits = lvl
+        .select(col("query_id"), explode(col("top")).as("e"))
+        .groupBy(col("query_id"))
+        .agg(graft.plans.TopKByKey.topK(RecallK)(
+          col("e.id"), col("e.score")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("e"))
+        .join(exact, col("query_id") === col("xq") &&
+          col("e.id") === col("xn"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      hits.crossJoin(scanned).select(
+        lit(p.toLong).as("nprobe"),
+        col("n_hits"),
+        (col("n_hits").cast("double") /
+          lit((nq * RecallK).toDouble)).as("recall_at_5"),
+        (col("n_scanned").cast("double") / lit(nq.toDouble))
+          .as("avg_candidates"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("nprobe"))
+  }
+
   // ---- q195: Matryoshka dim-truncation quality -------------------
 
   /** Truncation levels probed by q195 — oracle fragments are

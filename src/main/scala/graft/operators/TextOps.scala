@@ -515,6 +515,14 @@ object TextOps {
     (col("ttr") >= 0.2).as("ttr_ok"),
     (col("n_stop_kinds") >= 2).as("stop_ok"))
 
+  /** THE pass verdict over the four rule columns — one def for q72's
+    * report, the funnel's quality stage (batch + incremental), the
+    * ingest stream twin, and q203's scorecard (shared-rule
+    * discipline: the conjunction had drifted into four hand-kept
+    * copies before round 14). */
+  private[graft] def gopherPass: org.apache.spark.sql.Column =
+    col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok")
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = Tables.documents(spark, dir)
       .select(col("source") +: gopherSignalCols: _*)
@@ -522,14 +530,41 @@ object TextOps {
     rules.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("words_ok") && col("wlen_ok") && col("ttr_ok") &&
-          col("stop_ok"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(gopherPass, 1L).otherwise(0L)).as("n_pass"),
         sum(when(!col("words_ok"), 1L).otherwise(0L)).as("n_fail_words"),
         sum(when(!col("wlen_ok"), 1L).otherwise(0L)).as("n_fail_wlen"),
         sum(when(!col("ttr_ok"), 1L).otherwise(0L)).as("n_fail_ttr"),
         sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("n_fail_stop"))
       .orderBy(col("source"))
   }
+
+  /** The q72 oracle — ONE fragment, composed verbatim into q203's
+    * scorecard (the same list-lambda signals, the same rule bounds,
+    * the same pass conjunction). */
+  private[graft] def gopherRulesOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
+      |d AS (
+      |  SELECT source,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+      |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds
+      |  FROM t),
+      |r AS (
+      |  SELECT source,
+      |    (n_words >= 50 AND n_words <= 100000) AS words_ok,
+      |    (mean_wlen >= 3 AND mean_wlen <= 10) AS wlen_ok,
+      |    (ttr >= 0.2) AS ttr_ok,
+      |    (n_stop_kinds >= 2) AS stop_ok
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN words_ok AND wlen_ok AND ttr_ok AND stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+      |  CAST(SUM(CASE WHEN NOT wlen_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wlen,
+      |  CAST(SUM(CASE WHEN NOT ttr_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ttr,
+      |  CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   /** Repetition metrics (the other Gopher §A1.1 axis): per-doc share
     * of the most frequent word 2-gram, flagged above 5%. The
@@ -1174,11 +1209,16 @@ object TextOps {
     * (source, wlen) counts (the TF-IDF aggregation shape); the CDFs
     * and the sup run over the (|sources|·|lengths|)-bounded rollup
     * table — window over aggregated rows, never over the corpus. */
-  def tokenLenKs(spark: SparkSession, dir: String): DataFrame = {
-    val lens = Tables.documents(spark, dir)
+  def tokenLenKs(spark: SparkSession, dir: String): DataFrame =
+    tokenLenKsFromCounts(Tables.documents(spark, dir)
       .select(col("source"), explode(toks).as("w"))
       .select(col("source"), length(col("w")).cast("long").as("wlen"))
-      .groupBy(col("source"), col("wlen")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("wlen")).agg(count(lit(1)).as("c")))
+
+  /** THE KS machinery over a (source, wlen, c) count table — q197
+    * derives the counts itself; q203's scorecard feeds the wlen
+    * marginal of its shared token cube (one rule, one grid). */
+  private[graft] def tokenLenKsFromCounts(lens: DataFrame): DataFrame = {
     val tot = lens.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
     val corpus = lens.groupBy(col("wlen")).agg(sum(col("c")).as("cc"))
     val nAll = Window.partitionBy().rowsBetween(

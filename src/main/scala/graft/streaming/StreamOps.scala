@@ -956,8 +956,7 @@ object StreamOps {
     import graft.operators.TextOps
     docs.select(Seq(col("doc_id"), col("source")) ++ TextOps.gopherSignalCols: _*)
       .select(Seq(col("doc_id"), col("source")) ++ TextOps.gopherRuleCols: _*)
-      .withColumn("pass",
-        col("words_ok") && col("wlen_ok") && col("ttr_ok") && col("stop_ok"))
+      .withColumn("pass", graft.operators.TextOps.gopherPass)
   }
 
   /** Sampling-at-ingest: the q111/q112 mix plan applied at the

@@ -542,4 +542,58 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select(sum(col("k") * (col("k") - 1) / 2).cast("long")).head.getLong(0)
     assert(rows.map(_.getLong(2)).sum == multi)
   }
+
+  test("q198 anchor flag fires on a planted adversarial source, blend absorbs shared bias") {
+    // "by" IS an anchor token (poly-31 % 16 == 7), "aa" is not
+    // (residue 0). Five organic sources are engineered to anchor at
+    // EXACTLY the design rate 1/16 (15 aa + 1 by per group); the
+    // small "tpl" source is pure "by" (rate 1.0). The blend-relative
+    // 3-sigma test must flag tpl ALONE — the design-rate test this
+    // replaced alarm-stormed on healthy sources instead, and a
+    // blend POISONED by a dominant adversarial source would flag the
+    // organics too (tpl is token-mass-bounded here, as a real
+    // boilerplate source is against a crawl).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_anchor_plant").toString
+    val group = (("aa " * 15) + "by ")
+    val organic = for (s <- 0 until 5; i <- 0 until 4) yield
+      ((s * 10 + i).toLong, (group * 5).trim, "en", s"web$s")
+    val tpl = Seq((100L, (1 to 64).map(_ => "by").mkString(" "), "en", "tpl"))
+    (organic ++ tpl).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = CorpusOps.anchorHealth(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("tpl").getDouble(3) == 1.0) // every token anchors
+    assert(out("web0").getDouble(3) == 1.0 / 16.0) // design-rate organics
+    assert(!out("tpl").getBoolean(7), "adversarial source not flagged")
+    (0 until 5).foreach(s => assert(out(s"web$s").getBoolean(7),
+      s"organic source web$s must stay healthy"))
+  }
+
+  test("q203 scorecard columns equal the standalone audits value-for-value") {
+    // the composition contract: the fused two-scan plan must land on
+    // EXACTLY the numbers the four standalone (oracle-gated) audits
+    // produce — join and compare every shared column
+    val sc = CorpusOps.sourceScorecard(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = graft.operators.TextOps.gopherRules(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2).toDouble / r.getLong(1))).toMap
+    val m = graft.operators.TextOps.langMismatch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val k = graft.operators.TextOps.tokenLenKs(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val a = CorpusOps.anchorHealth(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getBoolean(7)))).toMap
+    assert(sc.keySet == g.keySet)
+    sc.foreach { case (s, r) =>
+      assert(r.getDouble(2) == g(s), s"$s gopher_pass_rate")
+      assert(r.getDouble(3) == m(s), s"$s lang_mismatch_rate")
+      assert((r.getDouble(4), r.getBoolean(5)) == k(s), s"$s ks")
+      assert((r.getDouble(6), r.getBoolean(7)) == a(s), s"$s anchor")
+    }
+    // both verdict branches must be exercised by the gate corpus
+    val verdicts = sc.values.map(_.getBoolean(8)).toSet
+    assert(verdicts == Set(true, false), s"contract_ok branches: $verdicts")
+  }
 }

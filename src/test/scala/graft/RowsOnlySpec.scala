@@ -18,6 +18,24 @@ class RowsOnlySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_test"))
   }
 
+  test("q204 ivf recall curve: monotone in nprobe, exhaustive level is exact") {
+    import graft.operators.SimilaritySearch
+    val rows = SimilaritySearch.ivfRecallCurve(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      SimilaritySearch.RecallProbes.map(_.toLong))
+    val recalls = rows.map(_.getAs[Double]("recall_at_5")).toSeq
+    val scanned = rows.map(_.getAs[Double]("avg_candidates")).toSeq
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // probing more cells only ADDS candidates -> both curves monotone
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(scanned == scanned.sorted, s"scanned not monotone: $scanned")
+    // nprobe == ivfCells probes EVERY cell: the candidate set is the
+    // whole corpus, the scoring chain is q40's, so recall is exactly 1
+    assert(recalls.last == 1.0, s"exhaustive level recall ${recalls.last}")
+    // and the shallow level must actually be cheaper than exhaustive
+    assert(scanned.head < scanned.last)
+  }
+
   test("doc embeddings: one summary per doc, norms non-negative") {
     val out = MlOps.docEmbedding(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())
