@@ -157,6 +157,33 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 KS drift flag fires on a planted long-token source") {
+    // the gate corpora are homogeneous (drifted == false everywhere),
+    // so the alarm branch is pinned by planting: a source of
+    // base64-ish 24-char tokens sits at sup-distance ~1.0 from the
+    // short-word blend, far over KsTau
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ks_plant").toString
+    // the planted source must be token-mass-BOUNDED (2.4% of the
+    // blend): a dump big enough to own the blend drags every other
+    // source's sup-distance up with it — the same caveat the q198
+    // anchor plant documents
+    val normal = (1 to 16).map(i =>
+      (i.toLong, (1 to 100).map(j => s"word${(i * 31 + j) % 97}").mkString(" "),
+        "en", "web"))
+    val b64 = Seq((100L,
+      (1 to 40).map(j => f"QWJjZGVmZ2hpamtsbW5v$j%04d").mkString(" "),
+      "en", "b64dump"))
+    (normal ++ b64).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.tokenLenKs(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out("b64dump")._2, s"long-token source not flagged: $out")
+    assert(out("b64dump")._1 > TextOps.KsTau)
+    assert(!out("web")._2, s"organic source wrongly flagged: $out")
+  }
+
   test("q200 burstiness: df floor binds, burst consistent, head ordered") {
     val out = TextOps.termBurstiness(spark, sf).collect()
     assert(out.nonEmpty && out.length <= TextOps.BurstTopK)
