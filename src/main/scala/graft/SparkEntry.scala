@@ -232,6 +232,7 @@ object SparkEntry {
     "q202_bot_audit" -> FrameOps.botAudit _,
     "q203_source_scorecard" -> CorpusOps.sourceScorecard _,
     "q204_ivf_recall_curve" -> SimilaritySearch.ivfRecallCurve _,
+    "q205_dedup_threshold_curve" -> Dedup.dedupThresholdCurve _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1202,31 +1203,9 @@ object SparkEntry {
     // The pair CTE carries the operator's hot-posting df cap (set
     // sizes stay uncapped — the cap affects pair GENERATION only);
     // non-binding at test SFs, diverge-proof where it binds
-    "q31_dedup_jaccard" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
-        |    SELECT doc_id, tok,
-        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
-        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
-        |    FROM tok) WHERE lead2 IS NOT NULL),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= ${Dedup.defaultMaxDf}),
-        |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON pairs.doc_a = sa.doc_id
-        |JOIN sizes sb ON pairs.doc_b = sb.doc_id
-        |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q31 SQL lives in Dedup (jaccardOracleSql) so q205's threshold
+    // curve composes the SAME fragment
+    "q31_dedup_jaccard" -> Dedup.jaccardOracleSql,
     // q35 = connected components over the q31 pair graph; the
     // min-label-propagation fixpoint is expressed as a recursive CTE
     // (label set per node = labels reachable via any path; component
@@ -2406,6 +2385,8 @@ object SparkEntry {
     // q203: the four verified audit fragments (q72/q194/q197/q198)
     // composed VERBATIM as derived tables + interpolated thresholds
     "q203_source_scorecard" -> CorpusOps.sourceScorecardOracleSql,
+    // q205: q31's verified pair fragment + generated grid (lever ff)
+    "q205_dedup_threshold_curve" -> Dedup.dedupThresholdCurveOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -90,6 +90,105 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The q31 oracle — ONE fragment (shingle → df-capped posting →
+    * pair → rounded jaccard ≥ 0.5), composed verbatim into q205's
+    * threshold curve. */
+  private[graft] def jaccardOracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
+      |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\\s+'), 1) AS ord
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+      |    SELECT doc_id, tok,
+      |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+      |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+      |    FROM tok) WHERE lead2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $defaultMaxDf),
+      |shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON pairs.doc_a = sa.doc_id
+      |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+      |WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q205: dedup threshold-aggressiveness curve ------------------
+
+  /** Jaccard thresholds swept by q205 (the pair artifact is floored
+    * at 0.5, so the grid starts there; oracle VALUES are generated
+    * from this list). */
+  private[graft] val JacGrid = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** q205: the DEDUP AGGRESSIVENESS CURVE — at each jaccard
+    * threshold τ, how many near-dup pairs survive, how many docs the
+    * keep-smallest-id rule would remove (a doc is removed iff it has
+    * ANY smaller-id neighbor at ≥ τ — the MinHash-dedup convention
+    * q93's exact pipeline applies), and how many tokens that
+    * removal frees: the planning table behind choosing a dedup τ
+    * (q189 prices GRANULARITIES at fixed rules; this prices the
+    * THRESHOLD). Scale shape: the τ sweep never touches the corpus —
+    * it rides the dup-rate-bounded q31 pair DISK artifact crossed
+    * with the 5-row grid; the only corpus touch is the slim
+    * (doc_id, n_tok) projection joined to the removed-doc ids
+    * (removed-set-sized equi-join). Float discipline: jaccard is the
+    * q31 rounded value; τ compares are rounded-vs-literal, exact
+    * cross-engine (lever (c)); counts exact longs. */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = jaccardPairs(spark, dir)
+    val grid = JacGrid.toDF("tau")
+    val docTok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val flagged = pairs.crossJoin(broadcast(grid))
+      .filter(col("jaccard") >= col("tau"))
+    val pairCounts = flagged.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val removedStats = flagged.select(col("tau"), col("doc_b").as("doc_id"))
+      .distinct()
+      .join(docTok, Seq("doc_id"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_docs_removed"),
+        sum(col("n_tok")).cast("long").as("tokens_removed"))
+    grid.join(pairCounts, Seq("tau"), "left")
+      .join(removedStats, Seq("tau"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_removed", "tokens_removed"))
+      .orderBy(col("tau"))
+  }
+
+  /** The q205 oracle — q31's verified fragment composed verbatim
+    * (lever (ff)), grid generated from [[JacGrid]]. */
+  private[graft] def dedupThresholdCurveOracleSql: String = {
+    val vals = JacGrid.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH g(tau) AS (VALUES $vals),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |f AS (
+       |  SELECT g.tau, p.doc_a, p.doc_b
+       |  FROM ($jaccardOracleSql) p CROSS JOIN g WHERE p.jaccard >= g.tau),
+       |pc AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1),
+       |rm AS (SELECT DISTINCT tau, doc_b FROM f),
+       |rs AS (
+       |  SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_docs_removed,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tokens_removed
+       |  FROM rm JOIN d ON rm.doc_b = d.doc_id GROUP BY 1)
+       |SELECT g.tau,
+       |  CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(rs.n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+       |  CAST(COALESCE(rs.tokens_removed, 0) AS BIGINT) AS tokens_removed
+       |FROM g LEFT JOIN pc USING (tau) LEFT JOIN rs USING (tau)
+       |ORDER BY tau""".stripMargin
+  }
+
   /** Candidate support floor for [[editDedup]]: a pair must share at
     * least this many distinct 3-shingles before the quadratic
     * levenshtein verify runs on it. */

@@ -140,6 +140,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == brute)
   }
 
+  test("q205 threshold curve: monotone in tau, anchored to the pair artifact") {
+    val curve = Dedup.dedupThresholdCurve(spark, sf).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(curve.keySet == Dedup.JacGrid.toSet)
+    // raising tau can only DROP pairs/docs/tokens
+    val ordered = Dedup.JacGrid.map(curve)
+    Seq[((Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { f =>
+      val xs = ordered.map(f)
+      assert(xs == xs.sorted.reverse, s"not monotone: $ordered")
+    }
+    // tau = 0.5 is the artifact's own floor: n_pairs == the full list,
+    // removed docs == distinct doc_b side
+    val pairs = Dedup.jaccard(spark, sf).collect()
+    assert(curve(0.5)._1 == pairs.length.toLong)
+    assert(curve(0.5)._2 == pairs.map(_.getLong(1)).distinct.length.toLong)
+    assert(curve(0.5)._3 >= curve(0.5)._2) // >= 1 token per removed doc
+  }
+
   test("simhash near-dups overlap heavily with jaccard near-dups") {
     val jac = pairSet(Dedup.jaccard(spark, sf), "doc_a", "doc_b")
     val sim = pairSet(Dedup.simhash(spark, sf), "doc_a", "doc_b")
