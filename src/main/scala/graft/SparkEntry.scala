@@ -233,6 +233,7 @@ object SparkEntry {
     "q203_source_scorecard" -> CorpusOps.sourceScorecard _,
     "q204_ivf_recall_curve" -> SimilaritySearch.ivfRecallCurve _,
     "q205_dedup_threshold_curve" -> Dedup.dedupThresholdCurve _,
+    "q206_contam_sensitivity" -> CorpusOps.contamSensitivity _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2387,6 +2388,9 @@ object SparkEntry {
     "q203_source_scorecard" -> CorpusOps.sourceScorecardOracleSql,
     // q205: q31's verified pair fragment + generated grid (lever ff)
     "q205_dedup_threshold_curve" -> Dedup.dedupThresholdCurveOracleSql,
+    // q206: per-order CTEs generated from ContamNGrid with q76's
+    // gram-construction fragment
+    "q206_contam_sensitivity" -> CorpusOps.contamSensitivityOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -2249,6 +2249,100 @@ object CorpusOps {
       |FROM r ORDER BY source""".stripMargin
   }
 
+  // ---- q206: decontamination n-gram sensitivity curve ---------------
+
+  /** n-gram orders swept by q206 — the production rule (ContamN = 5)
+    * sits inside the grid so the curve contextualizes it; oracle CTEs
+    * are generated per order. */
+  private[graft] val ContamNGrid = Seq(3, 5, 8, 13)
+
+  /** q206: DECONTAMINATION SENSITIVITY — how strict is the
+    * eval-overlap rule as a function of the n-gram order? Short
+    * grams flag aggressively (common phrases collide), long grams
+    * only catch verbatim inclusions; the curve (eval-suite matching
+    * surface, flagged docs, total hits, flag rate per n) is the
+    * evidence behind choosing ContamN, next to q205's jaccard-τ
+    * table (q76 RUNS the rule at n=5; this prices the KNOB — the
+    * Gopher/GPT-3 appendices each picked different n for exactly
+    * this tradeoff). Scale shape: ONE corpus scan per side — the
+    * four orders ride one tagged-gram stream (explode an array of
+    * (n, grams) structs, then the per-order gram arrays; both
+    * generators codegen, no interpreted lambda); eval side stays
+    * eval-suite-bounded × |grid| and broadcasts (the q76 shape);
+    * per-(n, doc) hit counts roll to a |grid|-row report. Float
+    * discipline: flag_rate = one IEEE division of exact longs
+    * (lever (c)); zero-hit orders survive via the grid left-join
+    * (lever (q)). WordNGrams emits per-doc DISTINCT grams, so the
+    * hit accounting matches q76's n_hit semantics exactly. */
+  def contamSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tagged = array(ContamNGrid.map(n =>
+      struct(lit(n.toLong).as("n"),
+        graft.plans.WordNGrams(toks, n).as("grams"))): _*)
+    def gramRows(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(tagged).as("s"): _*)
+        .select(keep ++ Seq(col("s.n").as("n"), explode(col("s.grams")).as("g")): _*)
+    val ev = gramRows(docs.filter(col("source") === EvalSource), Seq.empty)
+      .distinct()
+    val evCounts = ev.groupBy(col("n")).agg(count(lit(1)).as("n_eval_grams"))
+    val train = docs.filter(col("source") =!= EvalSource)
+    val hits = gramRows(train, Seq(col("doc_id")))
+      .join(broadcast(ev), Seq("n", "g"))
+      .groupBy(col("n"), col("doc_id")).agg(count(lit(1)).as("h"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_flagged_docs"),
+        sum(col("h")).cast("long").as("total_hits"))
+    ContamNGrid.map(_.toLong).toDF("n")
+      .join(evCounts, Seq("n"), "left")
+      .join(hits, Seq("n"), "left")
+      .na.fill(0L, Seq("n_eval_grams", "n_flagged_docs", "total_hits"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train_docs"))))
+      .withColumn("flag_rate",
+        col("n_flagged_docs").cast("double") / col("n_train_docs").cast("double"))
+      .orderBy(col("n"))
+  }
+
+  /** The q206 oracle — per-order CTE pairs generated from
+    * [[ContamNGrid]] with the q76 gram-construction fragment
+    * (1-based inclusive slices, range(1, len−(n−2)) empty on short
+    * docs — both engines agree, the documented precedent). */
+  private[graft] def contamSensitivityOracleSql: String = {
+    def gram(n: Int) = (0 until n).map {
+      case 0 => "toks[CAST(i AS BIGINT)]"
+      case j => s"toks[CAST(i AS BIGINT)+$j]"
+    }.mkString(" || ' ' || ")
+    val blocks = ContamNGrid.map { n =>
+      s"""e${n}g AS (
+         |  SELECT DISTINCT ${gram(n)} AS g
+         |  FROM evt, UNNEST(range(1, len(toks)-${n - 2})) AS u(i)),
+         |t${n}g AS (
+         |  SELECT DISTINCT doc_id, ${gram(n)} AS g
+         |  FROM trt, UNNEST(range(1, len(toks)-${n - 2})) AS u(i)),
+         |h$n AS (
+         |  SELECT CAST($n AS BIGINT) AS n,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e${n}g) AS n_eval_grams,
+         |    CAST(COUNT(DISTINCT j.doc_id) AS BIGINT) AS n_flagged_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS total_hits
+         |  FROM (SELECT t.doc_id FROM t${n}g t JOIN e${n}g e USING (g)) j)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = ContamNGrid.map(n => s"SELECT * FROM h$n").mkString("\nUNION ALL\n")
+    s"""WITH trt AS (
+       |  SELECT doc_id, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
+       |  FROM documents WHERE source <> '$EvalSource'),
+       |evt AS (
+       |  SELECT doc_id, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks
+       |  FROM documents WHERE source = '$EvalSource'),
+       |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs FROM trt),
+       |$blocks
+       |SELECT u.n, u.n_eval_grams, u.n_flagged_docs, u.total_hits,
+       |  ntr.n_train_docs,
+       |  CAST(u.n_flagged_docs AS DOUBLE) / CAST(ntr.n_train_docs AS DOUBLE) AS flag_rate
+       |FROM ($unions) u CROSS JOIN ntr
+       |ORDER BY u.n""".stripMargin
+  }
+
   // ---- q203: per-source data-contract scorecard ---------------------
 
   /** Contract thresholds (both rates are exact-int divisions, so the

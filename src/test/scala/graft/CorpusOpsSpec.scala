@@ -571,6 +571,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"organic source web$s must stay healthy"))
   }
 
+  test("q206 sensitivity curve: monotone in n and anchored to q76 at the production order") {
+    val rows = CorpusOps.contamSensitivity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == CorpusOps.ContamNGrid.map(_.toLong).toSet)
+    // a longer gram is strictly harder to match: every n-gram hit
+    // contains all its sub-grams, so flagged docs and hits can only
+    // shrink as n grows (eval surface shrinks too: fewer positions)
+    val ordered = CorpusOps.ContamNGrid.map(n => rows(n.toLong))
+    Seq[((Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { f =>
+      val xs = ordered.map(f)
+      assert(xs == xs.sorted.reverse, s"not monotone in n: $ordered")
+    }
+    // the n == ContamN row must reproduce q76's accounting exactly
+    val q76 = CorpusOps.contamination(spark, sf).collect()
+    val (flagged, hits) =
+      (q76.map(_.getLong(2)).sum, q76.map(_.getLong(3)).sum)
+    assert(rows(CorpusOps.ContamN.toLong)._2 == flagged)
+    assert(rows(CorpusOps.ContamN.toLong)._3 == hits)
+  }
+
   test("q203 scorecard columns equal the standalone audits value-for-value") {
     // the composition contract: the fused two-scan plan must land on
     // EXACTLY the numbers the four standalone (oracle-gated) audits
