@@ -147,11 +147,11 @@ object GraphOps {
     * so a 10^7-item catalog degrades resolution instead of
     * overflowing (HitsScaleSpec pins this at a 10^5-node graph; the
     * gate scales still land on 10^6). Each side's total S is a
-    * single bounded aggregate
-    * scalar (the documented driver-action pattern, like q145's N);
-    * the per-level persist keeps the two consumers of each half-step
-    * (normalizer + next join) from re-deriving the lineage
-    * exponentially. Scale shape: iterations shuffle only the
+    * WINDOW over the node-vocabulary-bounded rank table (round 14:
+    * zero mid-loop driver actions — only the one unit-sizing scalar
+    * remains, the q145 pattern); the per-level persist keeps the two
+    * consumers of each half-step (normalizer + next join) from
+    * re-deriving the lineage exponentially. Scale shape: iterations shuffle only the
     * (user, item) distinct-click edge list — never raw events. */
   def hits(spark: SparkSession, dir: String): DataFrame =
     staged(spark, dir, "q153")(hitsRun(spark, dir))
@@ -177,20 +177,31 @@ object GraphOps {
     var hub = edges.select(col("user_id")).distinct()
       .select(col("user_id"), lit(unit).as("h"))
     var auth: DataFrame = null
+    // per-half-step L1 normalizer: side total S as a WINDOW over the
+    // node-vocabulary-bounded rank table (round 14 — previously a
+    // driver action + literal per half-step, 8 actions/run: correct
+    // but serializing at very large N; the window keeps the same
+    // exact integer arithmetic with ZERO mid-loop actions). The
+    // coalesce(1) keeps the bounded table in one partition so the
+    // partition-less window adds no exchange and downstream joins
+    // schedule one task (the q55 tiny-input pathology); the per-level
+    // persist stops the 4-iteration lineage from re-deriving.
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     for (_ <- 1 to HitsIters) {
-      // coalesce(1): the rank tables are node-vocabulary-bounded, and
-      // each normalization action otherwise schedules a task per
-      // shuffle partition (the q55 tiny-input pathology)
       val rawA = edges.join(hub, Seq("user_id"))
         .groupBy(col("item")).agg(sum(col("h")).as("raw"))
-        .coalesce(1).persist()
-      val sA = rawA.agg(sum(col("raw"))).head.getLong(0)
-      auth = rawA.select(col("item"), expr(s"(raw * $kI) div $sA").as("a"))
+        .coalesce(1)
+        .withColumn("s_tot", sum(col("raw")).over(all))
+      auth = rawA.select(col("item"), expr(s"(raw * $kI) div s_tot").as("a"))
+        .persist()
       val rawH = edges.join(auth, Seq("item"))
         .groupBy(col("user_id")).agg(sum(col("a")).as("raw"))
-        .coalesce(1).persist()
-      val sH = rawH.agg(sum(col("raw"))).head.getLong(0)
-      hub = rawH.select(col("user_id"), expr(s"(raw * $kU) div $sH").as("h"))
+        .coalesce(1)
+        .withColumn("s_tot", sum(col("raw")).over(all))
+      hub = rawH.select(col("user_id"), expr(s"(raw * $kU) div s_tot").as("h"))
+        .persist()
     }
     val items = auth.select(lit("item").as("role"), col("item").as("id"),
       col("a").as("score_scaled"),
