@@ -219,6 +219,54 @@ object StreamOps {
       }
   }
 
+  case class BotState(lastSec: Long, hour: Long, hourCount: Long,
+    flagged: Boolean, hasLast: Boolean)
+  case class BotAlert(user_id: Long, event_id: Long, rule: String)
+
+  /** BOT GATE AT INGEST — q202's rules as a stateful stream: each
+    * user carries O(1) state (last event second, current hour bucket
+    * + its count, latch) and an alert row fires AT THE EVENT where a
+    * rule first trips (sub-BotMinGapS gap → "gap"; the
+    * BotHourlyBurst-th event inside one clock hour → "burst") — so a
+    * router can cut an automated client off mid-stream instead of
+    * discovering it in the nightly audit (the batch q202 stays the
+    * full-log truth). Same ordering contract as [[milestoneStream]]:
+    * within-batch (sec, event_id) sort, cross-batch arrival order —
+    * with an in-order source the flagged-user set equals the batch
+    * twin's `is_bot` set exactly (MlStreamSpec parity; gap existence
+    * ⟺ batch min_gap < bound, hour-count latch ⟺ batch
+    * max_hour_events ≥ bound, both in event-time order). */
+  def botFlagStream(spark: SparkSession,
+      eventsDir: String): Dataset[BotAlert] = {
+    import spark.implicits._
+    import graft.operators.FrameOps.{BotHourlyBurst, BotMinGapS}
+    val events = streamEvents(spark, eventsDir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      .as[(Long, Long, Long)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[BotState, BotAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[BotState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var s = state.getOption.getOrElse(BotState(0L, -1L, 0L,
+            flagged = false, hasLast = false))
+          val out = scala.collection.mutable.ArrayBuffer[BotAlert]()
+          sorted.foreach { case (_, eventId, sec) =>
+            val gapTrip = s.hasLast && sec - s.lastSec < BotMinGapS
+            val h = sec / 3600 // == the batch twin's `tsec div 3600`
+            val hc = if (h == s.hour) s.hourCount + 1 else 1L
+            val burstTrip = hc >= BotHourlyBurst
+            if (!s.flagged && (gapTrip || burstTrip))
+              out += BotAlert(user, eventId, if (gapTrip) "gap" else "burst")
+            s = BotState(sec, h, hc, s.flagged || gapTrip || burstTrip,
+              hasLast = true)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   case class OrderedMilestoneState(cum: Double, buf: List[(Long, Long, Double)])
 
   /** EVENT-TIME-CORRECT milestone alerts: the strict-source variant

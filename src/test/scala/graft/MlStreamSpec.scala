@@ -679,6 +679,41 @@ class MlStreamSpec extends AnyFunSuite {
   // (milestoneStream sorts only within a batch — see its ordering
   // contract). A multi-batch out-of-order source converges on the
   // same alert set but may attach alerts to different event_ids.
+  test("bot gate at ingest: flagged-user set equals the batch audit's is_bot set") {
+    // planted log: user 1 hourly (human), user 2 one-second cadence
+    // (gap rule), user 3 thirty-in-one-hour at safe gaps (burst rule),
+    // user 4 singleton — staged as ONE file = one in-order micro-batch
+    import spark.implicits._
+    val rows =
+      (0 until 20).map(i => ((100 + i).toLong, i * 3600L, 1L)) ++
+        (0 until 10).map(i => ((200 + i).toLong, 50000L + i, 2L)) ++
+        (0 until 30).map(i => ((300 + i).toLong, 900000L + i * 60L, 3L)) ++
+        Seq((400L, 500L, 4L))
+    val staged = java.nio.file.Files.createTempDirectory("graft_botgate").toString
+    rows.toDF("event_id", "tsec", "user_id")
+      .withColumn("ts", timestamp_seconds(col("tsec"))).drop("tsec")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(0.0d)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val q = StreamOps.botFlagStream(spark, s"$staged/events.parquet")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bot_gate_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val alerts = spark.table("bot_gate_test").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val batchBots = operators.FrameOps.botAudit(spark, staged).collect()
+        .filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+      assert(alerts.keySet == batchBots, s"stream $alerts vs batch $batchBots")
+      assert(alerts(2L) == "gap")
+      assert(alerts(3L) == "burst")
+      // one alert per flagged user (the latch), none for human/singleton
+      assert(spark.table("bot_gate_test").count() == 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState milestone alerts match the batch running-sum twin") {
     val staged = java.nio.file.Files.createTempDirectory("graft_milestone")
     java.nio.file.Files.copy(
