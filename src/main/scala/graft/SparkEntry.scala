@@ -234,6 +234,7 @@ object SparkEntry {
     "q204_ivf_recall_curve" -> SimilaritySearch.ivfRecallCurve _,
     "q205_dedup_threshold_curve" -> Dedup.dedupThresholdCurve _,
     "q206_contam_sensitivity" -> CorpusOps.contamSensitivity _,
+    "q207_embed_separation" -> SimilaritySearch.embedSeparation _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2391,6 +2392,9 @@ object SparkEntry {
     // q206: per-order CTEs generated from ContamNGrid with q76's
     // gram-construction fragment
     "q206_contam_sensitivity" -> CorpusOps.contamSensitivityOracleSql,
+    // q207: the q186 generated fragments + a global centroid stage
+    // re-rolled from the per-label sums
+    "q207_embed_separation" -> SimilaritySearch.embedSeparationOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -594,14 +594,26 @@ object SimilaritySearch {
     df.select(col("vec_id") +: col("label") +: dims.map(vFix): _*)
   }
 
-  private[graft] def centroidOf(base: DataFrame): DataFrame = {
+  /** Per-label fixed-point component sums — the |labels|-row table
+    * every centroid derives from (q207's global centroid re-rolls
+    * THESE sums rather than scanning the corpus twice). */
+  private[graft] def labelSums(base: DataFrame): DataFrame = {
     val dims = 1 to EmbDim
     base.groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         dims.map(i => sum(col(s"v$i")).as(s"s$i")): _*)
-      .select(col("label") +: col("n") +:
-        dims.map(i => expr(s"(2 * s$i + n) div (2 * n)").as(s"c$i")): _*)
   }
+
+  /** Half-up integer centroid from a sums table ((2s+n) div 2n on
+    * non-negative ints — trunc==floor both engines). */
+  private[graft] def centroidFromSums(ct: DataFrame): DataFrame = {
+    val dims = 1 to EmbDim
+    ct.select(col("label") +: col("n") +:
+      dims.map(i => expr(s"(2 * s$i + n) div (2 * n)").as(s"c$i")): _*)
+  }
+
+  private[graft] def centroidOf(base: DataFrame): DataFrame =
+    centroidFromSums(labelSums(base))
 
   private[graft] def d2Col: Column =
     (1 to EmbDim).map { i =>
@@ -848,6 +860,93 @@ object SimilaritySearch {
       |  CASE WHEN n IS NULL THEN FALSE
       |    ELSE CAST(d2 AS HUGEINT) * n <= $OutlierTau * sd2 END AS admitted
       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- q207: embedding class-separation report ---------------------
+
+  /** q207: per-label CLASS SEPARATION in embedding space — Fisher's
+    * question before any label-conditioned curation is trusted: is
+    * the label structure REAL here? between_d2 = squared distance
+    * from the label centroid to the GLOBAL centroid vs
+    * within_mean_d2 = the label's mean squared scatter (q186's exact
+    * rule); a label whose separation ratio ~ 0 is indistinguishable
+    * from the blend, so q186's outlier pruning and q190's admission
+    * gate (both label-conditioned) are operating on noise for it —
+    * this report is the go/no-go those gates should be conditioned
+    * on. EXACT end to end, so it joins the embedding family on the
+    * oracle gate: same portable quantizer / half-up integer
+    * centroids / row-local d² chains as q186 (every def shared); the
+    * GLOBAL centroid re-rolls the |labels|-row sums table — the
+    * corpus is scanned ONCE for sums and once for the within pass
+    * (q186's documented two-consumer shape); between_d2 is row-local
+    * on the |labels|-row join of per-label and global centroids;
+    * separation = one IEEE division of exact int64s, null on a
+    * degenerate zero-scatter label (levers (c)/(q)). */
+  def embedSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 1 to EmbDim
+    val base = fixedVectors(Tables.embeddings(spark, dir))
+    val ct = labelSums(base).persist() // |labels|-row, two consumers
+    val cents = centroidFromSums(ct)
+    val glob = ct
+      .agg(sum(col("n")).as("gn"),
+        dims.map(i => sum(col(s"s$i")).as(s"gs$i")): _*)
+      .select(col("gn") +:
+        dims.map(i => expr(s"(2 * gs$i + gn) div (2 * gn)").as(s"g$i")): _*)
+    val between = cents.crossJoin(broadcast(glob))
+      .select(col("label"),
+        dims.map { i =>
+          val d = col(s"c$i") - col(s"g$i")
+          d * d
+        }.reduce(_ + _).as("between_d2"))
+    val within = base.join(broadcast(cents), Seq("label"))
+      .select(col("label"), d2Col.as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast("decimal(38,0)")).as("sd2"))
+      .select(col("label"), col("n_vecs"),
+        expr("(2 * sd2 + n_vecs) div (2 * n_vecs)").cast("long")
+          .as("within_mean_d2"))
+    within.join(between, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("within_mean_d2"),
+        col("between_d2"),
+        when(col("within_mean_d2") === 0L, lit(null).cast("double"))
+          .otherwise(col("between_d2").cast("double") /
+            col("within_mean_d2").cast("double")).as("separation"))
+      .orderBy(col("label"))
+  }
+
+  /** The q207 oracle — the q186 generated fragments plus a global
+    * stage over the per-label sums (the same re-roll, never a second
+    * corpus pass). */
+  private[graft] def embedSeparationOracleSql: String = {
+    val dims = 1 to EmbDim
+    val gSums = dims.map(i => s"CAST(SUM(s$i) AS BIGINT) AS gs$i").mkString(", ")
+    val gCents = dims.map(i => s"(2 * gs$i + gn) // (2 * gn) AS g$i").mkString(", ")
+    val btw = dims.map(i => s"(c$i - g$i) * (c$i - g$i)").mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |    $embedVColsSql
+      |  FROM embeddings),
+      |ct AS (SELECT label, COUNT(*) AS n, $embedSColsSql FROM e GROUP BY label),
+      |cc AS (SELECT label, n, $embedCColsSql FROM ct),
+      |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, $gSums FROM ct),
+      |gc AS (SELECT gn, $gCents FROM g),
+      |bt AS (SELECT cc.label, $btw AS between_d2 FROM cc CROSS JOIN gc),
+      |d AS (
+      |  SELECT e.label, $embedD2Sql AS d2
+      |  FROM e JOIN cc ON e.label = cc.label),
+      |w AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST((2 * CAST(SUM(d2) AS HUGEINT) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |      AS within_mean_d2
+      |  FROM d GROUP BY label)
+      |SELECT w.label, w.n_vecs, w.within_mean_d2,
+      |  CAST(bt.between_d2 AS BIGINT) AS between_d2,
+      |  CASE WHEN w.within_mean_d2 = 0 THEN NULL
+      |    ELSE CAST(bt.between_d2 AS DOUBLE) / CAST(w.within_mean_d2 AS DOUBLE)
+      |  END AS separation
+      |FROM w JOIN bt ON w.label = bt.label
+      |ORDER BY w.label""".stripMargin
   }
 
   // ---- q204: IVF recall-vs-nprobe tuning curve --------------------

@@ -140,6 +140,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == brute)
   }
 
+  test("q207 separation report anchored to q186's exact within-scatter") {
+    val sep = SimilaritySearch.embedSeparation(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val out = SimilaritySearch.embedOutliers(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    assert(sep.keySet == out.keySet)
+    sep.foreach { case (l, r) =>
+      // within_mean_d2 must equal q186's mean_d2 (the SAME shared rule)
+      assert((r.getLong(1), r.getLong(2)) == out(l), s"label $l")
+      assert(r.getLong(3) >= 0L)
+      // non-degenerate labels carry the ratio; it is between/within
+      assert(r.getDouble(4) ==
+        r.getLong(3).toDouble / r.getLong(2).toDouble, s"label $l ratio")
+    }
+  }
+
   test("q205 threshold curve: monotone in tau, anchored to the pair artifact") {
     val curve = Dedup.dedupThresholdCurve(spark, sf).collect()
       .map(r => r.getDouble(0) ->
