@@ -235,6 +235,7 @@ object SparkEntry {
     "q205_dedup_threshold_curve" -> Dedup.dedupThresholdCurve _,
     "q206_contam_sensitivity" -> CorpusOps.contamSensitivity _,
     "q207_embed_separation" -> SimilaritySearch.embedSeparation _,
+    "q208_store_growth" -> graft.sources.Sources.storeGrowth _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2395,6 +2396,9 @@ object SparkEntry {
     // q207: the q186 generated fragments + a global centroid stage
     // re-rolled from the per-label sums
     "q207_embed_separation" -> SimilaritySearch.embedSeparationOracleSql,
+    // q208: live states re-derived from the raw corpus with the
+    // store's %-rules (q168's pattern); deltas via LAG over 3 rows
+    "q208_store_growth" -> graft.sources.Sources.storeGrowthOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -389,4 +389,120 @@ object Sources {
       .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- q208: store growth trajectory --------------------------------
+
+  /** The store's commit history length (versions 1..this) — the q208
+    * oracle's per-version branches are generated from it. */
+  private[graft] val StoreVersions = 3
+
+  /** q208: STORE GROWTH TRAJECTORY — the lakehouse ops view over the
+    * versioned store: per commit, the commit's OWN size (rows /
+    * upserts / deletes — read from that version's partition alone,
+    * delta-sized) and the resulting LIVE state (docs, tokens) with
+    * deltas vs the previous version. A bad commit (mass delete,
+    * runaway revision) shows as a trajectory break here BEFORE
+    * downstream consumers re-index against the damaged state — the
+    * monitoring row the q164/q165/q168/q180 family reads first.
+    *
+    * Scale shape: ONE pass over the store computes EVERY version's
+    * live state — per doc, a version→(op, tokens) map
+    * (map_from_entries over the doc's ≤|versions| commit rows), and
+    * the live winner at v is a codegen coalesce chain of
+    * element_at(m, v), element_at(m, v−1), … — no per-version LWW
+    * re-scan (the naive shape is |versions| full-store window
+    * passes); the rollup is |versions|-sized, the delta window runs
+    * over that bounded table (the accepted bounded-survivor class).
+    * Token counts ride the shared NFC tokenizer. Float-free: every
+    * column is an exact long. */
+  def storeGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = spark.read.parquet(versionedStore(spark, dir))
+    val versions = (1 to StoreVersions).map(_.toLong)
+    val commits = store.groupBy(col("version").cast("long").as("version"))
+      .agg(count(lit(1)).as("n_commit_rows"),
+        sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("n_upserts"),
+        sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"))
+    val perDoc = store
+      .select(col("doc_id"), col("version").cast("long").as("version"),
+        struct(col("op"),
+          when(col("op") === "upsert",
+            size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+            .otherwise(0L).as("tok")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("version"), col("e"))))
+        .as("m"))
+    val liveCols = versions.map { v =>
+      val winner = coalesce((v to 1L by -1L).map(u =>
+        element_at(col("m"), lit(u))): _*)
+      struct(
+        when(winner.getField("op") === "upsert", 1L).otherwise(0L).as("live"),
+        when(winner.getField("op") === "upsert", winner.getField("tok"))
+          .otherwise(0L).as("tok")).as(s"v$v")
+    }
+    val live = perDoc.select(liveCols: _*)
+      .agg(
+        sum(col(s"v${versions.head}.live")).as(s"d${versions.head}"),
+        versions.tail.flatMap(v => Seq(sum(col(s"v$v.live")).as(s"d$v"))) ++
+          versions.map(v => sum(col(s"v$v.tok")).as(s"t$v")): _*)
+      .select(explode(array(versions.map(v => struct(
+        lit(v).as("version"),
+        col(s"d$v").cast("long").as("live_docs"),
+        col(s"t$v").cast("long").as("live_tokens"))): _*)).as("r"))
+      .select(col("r.version"), col("r.live_docs"), col("r.live_tokens"))
+    val w = Window.orderBy(col("version")) // |versions|-row table
+    commits.join(live, Seq("version"))
+      .withColumn("docs_delta",
+        col("live_docs") - lag(col("live_docs"), 1).over(w))
+      .withColumn("tokens_delta",
+        col("live_tokens") - lag(col("live_tokens"), 1).over(w))
+      .orderBy(col("version"))
+  }
+
+  /** The q208 oracle — live states re-derived from the raw corpus
+    * with the store's %-rules (the q168 pattern), token counts
+    * through the same NFC tokenizer fragment, deltas via LAG over
+    * the |versions|-row result. */
+  private[graft] def storeGrowthOracleSql: String = {
+    def tokOf(texpr: String) =
+      s"CAST(len(string_split_regex(trim(nfc_normalize($texpr)), '\\s+')) AS BIGINT)"
+    s"""WITH t1 AS (SELECT doc_id, ${tokOf("text")} AS tok FROM documents),
+       |t2 AS (
+       |  SELECT doc_id, ${tokOf(
+           "CASE WHEN doc_id % 13 = 1 THEN text || ' rev' ELSE text END")} AS tok
+       |  FROM documents WHERE doc_id % 17 <> 3),
+       |t3 AS (
+       |  SELECT doc_id, ${tokOf(
+           "CASE WHEN doc_id % 17 = 3 THEN text || ' back' " +
+             "WHEN doc_id % 13 = 1 THEN text || ' rev' ELSE text END")} AS tok
+       |  FROM documents),
+       |cm(version, n_commit_rows, n_upserts, n_deletes) AS (
+       |  SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT) FROM documents
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 = 3 OR doc_id % 13 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 <> 3 AND doc_id % 13 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(0 AS BIGINT) FROM documents),
+       |lv(version, live_docs, live_tokens) AS (
+       |  SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(tok) AS BIGINT) FROM t1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(tok) AS BIGINT) FROM t2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(tok) AS BIGINT) FROM t3)
+       |SELECT cm.version, cm.n_commit_rows, cm.n_upserts, cm.n_deletes,
+       |  lv.live_docs, lv.live_tokens,
+       |  lv.live_docs - LAG(lv.live_docs) OVER (ORDER BY cm.version) AS docs_delta,
+       |  lv.live_tokens - LAG(lv.live_tokens) OVER (ORDER BY cm.version) AS tokens_delta
+       |FROM cm JOIN lv ON cm.version = lv.version
+       |ORDER BY cm.version""".stripMargin
+  }
 }

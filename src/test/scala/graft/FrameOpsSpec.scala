@@ -180,6 +180,22 @@ class FrameOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q208 growth trajectory is internally consistent with the commit ops") {
+    val rows = graft.sources.Sources.storeGrowth(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == (1L to graft.sources.Sources.StoreVersions).toSet)
+    // v1 bootstraps the corpus: live == upserts, no deltas yet
+    assert(rows(1L).getLong(4) == rows(1L).getLong(2))
+    assert(rows(1L).isNullAt(6) && rows(1L).isNullAt(7))
+    // v2's upserts all REVISE existing docs, so the doc delta is
+    // exactly -deletes; v3's upserts all RESURRECT deleted docs
+    assert(rows(2L).getLong(6) == -rows(2L).getLong(3))
+    assert(rows(3L).getLong(6) == rows(3L).getLong(2))
+    // commit-row accounting: rows = upserts + deletes at every version
+    rows.values.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+  }
+
   // planted event-log helper for the q201/q202 audits: the gate
   // corpora are organic, so the flag branches are pinned on
   // TESTDATA-independent synthetic logs (the NfcIngestSpec pattern)
