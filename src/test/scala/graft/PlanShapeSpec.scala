@@ -563,6 +563,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window not partitioned by user:\n$p")
   }
 
+  test("round-14 curve/report family: window-free, cartesian-free plans") {
+    // q204: all nprobe levels from bounded heaps — never a rank window
+    val p204 = plan(SimilaritySearch.ivfRecallCurve(spark, sf))
+    assert(!p204.contains("Window"), p204)
+    assert(!p204.contains("CartesianProduct"), p204)
+    // q205: the tau sweep rides the pair artifact + TakeOrdered-free
+    // bounded aggs; no window, no cartesian against the corpus
+    val p205 = plan(Dedup.dedupThresholdCurve(spark, sf))
+    assert(!p205.contains("Window"), p205)
+    assert(!p205.contains("CartesianProduct"), p205)
+    // q206: one tagged-gram stream per side; the gram generators are
+    // codegen explodes, never a window or cartesian
+    val p206 = plan(operators.CorpusOps.contamSensitivity(spark, sf))
+    assert(!p206.contains("Window"), p206)
+    assert(!p206.contains("CartesianProduct"), p206)
+    // q207: wide per-dim sums + |labels|-row joins — no window, no
+    // posexplode-per-dimension (the Summarizer-shape rule: the only
+    // generator anywhere would be a per-dim explode, which is banned)
+    val p207 = plan(SimilaritySearch.embedSeparation(spark, sf))
+    assert(!p207.contains("Window"), p207)
+    assert(!p207.contains("Generate"), p207)
+  }
+
   test("q167 sketch profile has no Expand; q135's exact distincts do") {
     // q135's multiple exact count-distincts ride EXPAND (row
     // multiplication per distinct) — acceptable as the exact gate;
