@@ -34,4 +34,23 @@ class OracleDisciplineSpec extends AnyFunSuite {
       .count(_.contains("string_split_regex(trim(nfc_normalize("))
     assert(n >= 40, s"expected >=40 NFC-fronted tokenizer fragments, found $n")
   }
+
+  test("every click-payload extraction is THE canonical fragment (no copy drift)") {
+    // the item rule mirrors WordItemApp.itemFromProps (get_json_object
+    // '$.k'); its SQL mirror appears in several oracles as a literal —
+    // this pins every copy to the one canonical spelling, so an edit
+    // to any single copy fails the suite instead of silently forking
+    // the extraction rule
+    val canon =
+      """CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT)"""
+    val offenders = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+      sql.linesIterator.filter(_.contains("regexp_extract(props"))
+        .filterNot(_.contains(canon))
+        .map(l => s"$name: ${l.trim.take(90)}")
+    }
+    assert(offenders.isEmpty,
+      s"non-canonical click extraction:\n${offenders.mkString("\n")}")
+    val n = SparkEntry.oracleSql.values.count(_.contains(canon))
+    assert(n >= 8, s"expected >=8 canonical click extractions, found $n")
+  }
 }
