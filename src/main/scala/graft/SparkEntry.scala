@@ -236,6 +236,8 @@ object SparkEntry {
     "q206_contam_sensitivity" -> CorpusOps.contamSensitivity _,
     "q207_embed_separation" -> SimilaritySearch.embedSeparation _,
     "q208_store_growth" -> graft.sources.Sources.storeGrowth _,
+    "q209_hard_negatives" -> SimilaritySearch.hardNegatives _,
+    "q210_label_vote" -> SimilaritySearch.labelVote _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2399,6 +2401,10 @@ object SparkEntry {
     // q208: live states re-derived from the raw corpus with the
     // store's %-rules (q168's pattern); deltas via LAG over 3 rows
     "q208_store_growth" -> graft.sources.Sources.storeGrowthOracleSql,
+    // q209/q210: one shared labeled-kNN CTE front (q40's verified
+    // cosine fold + labels); rank stated as windows (lever (h))
+    "q209_hard_negatives" -> SimilaritySearch.hardNegativesOracleSql,
+    "q210_label_vote" -> SimilaritySearch.labelVoteOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

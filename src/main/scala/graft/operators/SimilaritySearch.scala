@@ -862,6 +862,139 @@ object SimilaritySearch {
       |FROM d ORDER BY vec_id""".stripMargin
   }
 
+  // ---- q209/q210: contrastive mining + label-noise vote -------------
+
+  /** Neighborhood size for the label vote; q209 shares the top-5
+    * contract with q40. */
+  private[graft] val VoteK = 5
+
+  private def labeledEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VecFns.norm(col("embedding")).as("nrm"))
+
+  private def labeledQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
+
+  private def labeledScored(emb: DataFrame, q: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        VecFns.ratio(VecFns.dot(col("embedding"), col("qv")),
+          col("nrm") * col("qnrm")), 6))
+
+  /** q209: HARD-NEGATIVE MINING — per query vector, the top-5 nearest
+    * neighbors carrying a DIFFERENT label: the contrastive-training
+    * staple (DPR/SimCSE-style — the negatives that actually move an
+    * encoder are the near-miss ones, not random draws), and the
+    * natural companion of q196's noise table on the vector side.
+    * Same scale shape as q40 (bounded query set broadcasts, the
+    * corpus streams once, bounded TopKByKey heaps — no window, no
+    * global sort); the label filter prunes BEFORE scoring, and the
+    * 50-row result joins back to the slim (vec_id, label) projection
+    * for the negative's label. Float discipline: q40's rounded
+    * cosine + id tie-breaks (lever (i)). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = labeledEmb(spark, dir)
+    val scored = labeledScored(emb, labeledQueries(emb))
+      .filter(col("label") =!= col("qlabel"))
+    topKSelect(scored, VoteK)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("neg_label").cast("long").as("neg_label"),
+        col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q210: kNN LABEL-NOISE VOTE — for each query vector, its top-K
+    * neighbors vote on the label (Confident-Learning-style sampled
+    * audit): a vector whose neighborhood majority disagrees with its
+    * own label is a labeling suspect, and a corpus whose suspect
+    * rate is high fails q207's separation gate for a REASON. Exact:
+    * the vote counts are ints over q40's deterministic top-K; the
+    * majority argmax breaks count ties toward the smaller label
+    * (struct-max == the oracle's rank window). */
+  def labelVote(spark: SparkSession, dir: String): DataFrame = {
+    val emb = labeledEmb(spark, dir)
+    val q = labeledQueries(emb)
+    val neigh = topKSelect(labeledScored(emb, q), VoteK)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), Seq("neighbor_id"))
+    val votes = neigh.groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("cnt"))
+    val majority = votes.groupBy(col("query_id"))
+      .agg(max(struct(col("cnt"), (-col("nlabel")).as("nn"))).as("w"))
+      .select(col("query_id"), (-col("w.nn")).cast("long").as("majority_label"))
+    val agree = neigh.join(q.select(col("query_id"), col("qlabel")), Seq("query_id"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_agree"))
+    agree.join(majority, Seq("query_id"))
+      .select(col("query_id"), col("qlabel").cast("long").as("own_label"),
+        col("n_agree"), col("majority_label"),
+        (col("majority_label") =!= col("qlabel").cast("long")).as("suspect"))
+      .orderBy(col("query_id"))
+  }
+
+  /** The shared labeled-kNN CTE front (e with label + norm, bounded
+    * query set) — q209's and q210's oracles both interpolate it. */
+  private def knnLabeledCteSql: String =
+    """e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(len(embedding)),
+      |        i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+      |      (acc, v) -> acc + v)) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv, nrm AS qnrm
+      |      FROM e WHERE vec_id < 10),
+      |c AS (
+      |  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+      |    round(
+      |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(len(e.embedding)),
+      |          i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))),
+      |        (acc, v) -> acc + v) / (e.nrm * q.qnrm), 6) AS cosine
+      |  FROM e, q WHERE e.vec_id != q.query_id)""".stripMargin
+
+  private[graft] def hardNegativesOracleSql: String =
+    s"""WITH $knnLabeledCteSql,
+       |r AS (
+       |  SELECT query_id, neighbor_id, CAST(nlabel AS BIGINT) AS neg_label, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS "rank"
+       |  FROM c WHERE nlabel <> qlabel)
+       |SELECT query_id, neighbor_id, neg_label, cosine, "rank"
+       |FROM r WHERE "rank" <= $VoteK
+       |ORDER BY query_id, "rank"""".stripMargin
+
+  private[graft] def labelVoteOracleSql: String =
+    s"""WITH $knnLabeledCteSql,
+       |r AS (
+       |  SELECT query_id, qlabel, nlabel,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM c),
+       |n AS (SELECT query_id, qlabel, nlabel FROM r WHERE rn <= $VoteK),
+       |v AS (SELECT query_id, nlabel, COUNT(*) AS cnt FROM n GROUP BY 1, 2),
+       |m AS (
+       |  SELECT query_id, CAST(nlabel AS BIGINT) AS majority_label
+       |  FROM (SELECT query_id, nlabel,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cnt DESC, nlabel) AS mr FROM v)
+       |  WHERE mr = 1),
+       |a AS (
+       |  SELECT query_id, CAST(qlabel AS BIGINT) AS own_label,
+       |    CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM n GROUP BY 1, 2)
+       |SELECT a.query_id, a.own_label, a.n_agree, m.majority_label,
+       |  m.majority_label <> a.own_label AS suspect
+       |FROM a JOIN m ON a.query_id = m.query_id
+       |ORDER BY a.query_id""".stripMargin
+
   // ---- q207: embedding class-separation report ---------------------
 
   /** q207: per-label CLASS SEPARATION in embedding space — Fisher's

@@ -140,6 +140,50 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == brute)
   }
 
+  test("q209 hard negatives: cross-label only, ranked, disjoint from same-label knn") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SimilaritySearch.hardNegatives(spark, sf).collect()
+    assert(rows.length == 50) // 10 queries x top-5
+    rows.foreach { r =>
+      val (q, n, nl, rk) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(nl == emb(n).toLong, s"neg_label mismatch for $n")
+      assert(nl != emb(q).toLong, s"same-label vector $n mined as negative of $q")
+      assert(rk >= 1 && rk <= 5)
+    }
+    // per query: ranks are 1..5 with non-increasing cosine
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val byRank = g.sortBy(_.getLong(4))
+      assert(byRank.map(_.getLong(4)).toSeq == (1L to 5L), s"query $q ranks")
+      val cs = byRank.map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse, s"query $q cosines not sorted")
+    }
+  }
+
+  test("q210 label vote recomputes from q40's exact neighborhood") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // ground truth from q40's oracle-gated top-5
+    val knn = SimilaritySearch.knnBrute(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, g) => q -> g.map(r => emb(r.getLong(1))).toSeq }
+    val rows = SimilaritySearch.labelVote(spark, sf).collect()
+    assert(rows.length == knn.size)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val labels = knn(q)
+      assert(r.getLong(1) == emb(q))
+      assert(r.getLong(2) == labels.count(_ == emb(q)).toLong, s"q=$q agree")
+      val majority = labels.groupBy(identity).toSeq
+        .map { case (l, xs) => (-xs.size, l) }.min._2
+      assert(r.getLong(3) == majority, s"q=$q majority")
+      assert(r.getBoolean(4) == (majority != emb(q)))
+    }
+  }
+
   test("q207 separation report anchored to q186's exact within-scatter") {
     val sep = SimilaritySearch.embedSeparation(spark, sf).collect()
       .map(r => r.getInt(0) -> r).toMap
