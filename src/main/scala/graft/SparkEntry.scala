@@ -238,6 +238,7 @@ object SparkEntry {
     "q208_store_growth" -> graft.sources.Sources.storeGrowth _,
     "q209_hard_negatives" -> SimilaritySearch.hardNegatives _,
     "q210_label_vote" -> SimilaritySearch.labelVote _,
+    "q211_review_queue" -> TextOps.reviewQueue _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2405,6 +2406,9 @@ object SparkEntry {
     // cosine fold + labels); rank stated as windows (lever (h))
     "q209_hard_negatives" -> SimilaritySearch.hardNegativesOracleSql,
     "q210_label_vote" -> SimilaritySearch.labelVoteOracleSql,
+    // q211: shared per-doc gopher chain + generated axis unions; the
+    // deterministic sample stated as a hash rank window (lever (h))
+    "q211_review_queue" -> TextOps.reviewQueueOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -538,26 +538,32 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  /** The q72 oracle — ONE fragment, composed verbatim into q203's
-    * scorecard (the same list-lambda signals, the same rule bounds,
-    * the same pass conjunction). */
-  private[graft] def gopherRulesOracleSql: String =
-    """WITH t AS (
-      |  SELECT source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
+  /** The per-DOC Gopher rule CTE chain (t → d → r, doc_id carried) —
+    * ONE fragment serving the q72 rollup, q203's scorecard, and
+    * q211's review queue (the same list-lambda signals, the same
+    * rule bounds). */
+  private[graft] def gopherDocCteSql: String =
+    """t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
       |d AS (
-      |  SELECT source,
+      |  SELECT doc_id, source,
       |    CAST(len(toks) AS BIGINT) AS n_words,
       |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
       |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds
       |  FROM t),
       |r AS (
-      |  SELECT source,
+      |  SELECT doc_id, source,
       |    (n_words >= 50 AND n_words <= 100000) AS words_ok,
       |    (mean_wlen >= 3 AND mean_wlen <= 10) AS wlen_ok,
       |    (ttr >= 0.2) AS ttr_ok,
       |    (n_stop_kinds >= 2) AS stop_ok
-      |  FROM d)
+      |  FROM d)""".stripMargin
+
+  /** The q72 oracle — the shared per-doc chain + the per-source
+    * rollup. */
+  private[graft] def gopherRulesOracleSql: String =
+    s"""WITH $gopherDocCteSql
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN words_ok AND wlen_ok AND ttr_ok AND stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
       |  CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
@@ -1290,6 +1296,72 @@ object TextOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_wq,
       |  CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE) AS share
       |FROM w ORDER BY cum_wq, word""".stripMargin
+
+  // ---- q211: quality-filter review queue ---------------------------
+
+  /** Reviewer quota per (source, failed rule); the oracle window
+    * interpolates it. */
+  private[graft] val ReviewK = 3
+
+  /** The queue's axis names, paired with their rule columns —
+    * generated into both the Spark explode and the oracle's UNION. */
+  private[graft] val ReviewAxes: Seq[(String, String)] = Seq(
+    "words_ok" -> "words", "wlen_ok" -> "wlen",
+    "ttr_ok" -> "ttr", "stop_ok" -> "stopwords")
+
+  /** q211: the HUMAN-REVIEW QUEUE for the quality filter — per
+    * (source, failed rule), a deterministic K-doc sample of the
+    * failures: the nightly QA artifact a filter-threshold owner
+    * actually reads (rules are tuned by LOOKING at what they reject;
+    * Gopher §A2 describes exactly this loop). The sample is the K
+    * smallest sampling-hash docs (the shared q78 family hash), so
+    * the queue is reproducible across runs, engines, and cluster
+    * sizes — a reviewer sees the same docs tomorrow unless the data
+    * changed. Scale shape: one scan → the SHARED per-doc rule
+    * projection → explode only the FAILED axes (≤ 4 rows per bad
+    * doc, zero for clean docs) → bounded TopKByKey heaps per
+    * (source, axis) — no window over the corpus (lever (h)); output
+    * is \|sources\|·\|axes\|·K rows. */
+  def reviewQueue(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("source")) ++ gopherSignalCols: _*)
+      .select(Seq(col("doc_id"), col("source")) ++ gopherRuleCols: _*)
+    val axisCol = explode(array(ReviewAxes.map { case (c, name) =>
+      when(!col(c), lit(name))
+    }: _*)).as("axis")
+    flags.select(col("doc_id"), col("source"), axisCol)
+      .filter(col("axis").isNotNull)
+      .groupBy(col("source"), col("axis"))
+      .agg(graft.plans.TopKByKey.topK(ReviewK)(col("doc_id"),
+        -CorpusOps.sampleHash(col("doc_id")).cast("double")).as("top"))
+      .select(col("source"), col("axis"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), col("axis"), col("e.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("review_rank"))
+      .orderBy(col("source"), col("axis"), col("review_rank"))
+  }
+
+  /** The q211 oracle — the shared per-doc gopher chain, axes
+    * generated from [[ReviewAxes]], the sample stated as a rank
+    * window over the interpolated hash (lever (h)). */
+  private[graft] def reviewQueueOracleSql: String = {
+    import CorpusOps.{SampleHashC, SampleHashP}
+    val unions = ReviewAxes.map { case (c, name) =>
+      s"SELECT doc_id, source, '$name' AS axis FROM r WHERE NOT $c"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${gopherDocCteSql},
+       |f AS (
+       |$unions),
+       |k AS (
+       |  SELECT source, axis, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source, axis
+       |      ORDER BY (doc_id % $SampleHashP * $SampleHashC) % $SampleHashP, doc_id)
+       |      AS BIGINT) AS review_rank
+       |  FROM f)
+       |SELECT source, axis, doc_id, review_rank
+       |FROM k WHERE review_rank <= $ReviewK
+       |ORDER BY source, axis, review_rank""".stripMargin
+  }
 
   // ---- q200: term burstiness (Church & Gale 1995) -----------------
 

@@ -184,6 +184,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!out("web")._2, s"organic source wrongly flagged: $out")
   }
 
+  test("q211 review queue: every row truly fails its axis; quota and reproducibility hold") {
+    val rows = TextOps.reviewQueue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the rule flags driver-side and check axis membership
+    val flags = Tables.documents(spark, sf)
+      .select(Seq(col("doc_id")) ++ TextOps.gopherSignalCols: _*)
+      .select(Seq(col("doc_id")) ++ TextOps.gopherRuleCols: _*)
+      .collect().map(r => r.getLong(0) ->
+        Map("words" -> r.getBoolean(1), "wlen" -> r.getBoolean(2),
+          "ttr" -> r.getBoolean(3), "stopwords" -> r.getBoolean(4))).toMap
+    rows.foreach { r =>
+      assert(!flags(r.getLong(2))(r.getString(1)),
+        s"doc ${r.getLong(2)} does not fail axis ${r.getString(1)}")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= TextOps.ReviewK)
+    }
+    // per (source, axis): ranks are 1..n with n <= K
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (k, g) =>
+      val rks = g.map(_.getLong(3)).sorted.toSeq
+      assert(rks == (1L to rks.length), s"$k ranks $rks")
+    }
+    // deterministic: a second run returns the identical queue
+    val again = TextOps.reviewQueue(spark, sf).collect().map(_.toString)
+    assert(again.toSeq == rows.map(_.toString).toSeq)
+  }
+
   test("q200 burstiness: df floor binds, burst consistent, head ordered") {
     val out = TextOps.termBurstiness(spark, sf).collect()
     assert(out.nonEmpty && out.length <= TextOps.BurstTopK)
