@@ -239,6 +239,8 @@ object SparkEntry {
     "q209_hard_negatives" -> SimilaritySearch.hardNegatives _,
     "q210_label_vote" -> SimilaritySearch.labelVote _,
     "q211_review_queue" -> TextOps.reviewQueue _,
+    "q212_pack_efficiency" -> CorpusOps.packEfficiency _,
+    "q213_epoch_plan" -> CorpusOps.epochPlan _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2409,6 +2411,14 @@ object SparkEntry {
     // q211: shared per-doc gopher chain + generated axis unions; the
     // deterministic sample stated as a hash rank window (lever (h))
     "q211_review_queue" -> TextOps.reviewQueueOracleSql,
+    // q212: generated from PackGrid — per-level integer chunk sums in
+    // ONE per-source agg, grid union over the aggregated table;
+    // efficiency = raw IEEE quotient of exact longs (lever (c))
+    "q212_pack_efficiency" -> CorpusOps.packEfficiencyOracleSql,
+    // q213: q111's verified weight chain + q30's verified keep-first
+    // rule composed; epochs = raw IEEE quotient of exact longs, cap
+    // verdicts pure int64 (levers (c)/(ff))
+    "q213_epoch_plan" -> CorpusOps.epochPlanOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -212,6 +212,86 @@ object CorpusOps {
           .as("chunk_hash"))
   }
 
+  /** q212 context-length grid. [[ChunkSize]] is the grid's floor so
+    * the curve prices the SHIPPED setting against its alternatives
+    * (CorpusOpsSpec reconciles that level against the q77 chunk
+    * frame row-for-row). */
+  private[graft] val PackGrid: Seq[Long] = Seq(64L, 128L, 256L, 512L)
+
+  /** q212: PACKING-EFFICIENCY curve — the knob-pricing table for the
+    * context length (the q204/q205/q206 move applied to q77's
+    * ChunkSize): per (context_len, source), how many fixed-size
+    * windows the corpus packs into and what fraction of the padded
+    * token budget is real text. Training pipelines pay for PADDED
+    * tokens (every window is context_len wide on the accelerator —
+    * the last window of each doc pads out unless sequences are
+    * concatenated), so efficiency = n_tokens / (n_chunks ·
+    * context_len) is the utilization a max_len choice buys; the
+    * reference's fixed-window packing has exactly this hidden cost
+    * knob (redshells feeds gensim fixed-length batches,
+    * train/utils/token_iterator.py).
+    *
+    * Scale shape (lever (gg) degenerate case): the whole grid costs
+    * ONE corpus scan — per-doc token count is one row-local int, each
+    * level's chunk count is integer arithmetic ((n_tok + L−1) div L)
+    * on that int inside the SAME |sources|-row wide aggregation, and
+    * the grid explode runs over the AGGREGATED table (|sources| rows
+    * → |grid|·|sources|). Float discipline: efficiency is ONE IEEE
+    * division of exact longs (lever (c)) — no rounding step needed;
+    * all other columns are exact integer arithmetic. */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens")) ++
+      PackGrid.map(l =>
+        sum(expr(s"(n_tok + ${l - 1}) div $l")).cast("long").as(s"c$l"))
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), TextFns.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+    per
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        explode(array(PackGrid.map(l =>
+          struct(lit(l).as("context_len"), col(s"c$l").as("n_chunks"))): _*))
+          .as("lv"))
+      .select(col("lv.context_len").as("context_len"), col("source"),
+        col("n_docs"), col("n_tokens"), col("lv.n_chunks").as("n_chunks"),
+        (col("lv.n_chunks") * col("lv.context_len")).as("padded_tokens"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("n_tokens"))
+      .withColumn("efficiency",
+        col("n_tokens").cast("double") / col("padded_tokens").cast("double"))
+      .orderBy(col("context_len"), col("source"))
+  }
+
+  /** The q212 oracle, GENERATED from [[PackGrid]] (lever (a)): the
+    * per-level chunk counts as integer `//` sums in the same one
+    * per-source aggregation, the grid as a generated UNION over the
+    * aggregated table; efficiency = the raw IEEE quotient of exact
+    * longs (lever (c)). */
+  private[graft] def packEfficiencyOracleSql: String = {
+    val sums = PackGrid.map(l =>
+      s"CAST(SUM((n_tok + ${l - 1}) // $l) AS BIGINT) AS c$l")
+      .mkString(",\n      |    ")
+    val union = PackGrid.map(l =>
+      s"SELECT CAST($l AS BIGINT) AS context_len, source, n_docs, n_tokens, c$l AS n_chunks FROM per")
+      .mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    $sums
+      |  FROM d GROUP BY source),
+      |g AS (
+      |$union)
+      |SELECT context_len, source, n_docs, n_tokens, n_chunks,
+      |  n_chunks * context_len AS padded_tokens,
+      |  n_chunks * context_len - n_tokens AS waste_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(n_chunks * context_len AS DOUBLE) AS efficiency
+      |FROM g ORDER BY context_len, source""".stripMargin
+  }
+
   /** q175 anchor rule: a token whose poly-31 hash ≡ [[CdcRem]]
     * (mod [[CdcMod]]) closes the current chunk → expected chunk
     * length = CdcMod tokens. */
@@ -890,6 +970,100 @@ object CorpusOps {
     mixAdmitDocs(Tables.documents(spark, dir), mixRates(spark, dir))
       .select(col("doc_id"), col("source"), col("n_tok"))
       .orderBy(col("doc_id"))
+
+  /** q213 repeat ceiling — Muennighoff et al. 2023 ("Scaling
+    * Data-Constrained Language Models"): repeating unique data is
+    * nearly as good as fresh data for ~4 epochs, then returns decay
+    * rapidly. A mix plan asking a source for more than EpochCap
+    * passes over its UNIQUE tokens is demanding data that doesn't
+    * exist. */
+  private[graft] val EpochCap = 4L
+
+  /** q213: EPOCH/REPEAT PLAN — the data-constrained feasibility
+    * check of the mix block: q111's τ-mix hands each source a token
+    * TARGET, but a target is only trainable if the source can supply
+    * it, and after exact dedup (q30's keep-first rule — the tokens a
+    * loader can actually draw without re-serving byte-identical
+    * docs) the supply is unique_tokens, not n_tokens. epochs =
+    * target / unique supply is the repeat factor the plan implies;
+    * over_cap marks sources the plan would push past the ~4-epoch
+    * usefulness ceiling, and deficit_tokens is the mass that must
+    * come from elsewhere (re-weighting, new crawls) — the planning
+    * card read next to q111/q151/q189.
+    *
+    * Scale shape: the dedup side is q30's exact plan (one digest
+    * shuffle moving (hash, id, n_tok) — text never enters an
+    * exchange; keep-first via left_semi against the min-id group
+    * table); the mix side is q111's one |sources|-row aggregation;
+    * the closing join moves |sources| rows. Float discipline:
+    * epochs = ONE IEEE division of exact longs (lever (c));
+    * over_cap and deficit are pure int64 arithmetic — no float
+    * enters either verdict. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(Dedup.normText).as("content_hash"),
+        TextFns.tokenCount(col("text")).as("n_tok"))
+    val keep = docs.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val uniq = docs.join(keep, Seq("content_hash", "doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("long").as("unique_tokens"))
+    mixWeights(spark, dir, budget = 100000L)
+      .select(col("source"), col("n_tokens"), col("token_target"))
+      .join(uniq, Seq("source"), "left")
+      .na.fill(0L, Seq("unique_tokens"))
+      .withColumn("dup_tokens", col("n_tokens") - col("unique_tokens"))
+      .withColumn("epochs",
+        when(col("unique_tokens") > 0L,
+          col("token_target").cast("double") /
+            col("unique_tokens").cast("double")))
+      .withColumn("over_cap",
+        col("token_target") > col("unique_tokens") * EpochCap)
+      .withColumn("deficit_tokens",
+        greatest(lit(0L),
+          col("token_target") - col("unique_tokens") * EpochCap))
+      .select(col("source"), col("n_tokens"), col("unique_tokens"),
+        col("dup_tokens"), col("token_target"), col("epochs"),
+        col("over_cap"), col("deficit_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** The q213 oracle — q111's verified weight chain (budget
+    * interpolated) joined to q30's verified keep-first rule rolled
+    * to per-source unique supply; epochs is the raw IEEE quotient
+    * (lever (c)), the cap verdicts pure integer arithmetic with
+    * [[EpochCap]] interpolated. */
+  private[graft] def epochPlanOracleSql: String =
+    s"""WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
+      |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
+      |mix AS (
+      |  SELECT source, n_tokens,
+      |    CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target
+      |  FROM w, t),
+      |hd AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS content_hash,
+      |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |k AS (SELECT content_hash, MIN(doc_id) AS doc_id FROM hd GROUP BY content_hash),
+      |uniq AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS unique_tokens
+      |  FROM hd JOIN k USING (content_hash, doc_id) GROUP BY source)
+      |SELECT m.source, m.n_tokens,
+      |  COALESCE(u.unique_tokens, 0) AS unique_tokens,
+      |  m.n_tokens - COALESCE(u.unique_tokens, 0) AS dup_tokens,
+      |  m.token_target,
+      |  CASE WHEN COALESCE(u.unique_tokens, 0) > 0
+      |    THEN CAST(m.token_target AS DOUBLE) / CAST(u.unique_tokens AS DOUBLE) END AS epochs,
+      |  m.token_target > COALESCE(u.unique_tokens, 0) * $EpochCap AS over_cap,
+      |  GREATEST(0, m.token_target - COALESCE(u.unique_tokens, 0) * $EpochCap) AS deficit_tokens
+      |FROM mix m LEFT JOIN uniq u USING (source)
+      |ORDER BY m.source""".stripMargin
 
   /** Per-(session, corpus) bootstrap+append layout registry (q109). */
   private val appendDirCache =

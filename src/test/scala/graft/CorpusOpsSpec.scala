@@ -616,4 +616,69 @@ class CorpusOpsSpec extends AnyFunSuite {
     val verdicts = sc.values.map(_.getBoolean(8)).toSet
     assert(verdicts == Set(true, false), s"contract_ok branches: $verdicts")
   }
+
+  test("q212 packing curve: reconciles with q77 at ChunkSize, monotone along the doubling grid") {
+    val out = CorpusOps.packEfficiency(spark, sf).collect()
+    assert(out.length == CorpusOps.PackGrid.length * 20)
+    // the L = ChunkSize level must reproduce the q77 chunk frame's
+    // per-source row counts exactly (same rule, two presentations)
+    val q77 = CorpusOps.chunkPack(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.filter(_.getLong(0) == CorpusOps.ChunkSize.toLong).foreach { r =>
+      assert(r.getLong(4) == q77(r.getString(1)),
+        s"${r.getString(1)}: curve n_chunks != q77 chunk count")
+    }
+    // waste accounting closes; efficiency non-increasing along the
+    // doubling grid (ceil(n/2L)·2L >= ceil(n/L)·L per doc)
+    out.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) * r.getLong(0))
+      assert(r.getLong(6) == r.getLong(5) - r.getLong(3))
+      assert(r.getLong(6) >= 0L)
+    }
+    out.groupBy(_.getString(1)).foreach { case (s, rs) =>
+      val eff = rs.sortBy(_.getLong(0)).map(_.getDouble(7))
+      eff.sliding(2).foreach { w =>
+        assert(w(0) >= w(1), s"$s: efficiency not monotone: ${eff.mkString(",")}")
+      }
+    }
+  }
+
+  test("q213 epoch plan: planted dup-farm goes over cap, cross-source dup zeroes the mirror") {
+    // TESTDATA-independent planting (lever (hh)): the gate corpora
+    // have no exact duplicates, so dup_tokens/deficit/null-epochs
+    // branches must be exercised here. Three sources: fresh (unique
+    // docs), dupfarm (4 byte-identical copies), mirror (one copy of a
+    // fresh doc with a LARGER doc_id — keep-first attributes the
+    // content to fresh, so mirror's unique supply is zero).
+    val d = java.nio.file.Files.createTempDirectory("graft_epoch_corpus").toString
+    val freshDoc = (1 to 60).map(i => f"fresh$i%03d").mkString(" ")
+    val dupDoc = (1 to 60).map(i => f"dup$i%03d").mkString(" ")
+    val rows = Seq(
+      (1L, freshDoc, "en", "fresh"),
+      (2L, (1 to 60).map(i => f"other$i%03d").mkString(" "), "en", "fresh"),
+      (10L, dupDoc, "en", "dupfarm"), (11L, dupDoc, "en", "dupfarm"),
+      (12L, dupDoc, "en", "dupfarm"), (13L, dupDoc, "en", "dupfarm"),
+      (20L, freshDoc, "en", "mirror"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = CorpusOps.epochPlan(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dup = out("dupfarm")
+    assert(dup.getLong(1) == 240L && dup.getLong(2) == 60L && dup.getLong(3) == 180L)
+    assert(dup.getBoolean(6), "dupfarm must be over the epoch cap")
+    assert(dup.getLong(7) == dup.getLong(4) - 4L * 60L, "deficit accounting")
+    assert(dup.getDouble(5) == dup.getLong(4).toDouble / 60.0, "epochs quotient")
+    // mirror's only doc is a keep-first loser to fresh's doc 1 →
+    // zero unique supply, epochs undefined (null), full deficit
+    val mir = out("mirror")
+    assert(mir.getLong(2) == 0L && mir.getLong(3) == mir.getLong(1))
+    assert(mir.isNullAt(5), "epochs must be NULL at zero unique supply")
+    assert(mir.getBoolean(6) && mir.getLong(7) == mir.getLong(4))
+    // fresh keeps everything it authored (including the mirrored doc)
+    assert(out("fresh").getLong(3) == 0L)
+  }
 }
