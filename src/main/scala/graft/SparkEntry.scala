@@ -241,6 +241,8 @@ object SparkEntry {
     "q211_review_queue" -> TextOps.reviewQueue _,
     "q212_pack_efficiency" -> CorpusOps.packEfficiency _,
     "q213_epoch_plan" -> CorpusOps.epochPlan _,
+    "q214_eval_decontam" -> CorpusOps.evalDecontam _,
+    "q215_quality_trainset" -> CorpusOps.qualityTrainset _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2419,6 +2421,13 @@ object SparkEntry {
     // rule composed; epochs = raw IEEE quotient of exact longs, cap
     // verdicts pure int64 (levers (c)/(ff))
     "q213_epoch_plan" -> CorpusOps.epochPlanOracleSql,
+    // q214: q76's verified gram fragment, rollup flipped to the eval
+    // side; coverage = raw IEEE quotient of exact longs (lever (c))
+    "q214_eval_decontam" -> CorpusOps.evalDecontamOracleSql,
+    // q215: the gopher doc chain + the q95 bucket chain composed as
+    // derived tables (lever (ff)); label rule + hash sample window
+    // interpolated from the operator's constants
+    "q215_quality_trainset" -> CorpusOps.qualityTrainsetOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,
@@ -2524,23 +2533,7 @@ object SparkEntry {
     // fragment verbatim; percent_rank is (rank-1)/(n-1) as the same
     // IEEE double in both engines, so the raw tercile compare is exact.
     "q95_ccnet_buckets" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
-        |    toks[CAST(i AS BIGINT)] AS w1
-        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
-        |c2 AS (SELECT g, COUNT(*) AS c2 FROM g GROUP BY g),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1),
-        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
-        |nll AS (
-        |  SELECT g.doc_id, g.source,
-        |    CAST(round(-log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
-        |  FROM g JOIN c2 ON g.g = c2.g JOIN c1 ON g.w1 = c1.w1, v),
-        |pd AS (
-        |  SELECT doc_id, source,
-        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
-        |  FROM nll GROUP BY 1, 2),
+      s"""WITH ${CorpusOps.nllDocCteSql},
         |r AS (
         |  SELECT doc_id, source, doc_nll,
         |    percent_rank() OVER (PARTITION BY source ORDER BY doc_nll ASC, doc_id ASC) AS pr
@@ -2553,23 +2546,7 @@ object SparkEntry {
     // shard_share = exact ints through one IEEE division over a
     // window on the AGGREGATED table (levers (c)/(g))
     "q178_curriculum" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
-        |    toks[CAST(i AS BIGINT)] AS w1
-        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
-        |c2 AS (SELECT g, COUNT(*) AS c2 FROM g GROUP BY g),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1),
-        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
-        |nll AS (
-        |  SELECT g.doc_id, g.source,
-        |    CAST(round(-log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
-        |  FROM g JOIN c2 ON g.g = c2.g JOIN c1 ON g.w1 = c1.w1, v),
-        |pd AS (
-        |  SELECT doc_id, source,
-        |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
-        |  FROM nll GROUP BY 1, 2),
+      s"""WITH ${CorpusOps.nllDocCteSql},
         |r AS (
         |  SELECT doc_id,
         |    percent_rank() OVER (PARTITION BY source ORDER BY doc_nll ASC, doc_id ASC) AS pr

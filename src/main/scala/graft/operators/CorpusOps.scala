@@ -179,6 +179,85 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q214: EVAL-SIDE DECONTAMINATION — the flip side of q76: instead
+    * of flagging TRAIN docs to drop, report which EVAL examples are
+    * compromised by training-set overlap (GPT-3 Appendix C publishes
+    * exactly this: per-benchmark "clean" subsets built by removing
+    * eval examples that collide with the training corpus — when the
+    * train side is too valuable to cut, you trim the benchmark
+    * instead). Per eval doc: its distinct n-gram count, how many of
+    * those grams occur in ANY train doc, how many distinct train
+    * docs touch it (review-priority: one mirror page vs systemic
+    * leakage), gram coverage, and the compromised verdict — the
+    * clean-eval roster is the `NOT compromised` slice.
+    *
+    * Scale shape: the eval (doc, gram) pair table is suite-bounded
+    * and BROADCASTS; the train side is the SHARED docGrams projection
+    * (one corpus scan, row-local codegen n-grams) streamed past it —
+    * the q76 join shape with the eval doc id carried. Both distinct
+    * counts come from ONE aggregation over the HIT pair table (the
+    * EXPAND doubles hit-sized rows, never corpus rows — the q135
+    * concern doesn't apply at leak mass). Float discipline: coverage
+    * divides exact longs (lever (c)); zero-gram eval docs short-
+    * circuit by CASE (q94's rule). */
+  def evalDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = PipelineConfig.default
+    val docs = Tables.documents(spark, dir)
+    val evalPairs = docs.filter(col("source") === cfg.evalSource)
+      .select(col("doc_id").as("eval_doc_id"),
+        explode(WordNGrams(toks, cfg.contamN)).as("g"))
+    val hits = docGrams(docs, cfg)
+      .join(broadcast(evalPairs), Seq("g"))
+      .groupBy(col("eval_doc_id"))
+      .agg(countDistinct(col("g")).as("n_hit_grams"),
+        countDistinct(col("doc_id")).as("n_train_docs"))
+    docs.filter(col("source") === cfg.evalSource)
+      .select(col("doc_id").as("eval_doc_id"),
+        size(WordNGrams(toks, cfg.contamN)).cast("long").as("n_grams"))
+      .join(hits, Seq("eval_doc_id"), "left")
+      .na.fill(0L, Seq("n_hit_grams", "n_train_docs"))
+      .withColumn("coverage",
+        when(col("n_grams") > 0L,
+          col("n_hit_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("compromised", col("n_hit_grams") > 0L)
+      .orderBy(col("eval_doc_id"))
+  }
+
+  /** The q214 oracle — q76's verified gram fragment with the rollup
+    * flipped to the eval side; coverage = raw IEEE quotient of exact
+    * longs (lever (c)). */
+  private[graft] def evalDecontamOracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] || ' ' ||
+      |    toks[CAST(i AS BIGINT)+2] || ' ' || toks[CAST(i AS BIGINT)+3] || ' ' ||
+      |    toks[CAST(i AS BIGINT)+4] AS g
+      |  FROM t, UNNEST(range(1, len(toks)-3)) AS u(i)),
+      |ev AS (SELECT DISTINCT doc_id AS eval_doc_id, g FROM g WHERE source = '$EvalSource'),
+      |tg AS (SELECT DISTINCT doc_id, g FROM g WHERE source <> '$EvalSource'),
+      |p AS (SELECT ev.eval_doc_id, tg.doc_id, ev.g FROM tg JOIN ev ON tg.g = ev.g),
+      |rep AS (
+      |  SELECT eval_doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hit_grams,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train_docs
+      |  FROM p GROUP BY 1),
+      |ros AS (
+      |  SELECT t.doc_id AS eval_doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_grams
+      |  FROM t LEFT JOIN (SELECT doc_id, COUNT(DISTINCT g) AS n FROM g GROUP BY 1) c
+      |    ON t.doc_id = c.doc_id
+      |  WHERE t.source = '$EvalSource')
+      |SELECT r.eval_doc_id, r.n_grams,
+      |  CAST(COALESCE(rep.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+      |  CAST(COALESCE(rep.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+      |  CASE WHEN r.n_grams > 0
+      |    THEN CAST(COALESCE(rep.n_hit_grams, 0) AS DOUBLE) / CAST(r.n_grams AS DOUBLE)
+      |    ELSE 0.0 END AS coverage,
+      |  COALESCE(rep.n_hit_grams, 0) > 0 AS compromised
+      |FROM ros r LEFT JOIN rep ON r.eval_doc_id = rep.eval_doc_id
+      |ORDER BY r.eval_doc_id""".stripMargin
+
   private[graft] val ChunkSize = 64
 
   /** Context-window chunking: split each doc into fixed-size token
@@ -1403,6 +1482,30 @@ object CorpusOps {
     * window partitions by source, so ranking parallelizes across
     * sources; within a source it is a sort of slim (doc_id, nll)
     * rows, not documents. */
+  /** THE generated CCNet per-doc NLL CTE chain (t → g → c2/c1/v →
+    * nll → pd, ending in per-doc `doc_nll`) — the SQL mirror of
+    * docNll in ONE producer; the q95, q178, and q215 oracles all
+    * interpolate this fragment (shared-rule discipline, lever (a):
+    * the chain had been hand-kept twice before round 15). */
+  private[graft] def nllDocCteSql: String =
+    """t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, toks[CAST(i AS BIGINT)] || ' ' || toks[CAST(i AS BIGINT)+1] AS g,
+      |    toks[CAST(i AS BIGINT)] AS w1
+      |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+      |c2 AS (SELECT g, COUNT(*) AS c2 FROM g GROUP BY g),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+      |nll AS (
+      |  SELECT g.doc_id, g.source,
+      |    CAST(round(-log2(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
+      |  FROM g JOIN c2 ON g.g = c2.g JOIN c1 ON g.w1 = c1.w1, v),
+      |pd AS (
+      |  SELECT doc_id, source,
+      |    CAST(round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS doc_nll
+      |  FROM nll GROUP BY 1, 2)""".stripMargin
+
   /** THE per-doc quality-bucket rule, in one def — q95 presents it,
     * q178's curriculum planner phases on it (shared-rule
     * discipline). percent_rank = (rank−1)/(n−1) is the same IEEE
@@ -1425,6 +1528,91 @@ object CorpusOps {
       .select(col("doc_id"), col("source"),
         round(col("doc_nll").cast("double"), 6).as("doc_nll"), col("bucket"))
       .orderBy(col("doc_id"))
+
+  /** q215 per-(source, label) export quota. */
+  private[graft] val TrainsetK = 5
+
+  /** q215: QUALITY-CLASSIFIER TRAINING SET — the labeled-data export
+    * behind every learned quality filter (GPT-3's WebText-vs-Common-
+    * Crawl logistic classifier, CCNet's LM-filter bootstrap,
+    * FineWeb-Edu's scored seed set): positives = docs that pass ALL
+    * Gopher rules AND sit in the CCNet head bucket (two independent
+    * verified quality axes agreeing), negatives = rule failures;
+    * docs between the two verdicts (pass but not head) are excluded
+    * as ambiguous. A deterministic K-per-(source, label) sample by
+    * the shared q78-family hash (balanced across sources so the
+    * classifier can't learn source priors; reproducible across
+    * runs/engines/cluster sizes — q211's reviewer property), each
+    * row carrying the signal features a downstream classifier
+    * trains on (n_words, mean word length, TTR, doc NLL).
+    *
+    * Scale shape: signals and rules are the SHARED row-local Gopher
+    * defs; the bucket is the SHARED q95 rank (slim (doc_id, nll)
+    * windows parallel across sources); the sample rank is a window
+    * over the slim labeled frame — corpus text never shuffles, and
+    * the feature columns ride the slim rows so no corpus join-back
+    * is needed after selection. Docs too short to carry a bigram
+    * have no LM score and are excluded with q95's semantics. Float
+    * discipline: mean_wlen/ttr are raw IEEE quotients of exact ints
+    * (lever (c)); doc_nll is q95's rounded decimal. */
+  def qualityTrainset(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("source")) ++ TextOps.gopherSignalCols: _*)
+    val flags = sig.select(
+      Seq(col("doc_id"), col("source"), col("n_words"), col("mean_wlen"),
+        col("ttr")) ++ TextOps.gopherRuleCols: _*)
+    val bk = nllBuckets(spark, dir)
+      .select(col("doc_id"),
+        round(col("doc_nll").cast("double"), 6).as("doc_nll"), col("bucket"))
+    val lab = flags.join(bk, Seq("doc_id"))
+      .withColumn("label",
+        when(!TextOps.gopherPass, lit("neg"))
+          .when(col("bucket") === "head", lit("pos")))
+      .filter(col("label").isNotNull)
+      .select(col("source"), col("label"), col("doc_id"), col("n_words"),
+        col("mean_wlen"), col("ttr"), col("doc_nll"))
+    val w = Window.partitionBy(col("source"), col("label"))
+      .orderBy(sampleHash(col("doc_id")).asc, col("doc_id").asc)
+    lab.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= TrainsetK)
+      .select(col("source"), col("label"), col("doc_id"), col("sample_rank"),
+        col("n_words"), col("mean_wlen"), col("ttr"), col("doc_nll"))
+      .orderBy(col("source"), col("label"), col("sample_rank"))
+  }
+
+  /** The q215 oracle — the gopher doc chain and the q95 bucket chain
+    * composed as parenthesized derived tables (lever (ff)), the
+    * label rule and the hash sample window interpolated from the
+    * operator's constants. */
+  private[graft] def qualityTrainsetOracleSql: String =
+    s"""WITH lab AS (
+      |  SELECT gp.doc_id, gp.source, gp.n_words, gp.mean_wlen, gp.ttr, bk.doc_nll,
+      |    CASE WHEN NOT (gp.words_ok AND gp.wlen_ok AND gp.ttr_ok AND gp.stop_ok) THEN 'neg'
+      |         WHEN bk.bucket = 'head' THEN 'pos' END AS label
+      |  FROM (
+      |    WITH ${TextOps.gopherDocCteSql}
+      |    SELECT d.doc_id, d.source, d.n_words, d.mean_wlen, d.ttr,
+      |      r.words_ok, r.wlen_ok, r.ttr_ok, r.stop_ok
+      |    FROM d JOIN r USING (doc_id, source) ) gp
+      |  JOIN (
+      |    WITH $nllDocCteSql,
+      |    rk AS (
+      |      SELECT doc_id, doc_nll,
+      |        percent_rank() OVER (PARTITION BY source ORDER BY doc_nll ASC, doc_id ASC) AS pr
+      |      FROM pd)
+      |    SELECT doc_id, round(CAST(doc_nll AS DOUBLE), 6) AS doc_nll,
+      |      CASE WHEN pr <= 0.3 THEN 'head' WHEN pr <= 0.7 THEN 'middle' ELSE 'tail' END AS bucket
+      |    FROM rk ) bk
+      |    ON gp.doc_id = bk.doc_id),
+      |k AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, label
+      |      ORDER BY (doc_id % $SampleHashP * $SampleHashC) % $SampleHashP, doc_id)
+      |    AS BIGINT) AS sample_rank
+      |  FROM lab WHERE label IS NOT NULL)
+      |SELECT source, label, doc_id, sample_rank, n_words, mean_wlen, ttr, doc_nll
+      |FROM k WHERE sample_rank <= $TrainsetK
+      |ORDER BY source, label, sample_rank""".stripMargin
 
   /** q178 loader-shard fan-out. */
   private[graft] val CurriculumShards = 8L

@@ -645,6 +645,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q214 eval decontam: same bipartite hit relation as q76, other rollup") {
+    val ev = CorpusOps.evalDecontam(spark, sf).collect()
+    ev.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hit grams bounded by gram count")
+      assert((r.getLong(2) > 0L) == r.getBoolean(5), "verdict consistent")
+      assert((r.getLong(2) > 0L) == (r.getLong(3) > 0L))
+    }
+    // both verdict branches fire organically on the gate corpus
+    assert(ev.exists(_.getBoolean(5)) && ev.exists(!_.getBoolean(5)))
+    // recompute the (train, eval) hit relation once; its TRAIN-side
+    // rollup must equal q76's flagged-doc accounting and its
+    // EVAL-side rollup must equal this report's
+    val docs = Tables.documents(spark, sf)
+    val eg = docs.filter(col("source") === CorpusOps.EvalSource)
+      .select(col("doc_id").as("eval_doc_id"),
+        explode(graft.plans.WordNGrams(
+          graft.functions.TextFns.tokens(col("text")), CorpusOps.ContamN)).as("g"))
+    val pairs = CorpusOps.docGrams(docs).join(eg, Seq("g"))
+      .select("doc_id", "eval_doc_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val q76Flagged = CorpusOps.contamination(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(pairs.map(_._1).distinct.length.toLong == q76Flagged,
+      "train-side rollup must reproduce q76")
+    assert(pairs.map(_._2).distinct.length == ev.count(_.getBoolean(5)),
+      "eval-side rollup must reproduce the report's compromised count")
+    assert(pairs.length.toLong == ev.map(_.getLong(3)).sum,
+      "n_train_docs sums to the distinct pair count")
+  }
+
+  test("q215 trainset: every label verified against its standalone rules, quotas bound") {
+    val out = CorpusOps.qualityTrainset(spark, sf).collect()
+    assert(out.nonEmpty)
+    // both classes present (a one-class export trains nothing)
+    val labels = out.map(_.getString(1)).toSet
+    assert(labels == Set("pos", "neg"), s"labels: $labels")
+    // quota + rank shape per (source, label)
+    out.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (k, rs) =>
+      assert(rs.length <= CorpusOps.TrainsetK, s"$k over quota")
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq, s"$k ranks")
+    }
+    // label rule recomputed from the two standalone verified ops:
+    // pos ⇒ gopher pass AND head bucket; neg ⇒ gopher fail
+    val docs = Tables.documents(spark, sf)
+    val pass = docs
+      .select(Seq(col("doc_id")) ++ graft.operators.TextOps.gopherSignalCols: _*)
+      .select(Seq(col("doc_id")) ++ graft.operators.TextOps.gopherRuleCols: _*)
+      .withColumn("p", graft.operators.TextOps.gopherPass)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val bucket = CorpusOps.ccnetBuckets(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.foreach { r =>
+      val (id, lab) = (r.getLong(2), r.getString(1))
+      if (lab == "pos") assert(pass(id) && bucket(id) == "head", s"doc $id mislabeled pos")
+      else assert(!pass(id), s"doc $id mislabeled neg")
+    }
+    // determinism: the reviewer-stability property (q211's contract)
+    val again = CorpusOps.qualityTrainset(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q213 epoch plan: planted dup-farm goes over cap, cross-source dup zeroes the mirror") {
     // TESTDATA-independent planting (lever (hh)): the gate corpora
     // have no exact duplicates, so dup_tokens/deficit/null-epochs
