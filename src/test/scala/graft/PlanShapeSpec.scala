@@ -624,4 +624,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(sigLine < joinLine,
       s"signal projection (line $sigLine) must be computed above the sample join (line $joinLine):\n$p")
   }
+
+  test("round-15 planning family: one-scan curve, bounded joins, heap-limited sample windows") {
+    // q212: the whole context-length grid from ONE corpus scan — no
+    // join, no window; the only Generate is the |grid| explode over
+    // the AGGREGATED (|sources|-row) table
+    val p212 = plan(operators.CorpusOps.packEfficiency(spark, sf))
+    assert(!p212.contains("Join"), p212)
+    assert(!p212.contains("Window"), p212)
+    assert("Scan parquet".r.findAllIn(p212).length == 1, p212)
+    // q213: no window anywhere; the only cross join builds the 1-row
+    // decimal total (q111's scalar shape); no Expand
+    val p213 = plan(operators.CorpusOps.epochPlan(spark, sf))
+    assert(!p213.contains("Window"), p213)
+    assert(!p213.contains("CartesianProduct"), p213)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p213).length == 1, p213)
+    assert(!p213.contains("Expand"), p213)
+    // q214: the suite-bounded eval gram side is the BROADCAST build of
+    // the inner gram join — the corpus gram stream must never reach a
+    // shuffle join; the one Expand services the two distinct counts
+    // over the HIT-sized pair table (documented)
+    val p214 = plan(operators.CorpusOps.evalDecontam(spark, sf))
+    assert(p214.contains("BroadcastHashJoin"), p214)
+    assert(!p214.contains("SortMergeJoin Inner"), p214)
+    assert("Expand".r.findAllIn(p214).length <= 1, p214)
+    // q215: both sample-rank windows are WindowGroupLimit-pushed —
+    // Spark keeps per-partition top-K heaps below the exchange, so
+    // the K-cut never sorts more than K survivors per group globally
+    val p215 = plan(operators.CorpusOps.qualityTrainset(spark, sf))
+    assert(p215.contains("WindowGroupLimit"), p215)
+    assert(!p215.contains("CartesianProduct"), p215)
+  }
 }
