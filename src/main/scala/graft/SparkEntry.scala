@@ -243,6 +243,8 @@ object SparkEntry {
     "q213_epoch_plan" -> CorpusOps.epochPlan _,
     "q214_eval_decontam" -> CorpusOps.evalDecontam _,
     "q215_quality_trainset" -> CorpusOps.qualityTrainset _,
+    "q216_embed_contam" -> SimilaritySearch.embedContam _,
+    "q217_mix_quality" -> CorpusOps.mixQuality _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2428,6 +2430,14 @@ object SparkEntry {
     // derived tables (lever (ff)); label rule + hash sample window
     // interpolated from the operator's constants
     "q215_quality_trainset" -> CorpusOps.qualityTrainsetOracleSql,
+    // q216: the q209/q210 shared labeled-kNN fragment; argmax stated
+    // as a rank window (lever (h)); τ compare exact on rounded
+    // cosines (lever (c))
+    "q216_embed_contam" -> SimilaritySearch.embedContamOracleSql,
+    // q217: q112's verified admission chain + the shared q95 bucket
+    // chain as derived tables (lever (ff)); share normalizer = a
+    // window over the aggregated rows (lever (g))
+    "q217_mix_quality" -> CorpusOps.mixQualityOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

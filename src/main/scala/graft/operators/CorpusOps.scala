@@ -1614,6 +1614,89 @@ object CorpusOps {
       |FROM k WHERE sample_rank <= $TrainsetK
       |ORDER BY source, label, sample_rank""".stripMargin
 
+  /** q217: MIX-QUALITY AUDIT — what quality does the sampled mix
+    * actually ship? q111 plans rates, q112 executes them, q178
+    * orders the result — but a sampler only preserves the corpus's
+    * quality COMPOSITION if it is unbiased w.r.t. the quality signal
+    * (the per-source hash here is; a head-biased or recency-biased
+    * sampler is not), so the admitted set's head/middle/tail token
+    * shares per source are the audit that closes the mix block:
+    * compare against q95's 30/40/30 design terciles before training
+    * on the shards. Composition of TWO verified rules — q112's
+    * admission def and q95's bucket def — so this report and the ops
+    * it audits cannot drift.
+    *
+    * Scale shape: the admission side is q112's one scan + broadcast
+    * rate join (map-side filter); the bucket side is q95's slim
+    * per-source rank; the join moves (doc_id, n_tok, bucket) only;
+    * the share normalizer is a window over the AGGREGATED
+    * (≤ |sources|·3)-row table (lever (g)), never the corpus. Docs
+    * too short to carry a bigram have no LM bucket and are excluded
+    * with q95's semantics. token_share = one IEEE division of exact
+    * longs (lever (c)). */
+  def mixQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adm = mixAdmitDocs(Tables.documents(spark, dir), mixRates(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    val bkt = nllBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+    adm.join(bkt, Seq("doc_id"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy(col("source")))
+            .cast("double"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** The q217 oracle — q112's verified admission chain and the
+    * shared q95 bucket chain composed as derived tables (lever
+    * (ff)); the share normalizer is a window over the aggregated
+    * rows (lever (g)). */
+  private[graft] def mixQualityOracleSql: String =
+    s"""WITH adm AS (
+      |  SELECT * FROM (
+      |    WITH per AS (
+      |      SELECT source, COUNT(*) AS n_docs,
+      |        CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
+      |      FROM documents GROUP BY source),
+      |    w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
+      |    t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
+      |    mix AS (
+      |      SELECT source,
+      |        round(least(1.0,
+      |          CAST(CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
+      |            / n_tokens), 6) AS rate
+      |      FROM w, t),
+      |    d AS (
+      |      SELECT doc_id, source,
+      |        CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
+      |      FROM documents)
+      |    SELECT d.doc_id, d.source, d.n_tok
+      |    FROM d JOIN mix ON d.source = mix.source
+      |    WHERE ((d.doc_id % $SampleHashP * $SampleHashC) % $SampleHashP) % 1000000
+      |          < CAST(floor(mix.rate * 1000000) AS BIGINT) )),
+      |bkt AS (
+      |  SELECT * FROM (
+      |    WITH $nllDocCteSql,
+      |    rk AS (
+      |      SELECT doc_id,
+      |        percent_rank() OVER (PARTITION BY source ORDER BY doc_nll ASC, doc_id ASC) AS pr
+      |      FROM pd)
+      |    SELECT doc_id,
+      |      CASE WHEN pr <= 0.3 THEN 'head' WHEN pr <= 0.7 THEN 'middle' ELSE 'tail' END AS bucket
+      |    FROM rk )),
+      |j AS (
+      |  SELECT a.source, b.bucket, COUNT(*) AS n_docs,
+      |    CAST(SUM(a.n_tok) AS BIGINT) AS n_tokens
+      |  FROM adm a JOIN bkt b ON a.doc_id = b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT source, bucket, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) /
+      |    CAST(CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS DOUBLE) AS token_share
+      |FROM j ORDER BY source, bucket""".stripMargin
+
   /** q178 loader-shard fan-out. */
   private[graft] val CurriculumShards = 8L
 

@@ -995,6 +995,68 @@ object SimilaritySearch {
        |FROM a JOIN m ON a.query_id = m.query_id
        |ORDER BY a.query_id""".stripMargin
 
+  // ---- q216: embedding-space eval contamination ---------------------
+
+  /** q216 leak threshold: a train vector this cosine-close to an
+    * eval probe is treated as the same underlying content. Chosen to
+    * bind on BOTH sides at every gate scale (leaked and clean probes
+    * exist at sf0.001/0.01/0.1); the rounded cosine is an identical
+    * double in both engines, so the raw threshold compare is exact
+    * (lever (c)). */
+  private[graft] val EmbedContamTau = 0.39
+
+  /** q216: EMBEDDING-SPACE EVAL CONTAMINATION — q214's clean-eval
+    * report in the vector modality: n-gram decontamination (q76/
+    * q173/q214) misses paraphrases and cross-format copies, so
+    * retrieval/rerank benchmarks are additionally swept in embedding
+    * space (the e5/BEIR hygiene step: an eval probe whose nearest
+    * train vector is "too close" is compromised — the model has
+    * effectively seen the answer). Per eval probe: the max train
+    * cosine, the argmax train vector (the leaking item, for the
+    * removal audit), how many train vectors sit inside τ, and the
+    * leaked verdict; the clean-benchmark roster is `NOT leaked`.
+    *
+    * Scale shape: q40's exact contract — the bounded probe set
+    * broadcasts, the corpus streams once map-side and is NEVER
+    * shuffled; everything after the scan is one partial-aggregable
+    * per-probe fold (max struct + conditional count), so the shuffle
+    * carries |probes| rows. Argmax = struct max with min-id
+    * tie-break (the oracle may STATE it as a rank window, lever
+    * (h)). Shares the q209/q210 scored frame def — one cosine rule,
+    * one SQL fragment, no drift surface. */
+  def embedContam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = labeledEmb(spark, dir)
+    val scored = labeledScored(emb, labeledQueries(emb))
+    scored.groupBy(col("query_id"))
+      .agg(
+        max(struct(col("cosine"), (-col("vec_id")).as("neg"))).as("b"),
+        sum(when(col("cosine") >= EmbedContamTau, 1L).otherwise(0L))
+          .as("n_within_tau"))
+      .select(col("query_id"), col("b.cosine").as("max_cosine"),
+        (-col("b.neg")).as("nearest_id"), col("n_within_tau"),
+        (col("b.cosine") >= EmbedContamTau).as("leaked"))
+      .orderBy(col("query_id"))
+  }
+
+  /** The q216 oracle — the SAME shared labeled-kNN CTE front as
+    * q209/q210 (the labels ride along unused), the argmax stated as
+    * a rank window (lever (h)), τ interpolated. */
+  private[graft] def embedContamOracleSql: String =
+    s"""WITH $knnLabeledCteSql,
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rn
+       |  FROM c),
+       |n AS (
+       |  SELECT query_id,
+       |    CAST(SUM(CASE WHEN cosine >= $EmbedContamTau THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tau
+       |  FROM c GROUP BY 1)
+       |SELECT r.query_id, r.cosine AS max_cosine, r.neighbor_id AS nearest_id,
+       |  n.n_within_tau, r.cosine >= $EmbedContamTau AS leaked
+       |FROM r JOIN n USING (query_id) WHERE rn = 1
+       |ORDER BY r.query_id""".stripMargin
+
   // ---- q207: embedding class-separation report ---------------------
 
   /** q207: per-label CLASS SEPARATION in embedding space — Fisher's

@@ -675,6 +675,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       "n_train_docs sums to the distinct pair count")
   }
 
+  test("q217 mix quality recomposes exactly from q117's manifest and q95's buckets") {
+    val expect = CorpusOps.mixAdmit(spark, sf)
+      .join(CorpusOps.ccnetBuckets(spark, sf).select(col("doc_id"), col("bucket")),
+        Seq("doc_id"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"), sum("n_tok").as("tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = CorpusOps.mixQuality(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == expect.keySet)
+    val bySource = rows.groupBy(_.getString(0))
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert((r.getLong(2), r.getLong(3)) == expect(k), s"$k accounting")
+      val tot = bySource(r.getString(0)).map(_.getLong(3)).sum
+      assert(r.getDouble(4) == r.getLong(3).toDouble / tot.toDouble, s"$k share")
+    }
+    // the hash sampler is quality-unbiased: every source ships all
+    // three buckets at the gate scale (the audit's null hypothesis)
+    bySource.foreach { case (s, g) =>
+      assert(g.map(_.getString(1)).toSet.subsetOf(Set("head", "middle", "tail")), s)
+    }
+  }
+
   test("q215 trainset: every label verified against its standalone rules, quotas bound") {
     val out = CorpusOps.qualityTrainset(spark, sf).collect()
     assert(out.nonEmpty)

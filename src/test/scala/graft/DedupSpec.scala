@@ -184,6 +184,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q216 embed contam anchored to q40's exact top-1; both verdicts live") {
+    // the leak card's (max_cosine, nearest_id) must equal the
+    // oracle-gated q40 rank-1 row value-for-value (same rule, same
+    // tie-break), and the verdict must be consistent with the count
+    val top1 = SimilaritySearch.knnBrute(spark, sf).collect()
+      .filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = SimilaritySearch.embedContam(spark, sf).collect()
+    assert(rows.length == top1.size)
+    rows.foreach { r =>
+      val (q, mc, nid, n, lk) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert((nid, mc) == top1(q), s"q=$q top-1 mismatch")
+      assert(lk == (mc >= SimilaritySearch.EmbedContamTau))
+      assert(lk == (n > 0L), s"q=$q verdict vs count")
+    }
+    // τ binds on both sides at the gate scale (lever (hh))
+    assert(rows.map(_.getBoolean(4)).toSet == Set(true, false))
+  }
+
   test("q207 separation report anchored to q186's exact within-scatter") {
     val sep = SimilaritySearch.embedSeparation(spark, sf).collect()
       .map(r => r.getInt(0) -> r).toMap
