@@ -245,6 +245,7 @@ object SparkEntry {
     "q215_quality_trainset" -> CorpusOps.qualityTrainset _,
     "q216_embed_contam" -> SimilaritySearch.embedContam _,
     "q217_mix_quality" -> CorpusOps.mixQuality _,
+    "q218_leak_gate" -> SimilaritySearch.leakGate _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2438,6 +2439,10 @@ object SparkEntry {
     // chain as derived tables (lever (ff)); share normalizer = a
     // window over the aggregated rows (lever (g))
     "q217_mix_quality" -> CorpusOps.mixQualityOracleSql,
+    // q218: the shared labeled-kNN fragment, argmax flipped to the
+    // vector side; the codegen kernel replays the declarative chain
+    // (casts, fold order, HALF_UP round) so the gate value-checks it
+    "q218_leak_gate" -> SimilaritySearch.leakGateOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

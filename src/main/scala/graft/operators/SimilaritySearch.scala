@@ -1057,6 +1057,85 @@ object SimilaritySearch {
        |FROM r JOIN n USING (query_id) WHERE rn = 1
        |ORDER BY r.query_id""".stripMargin
 
+  // ---- q218: eval-leak gate at the vector ingest boundary ----------
+
+  /** Probe artifact registry: the |probes|-row (id, vector, norm)
+    * table collected once per (session, corpus) — scheduler-metadata
+    * sized (10 rows), the documented bounded-collect pattern (q98/
+    * q99 class). */
+  private val probeCache = graft.SessionRegistry
+    .cache[(SparkSession, String), (Array[Long], Array[Array[Double]])]()
+
+  private[graft] def evalProbes(spark: SparkSession,
+      dir: String): (Array[Long], Array[Array[Double]]) =
+    probeCache.getOrElseUpdate((spark, dir), {
+      val rows = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .sortBy(_.getLong(0))
+      (rows.map(_.getLong(0)),
+        rows.map(_.getSeq[Float](1).toArray.map(_.toDouble)))
+    })
+
+  /** THE per-vector leak rule, in one def (shared-rule discipline):
+    * each vector scores against the bounded probe artifact inside
+    * ONE codegen kernel (plans/CellExprs.MaxCosine — probes ride in
+    * as reference objects, never literal trees or UDF closures) and
+    * is flagged when any probe cosine reaches [[EmbedContamTau]].
+    * Pure row-local projection → runs unchanged on a streaming
+    * vector frame (the q83/q190 twin discipline); probe rows
+    * themselves (vec_id < 10) are excluded from gating. */
+  private[graft] def embedLeakProjection(vecs: DataFrame,
+      probes: (Array[Long], Array[Array[Double]])): DataFrame = {
+    val mc = graft.plans.CellExprs.maxCosine(
+      col("embedding"), probes._1, probes._2)
+    vecs.filter(col("vec_id") >= 10)
+      .withColumn("mc", mc)
+      .select(col("vec_id"), col("mc.sim").as("max_cosine"),
+        col("mc.pid").as("nearest_probe"),
+        (col("mc.sim") >= EmbedContamTau).as("leaked"))
+  }
+
+  /** q218: EVAL-LEAK GATE — q216's verdict enforced at the INGEST
+    * boundary, from the vector side: q216 reports which eval probes
+    * are ALREADY compromised; this op keeps the situation from
+    * getting worse by flagging each arriving train vector whose
+    * cosine to ANY frozen eval probe reaches τ (quarantine before it
+    * reaches an index or a training shard — the embedding-side
+    * sibling of q83's contamination flag and the forward half of the
+    * q174 suppression discipline). Registered as the BATCH
+    * presentation over the full corpus; StreamOps.embedLeakStream
+    * runs the IDENTICAL shared projection on arriving vectors
+    * (parity spec).
+    *
+    * Scale shape: one scan, everything row-local in one codegen
+    * kernel (per-row latency on the stream; a narrow map stage in
+    * batch — no join, no shuffle, no window anywhere). Float
+    * discipline: the kernel replays the declarative chain exactly —
+    * float→double casts, left-to-right dot fold, HALF_UP round(·,6),
+    * (cosine DESC, id ASC) argmax — so the oracle states the same
+    * values through the shared q209/q210 CTE fragment. */
+  def leakGate(spark: SparkSession, dir: String): DataFrame =
+    embedLeakProjection(
+      Tables.embeddings(spark, dir), evalProbes(spark, dir))
+      .orderBy(col("vec_id"))
+
+  /** The q218 oracle — the shared labeled-kNN fragment with the
+    * argmax flipped to the VECTOR side (probe-probe pairs excluded by
+    * the id roster rule), stated as a rank window (lever (h)). */
+  private[graft] def leakGateOracleSql: String =
+    s"""WITH $knnLabeledCteSql,
+       |r AS (
+       |  SELECT neighbor_id AS vec_id, query_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY neighbor_id
+       |      ORDER BY cosine DESC, query_id) AS rn
+       |  FROM c WHERE neighbor_id >= 10)
+       |SELECT vec_id, cosine AS max_cosine, query_id AS nearest_probe,
+       |  cosine >= $EmbedContamTau AS leaked
+       |FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   // ---- q207: embedding class-separation report ---------------------
 
   /** q207: per-label CLASS SEPARATION in embedding space — Fisher's

@@ -101,4 +101,94 @@ object CellExprs {
     val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     ColumnShim.column(NearestCells(ColumnShim.expression(v), cents, norms, keep))
   }
+
+  // ---- max-cosine-vs-fixed-set (q218's leak gate kernel) -----------
+
+  /** Max ROUNDED cosine of `v` against a fixed bounded probe set,
+    * with the argmax probe id ((cosine DESC, id ASC) — q216's
+    * struct-max tie-break on the SAME round(·,6) values, replicated
+    * here as BigDecimal HALF_UP, which is what Spark's round() does).
+    * Probes ride in as codegen reference objects (the bloom/centroid
+    * discipline: never literal expression trees, never UDF
+    * closures), so the gate is one tight row-local loop — per-row
+    * latency on a stream, a narrow map stage in batch. Returns
+    * struct(sim, pid); all-null/zero-norm inputs yield sim = −∞. */
+  def maxCosCompute(v: ArrayData, ids: Array[Long],
+      probes: Array[Array[Double]], pnorms: Array[Double],
+      isF: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = math.min(v.numElements(),
+      if (probes.length > 0) probes(0).length else 0)
+    var vsq = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      vsq += x * x
+      i += 1
+    }
+    val vnorm = math.sqrt(vsq)
+    var bestSim = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var c = 0
+    while (c < probes.length) {
+      val p = probes(c)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isF) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += x * p(d)
+        d += 1
+      }
+      val denom = vnorm * pnorms(c)
+      val sim =
+        if (denom != 0.0)
+          java.math.BigDecimal.valueOf(acc / denom)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        else Double.NegativeInfinity
+      // strict > keeps the smaller id on rounded ties (ids ascend)
+      if (sim > bestSim) { bestSim = sim; bestId = ids(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestSim, bestId))
+  }
+
+  case class MaxCosine(child: Expression, ids: Array[Long],
+      probes: Array[Array[Double]], pnorms: Array[Double])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = TypeShim.vecOne
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("pid",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    override def prettyName: String = "max_cosine"
+    private def aF: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(a: Any): Any =
+      maxCosCompute(a.asInstanceOf[ArrayData], ids, probes, pnorms, aF)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val iref = ctx.addReferenceObj("probeIds", ids, "long[]")
+      val pref = ctx.addReferenceObj("probeVecs", probes, "double[][]")
+      val nref = ctx.addReferenceObj("probeNorms", pnorms, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.CellExprs.maxCosCompute($c, $iref, $pref, $nref, $aF);")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column entry point; probe norms use the same left-to-right
+    * Σx² fold as VecExprs/VecFns.norm so the chain is bit-identical
+    * to the declarative cosine. */
+  def maxCosine(v: Column, ids: Array[Long],
+      probes: Array[Array[Double]]): Column = {
+    val norms = probes.map { p =>
+      var s = 0.0
+      var i = 0
+      while (i < p.length) { s += p(i) * p(i); i += 1 }
+      math.sqrt(s)
+    }
+    ColumnShim.column(MaxCosine(ColumnShim.expression(v), ids, probes, norms))
+  }
 }

@@ -648,6 +648,27 @@ object StreamOps {
       Tables.embeddings(spark, dir),
       graft.operators.SimilaritySearch.embedStoreStats(spark, dir))
 
+  /** q218's INGEST twin: arriving vectors scored against the FROZEN
+    * eval-probe artifact (derived once from `staticDir` — the
+    * bounded-artifact discipline) inside the shared row-local
+    * codegen kernel; a vector cosine-reaching any probe is flagged
+    * for quarantine BEFORE it can poison a future benchmark run (the
+    * vector-side sibling of q83's contamination flag). Stateless,
+    * row-local, per-row latency; parity spec in MlStreamSpec:
+    * replayed file == the batch projection vector-for-vector. */
+  def embedLeakStream(spark: SparkSession, embDir: String,
+      staticDir: String): DataFrame =
+    graft.operators.SimilaritySearch.embedLeakProjection(
+      streamEmbeddings(spark, embDir),
+      graft.operators.SimilaritySearch.evalProbes(spark, staticDir))
+
+  /** Batch side of the q218 parity contract (same shared def, same
+    * probe artifact, applied to the FULL file the stream replays). */
+  def embedLeakBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilaritySearch.embedLeakProjection(
+      Tables.embeddings(spark, dir),
+      graft.operators.SimilaritySearch.evalProbes(spark, dir))
+
   case class BucketState(rep: Long)
   case class DupCandidate(band: Int, key: Long, rep_doc: Long, doc_id: Long)
 

@@ -341,6 +341,36 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("leak-gate-at-ingest matches the q218 batch projection vector for vector") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_leakgate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      staged.resolve("embeddings.parquet"))
+    val q = StreamOps.embedLeakStream(spark, staged.toString, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("leakgate_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3))
+      val streamed = spark.table("leakgate_test").collect().map(key).toSet
+      val batch = StreamOps.embedLeakBatch(spark, sf).collect().map(key).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // the gate actually fires on the replayed file, and the pair
+      // relation is consistent with q216's probe-side verdict: a
+      // probe is leaked iff some gated vector's nearest probe chain
+      // reaches it at tau (cross-check via the argmax pairs)
+      assert(batch.exists(_._4) && batch.exists(!_._4))
+      val q216leaked = graft.operators.SimilaritySearch.embedContam(spark, sf)
+        .collect().filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+      val gateLeakedProbes = batch.filter(_._4).map(_._3)
+      // every probe a flagged vector points at must be leaked in q216
+      assert(gateLeakedProbes.subsetOf(q216leaked))
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries: lower-bound invariant at small k, exact at large k") {
     import org.apache.spark.sql.functions._
     val staged = java.nio.file.Files.createTempDirectory("graft_mg")
