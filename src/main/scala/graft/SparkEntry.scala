@@ -246,6 +246,7 @@ object SparkEntry {
     "q216_embed_contam" -> SimilaritySearch.embedContam _,
     "q217_mix_quality" -> CorpusOps.mixQuality _,
     "q218_leak_gate" -> SimilaritySearch.leakGate _,
+    "q219_dedup_review" -> Dedup.dedupReviewQueue _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2443,6 +2444,9 @@ object SparkEntry {
     // vector side; the codegen kernel replays the declarative chain
     // (casts, fold order, HALF_UP round) so the gate value-checks it
     "q218_leak_gate" -> SimilaritySearch.leakGateOracleSql,
+    // q219: q31's verified pair fragment + generated band CASE; the
+    // deterministic sample stated as a hash rank window (lever (h))
+    "q219_dedup_review" -> Dedup.dedupReviewQueueOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

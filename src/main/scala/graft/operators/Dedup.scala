@@ -189,6 +189,67 @@ object Dedup {
        |ORDER BY tau""".stripMargin
   }
 
+  /** q219 reviewer quota per jaccard band. */
+  private[graft] val PairReviewK = 3
+
+  /** q219: NEAR-DUP REVIEW QUEUE — q211's sibling for the DEDUP
+    * knob: q205 prices each τ in pairs/docs/tokens, but a threshold
+    * owner decides by LOOKING at borderline merges (is 0.5 merging
+    * true rewrites or just shared boilerplate?), so this op deals a
+    * deterministic K-pair sample per jaccard band ([[JacGrid]]'s
+    * half-open bands) from the SAME verified pair list. Sampled by
+    * the shared q78-family hash over both pair ids, so a reviewer
+    * sees the same pairs tomorrow unless the data changed (q211's
+    * reproducibility contract).
+    *
+    * Scale shape: rides the q31 pair DISK artifact — the sweep never
+    * touches the corpus; the band column is row-local; the rank
+    * window runs over the near-dup-sized pair frame per band and is
+    * WindowGroupLimit-pushed (per-partition top-K heaps). Band
+    * compares are exact: rounded jaccard vs the grid's double
+    * literals (lever (c)). */
+  def dedupReviewQueue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.CorpusOps.{sampleHash, SampleHashP}
+    val bandCol = JacGrid.reverse.tail
+      .foldLeft(when(col("jaccard") >= JacGrid.last, lit(JacGrid.last))) {
+        case (acc, t) => acc.when(col("jaccard") >= t, lit(t))
+      }
+    val key = (sampleHash(col("doc_a")) + sampleHash(col("doc_b"))) % SampleHashP
+    val w = Window.partitionBy(col("band"))
+      .orderBy(key.asc, col("doc_a").asc, col("doc_b").asc)
+    jaccardPairs(spark, dir)
+      .withColumn("band", bandCol)
+      .withColumn("review_rank", row_number().over(w).cast("long"))
+      .filter(col("review_rank") <= PairReviewK)
+      .select(col("band"), col("review_rank"), col("doc_a"), col("doc_b"),
+        col("jaccard"))
+      .orderBy(col("band"), col("review_rank"))
+  }
+
+  /** The q219 oracle — q31's verified pair fragment as a derived
+    * table (lever (ff)), the band CASE generated from [[JacGrid]],
+    * the sample stated as a hash rank window (lever (h)). */
+  private[graft] def dedupReviewQueueOracleSql: String = {
+    import graft.operators.CorpusOps.{SampleHashC, SampleHashP}
+    val bands = JacGrid.reverse.map(t =>
+      s"WHEN jaccard >= CAST($t AS DOUBLE) THEN CAST($t AS DOUBLE)")
+      .mkString(" ")
+    s"""WITH b AS (
+       |  SELECT doc_a, doc_b, jaccard, CASE $bands END AS band
+       |  FROM ($jaccardOracleSql)),
+       |k AS (
+       |  SELECT band, doc_a, doc_b, jaccard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY band
+       |      ORDER BY (((doc_a % $SampleHashP * $SampleHashC) % $SampleHashP)
+       |              + ((doc_b % $SampleHashP * $SampleHashC) % $SampleHashP)) % $SampleHashP,
+       |        doc_a, doc_b) AS BIGINT) AS review_rank
+       |  FROM b)
+       |SELECT band, review_rank, doc_a, doc_b, jaccard
+       |FROM k WHERE review_rank <= $PairReviewK
+       |ORDER BY band, review_rank""".stripMargin
+  }
+
   /** Candidate support floor for [[editDedup]]: a pair must share at
     * least this many distinct 3-shingles before the quadratic
     * levenshtein verify runs on it. */

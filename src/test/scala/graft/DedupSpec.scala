@@ -184,6 +184,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q219 dedup review queue: band bounds, exact quotas, reproducible deal") {
+    val pairs = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def bandOf(j: Double): Double =
+      Dedup.JacGrid.reverse.find(j >= _).get
+    val pop = pairs.groupBy(p => bandOf(p._3)).map { case (b, g) => b -> g.size }
+    val rows = Dedup.dedupReviewQueue(spark, sf).collect()
+    // every dealt pair is a real pair, inside its band's bounds
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    rows.foreach { r =>
+      val (b, rk, a, bb, j) = (r.getDouble(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(pairSet.contains((a, bb)), s"($a,$bb) not in the q31 pair list")
+      assert(bandOf(j) == b, s"pair ($a,$bb) jaccard $j outside band $b")
+      assert(rk >= 1 && rk <= Dedup.PairReviewK)
+    }
+    // quota = min(K, band population), per populated band
+    val dealt = rows.groupBy(_.getDouble(0)).map { case (b, g) => b -> g.size }
+    assert(dealt.keySet == pop.keySet)
+    dealt.foreach { case (b, n) =>
+      assert(n == math.min(Dedup.PairReviewK, pop(b)), s"band $b quota")
+    }
+    // run-twice identity (the reviewer-stability contract)
+    val again = Dedup.dedupReviewQueue(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q216 embed contam anchored to q40's exact top-1; both verdicts live") {
     // the leak card's (max_cosine, nearest_id) must equal the
     // oracle-gated q40 rank-1 row value-for-value (same rule, same
