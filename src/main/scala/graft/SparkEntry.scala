@@ -247,6 +247,7 @@ object SparkEntry {
     "q217_mix_quality" -> CorpusOps.mixQuality _,
     "q218_leak_gate" -> SimilaritySearch.leakGate _,
     "q219_dedup_review" -> Dedup.dedupReviewQueue _,
+    "q220_rule_impact" -> TextOps.ruleChangeImpact _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2447,6 +2448,9 @@ object SparkEntry {
     // q219: q31's verified pair fragment + generated band CASE; the
     // deterministic sample stated as a hash rank window (lever (h))
     "q219_dedup_review" -> Dedup.dedupReviewQueueOracleSql,
+    // q220: the shared gopher signal chain with BOTH bound sets
+    // interpolated from the one predicate def (lever (t))
+    "q220_rule_impact" -> TextOps.ruleChangeImpactOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

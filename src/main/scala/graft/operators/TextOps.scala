@@ -507,13 +507,45 @@ object TextOps {
       size(filter(stopArr, s => array_contains(t, s))).as("n_stop_kinds"))
   }
 
+  /** The Gopher rule BOUNDS as named constants — interpolated into
+    * both the Column rules and the SQL fragment (one source of
+    * truth), and the knobs q220's change-impact report re-binds. */
+  private[graft] val GopherMinWords = 50L
+  private[graft] val GopherMaxWords = 100000L
+  private[graft] val GopherWlenLo = 3L
+  private[graft] val GopherWlenHi = 10L
+  private[graft] val GopherTtrMin = 0.2
+  private[graft] val GopherStopMin = 2L
+
+  /** The four Gopher predicates at arbitrary (minWords, ttrMin)
+    * bounds, UNALIASED — the one source both the aliased rule
+    * columns and the pass conjunction are built from (the production
+    * set is [[gopherRuleCols]]; q220 instantiates a PROPOSED tighter
+    * set from the same def). */
+  private[graft] def gopherRulePreds(minWords: Long,
+      ttrMin: Double): Seq[org.apache.spark.sql.Column] = Seq(
+    col("n_words") >= minWords && col("n_words") <= GopherMaxWords,
+    col("mean_wlen") >= GopherWlenLo && col("mean_wlen") <= GopherWlenHi,
+    col("ttr") >= ttrMin,
+    col("n_stop_kinds") >= GopherStopMin)
+
+  private[graft] val GopherRuleNames =
+    Seq("words_ok", "wlen_ok", "ttr_ok", "stop_ok")
+
+  private[graft] def gopherRuleColsAt(minWords: Long,
+      ttrMin: Double): Seq[org.apache.spark.sql.Column] =
+    gopherRulePreds(minWords, ttrMin).zip(GopherRuleNames)
+      .map { case (c, n) => c.as(n) }
+
+  /** The pass conjunction at arbitrary bounds (same predicate def). */
+  private[graft] def gopherPassAt(minWords: Long,
+      ttrMin: Double): org.apache.spark.sql.Column =
+    gopherRulePreds(minWords, ttrMin).reduce(_ && _)
+
   /** The four Gopher RULES over the signal columns (shared with the
     * funnel's quality stage). */
-  private[graft] def gopherRuleCols: Seq[org.apache.spark.sql.Column] = Seq(
-    (col("n_words") >= 50 && col("n_words") <= 100000).as("words_ok"),
-    (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("wlen_ok"),
-    (col("ttr") >= 0.2).as("ttr_ok"),
-    (col("n_stop_kinds") >= 2).as("stop_ok"))
+  private[graft] def gopherRuleCols: Seq[org.apache.spark.sql.Column] =
+    gopherRuleColsAt(GopherMinWords, GopherTtrMin)
 
   /** THE pass verdict over the four rule columns — one def for q72's
     * report, the funnel's quality stage (batch + incremental), the
@@ -538,11 +570,10 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  /** The per-DOC Gopher rule CTE chain (t → d → r, doc_id carried) —
-    * ONE fragment serving the q72 rollup, q203's scorecard, and
-    * q211's review queue (the same list-lambda signals, the same
-    * rule bounds). */
-  private[graft] def gopherDocCteSql: String =
+  /** The per-doc Gopher SIGNAL CTE chain (t → d, doc_id carried) —
+    * the rule-free prefix of [[gopherDocCteSql]]; q220's A/B report
+    * evaluates TWO bound sets over the same `d`. */
+  private[graft] def gopherSignalCteSql: String =
     """t AS (
       |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
       |d AS (
@@ -551,14 +582,33 @@ object TextOps {
       |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
       |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds
-      |  FROM t),
+      |  FROM t)""".stripMargin
+
+  /** The four rule predicates at (minWords, ttrMin) — the SQL mirror
+    * of [[gopherRuleColsAt]], bounds interpolated from the SAME
+    * constants. */
+  private[graft] def gopherRulePredsSql(minWords: Long, ttrMin: Double)
+      : (String, String, String, String) =
+    (s"(n_words >= $minWords AND n_words <= $GopherMaxWords)",
+      s"(mean_wlen >= $GopherWlenLo AND mean_wlen <= $GopherWlenHi)",
+      s"(ttr >= $ttrMin)",
+      s"(n_stop_kinds >= $GopherStopMin)")
+
+  /** The per-DOC Gopher rule CTE chain (t → d → r, doc_id carried) —
+    * ONE fragment serving the q72 rollup, q203's scorecard, and
+    * q211's review queue (the same list-lambda signals, the same
+    * rule bounds, generated from the named constants). */
+  private[graft] def gopherDocCteSql: String = {
+    val (w, ml, tr, st) = gopherRulePredsSql(GopherMinWords, GopherTtrMin)
+    s"""$gopherSignalCteSql,
       |r AS (
       |  SELECT doc_id, source,
-      |    (n_words >= 50 AND n_words <= 100000) AS words_ok,
-      |    (mean_wlen >= 3 AND mean_wlen <= 10) AS wlen_ok,
-      |    (ttr >= 0.2) AS ttr_ok,
-      |    (n_stop_kinds >= 2) AS stop_ok
+      |    $w AS words_ok,
+      |    $ml AS wlen_ok,
+      |    $tr AS ttr_ok,
+      |    $st AS stop_ok
       |  FROM d)""".stripMargin
+  }
 
   /** The q72 oracle — the shared per-doc chain + the per-source
     * rollup. */
@@ -1361,6 +1411,70 @@ object TextOps {
        |SELECT source, axis, doc_id, review_rank
        |FROM k WHERE review_rank <= $ReviewK
        |ORDER BY source, axis, review_rank""".stripMargin
+  }
+
+  // ---- q220: quality-rule change-impact report ---------------------
+
+  /** q220's PROPOSED tighter bounds: raise the word floor to 80 and
+    * the TTR floor to 0.3 — both bind on the gate corpora (the
+    * report must show a real delta to be exercised). */
+  private[graft] val ProposedMinWords = 80L
+  private[graft] val ProposedTtrMin = 0.3
+
+  /** q220: RULE-CHANGE IMPACT — the A/B report run before any
+    * quality-threshold change ships: per source, pass counts under
+    * the CURRENT Gopher bounds vs a PROPOSED tighter set, the newly
+    * rejected docs and the token mass they carry (the most common
+    * pipeline change is a threshold turn, and the owner needs "what
+    * breaks, where, how much" before flipping it — then q211's queue
+    * shows WHICH docs). Both rule sets are instantiations of the ONE
+    * shared predicate def ([[gopherRulePreds]] / the interpolated
+    * SQL mirror), so the A/B and the production filter cannot drift.
+    *
+    * Scale shape: ONE corpus scan — both verdicts are row-local
+    * columns over the same signal projection, the rollup is
+    * |sources|-row. The proposed set is strictly tighter, so
+    * newly_rejected = pass_now − pass_proposed (spec-asserted).
+    * Rates are raw IEEE quotients of exact longs (lever (c)). */
+  def ruleChangeImpact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("source")) ++ gopherSignalCols: _*)
+      .select(col("source"), col("n_words"),
+        gopherPassAt(GopherMinWords, GopherTtrMin).as("p_now"),
+        gopherPassAt(ProposedMinWords, ProposedTtrMin).as("p_prop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p_now"), 1L).otherwise(0L)).as("n_pass_now"),
+        sum(when(col("p_prop"), 1L).otherwise(0L)).as("n_pass_proposed"),
+        sum(when(col("p_now") && !col("p_prop"), 1L).otherwise(0L))
+          .as("n_newly_rejected"),
+        sum(when(col("p_now") && !col("p_prop"), col("n_words")).otherwise(0L))
+          .as("tokens_lost"))
+      .withColumn("pass_rate_now",
+        col("n_pass_now").cast("double") / col("n_docs").cast("double"))
+      .withColumn("pass_rate_proposed",
+        col("n_pass_proposed").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+
+  /** The q220 oracle — the shared signal chain with BOTH bound sets
+    * interpolated from the same predicate def. */
+  private[graft] def ruleChangeImpactOracleSql: String = {
+    val (w1, m1, t1, s1) = gopherRulePredsSql(GopherMinWords, GopherTtrMin)
+    val (w2, m2, t2, s2) = gopherRulePredsSql(ProposedMinWords, ProposedTtrMin)
+    s"""WITH $gopherSignalCteSql,
+      |p AS (
+      |  SELECT source, n_words,
+      |    ($w1 AND $m1 AND $t1 AND $s1) AS p_now,
+      |    ($w2 AND $m2 AND $t2 AND $s2) AS p_prop
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN p_now THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_now,
+      |  CAST(SUM(CASE WHEN p_prop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_proposed,
+      |  CAST(SUM(CASE WHEN p_now AND NOT p_prop THEN 1 ELSE 0 END) AS BIGINT) AS n_newly_rejected,
+      |  CAST(SUM(CASE WHEN p_now AND NOT p_prop THEN n_words ELSE 0 END) AS BIGINT) AS tokens_lost,
+      |  CAST(SUM(CASE WHEN p_now THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_rate_now,
+      |  CAST(SUM(CASE WHEN p_prop THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_rate_proposed
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
   }
 
   // ---- q200: term burstiness (Church & Gale 1995) -----------------

@@ -242,4 +242,25 @@ class TextOpsSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("q220 rule impact: anchored to q72, strictly-tighter containment, real delta") {
+    val rows = TextOps.ruleChangeImpact(spark, sf).collect()
+    // the CURRENT side must reproduce q72's pass accounting exactly
+    // (both are the one shared predicate def — this is the no-drift
+    // proof)
+    val q72 = TextOps.gopherRules(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(2) == q72(s), s"$s pass_now != q72 n_pass")
+      // proposed is strictly tighter → containment and exact deltas
+      assert(r.getLong(3) <= r.getLong(2), s"$s containment")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), s"$s newly_rejected")
+      assert((r.getLong(4) == 0L) == (r.getLong(5) == 0L), s"$s tokens_lost consistency")
+      assert(r.getDouble(6) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(7) == r.getLong(3).toDouble / r.getLong(1).toDouble)
+    }
+    // the proposed bounds must actually bite at the gate scale
+    assert(rows.map(_.getLong(4)).sum > 0L, "proposed set rejects nothing")
+  }
 }
