@@ -248,6 +248,7 @@ object SparkEntry {
     "q218_leak_gate" -> SimilaritySearch.leakGate _,
     "q219_dedup_review" -> Dedup.dedupReviewQueue _,
     "q220_rule_impact" -> TextOps.ruleChangeImpact _,
+    "q221_sq8_distortion" -> SimilaritySearch.sq8Distortion _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -1310,21 +1311,11 @@ object SparkEntry {
     // floor-rounding), so unlike the trained-quantizer ANN variants it
     // joins the oracle gate: DuckDB reconstructs the same quantized
     // vectors and the cosine/rank chain is q40's verified fragment
+    // q116: the SQ8 reconstruction prefix lives in SimilaritySearch
+    // (sq8DequantCteSql) so q221's distortion card composes the SAME
+    // fragment (shared-rule discipline)
     "q116_knn_sq8" ->
-      """WITH d AS (
-        |  SELECT CAST(generate_subscripts(embedding,1) AS INT) AS dim, unnest(embedding) AS x
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS mns,
-        |         list(CAST(mx AS DOUBLE) ORDER BY dim) AS mxs
-        |  FROM (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim)),
-        |e AS (
-        |  SELECT vec_id,
-        |    list_transform(range(1, len(embedding)+1), i ->
-        |      CASE WHEN s.mxs[i] = s.mns[i] THEN s.mns[i]
-        |        ELSE s.mns[i] + floor((CAST(embedding[i] AS DOUBLE) - s.mns[i]) / (s.mxs[i] - s.mns[i]) * 255 + 0.5)
-        |             * (s.mxs[i] - s.mns[i]) / 255 END) AS dq
-        |  FROM embeddings, s),
+      s"""WITH ${SimilaritySearch.sq8DequantCteSql},
         |n AS (
         |  SELECT vec_id, dq,
         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2451,6 +2442,9 @@ object SparkEntry {
     // q220: the shared gopher signal chain with BOTH bound sets
     // interpolated from the one predicate def (lever (t))
     "q220_rule_impact" -> TextOps.ruleChangeImpactOracleSql,
+    // q221: the shared SQ8 reconstruction prefix + the lever-(w)
+    // quantized error fold — the DuckDB hash value-checks the kernel
+    "q221_sq8_distortion" -> SimilaritySearch.sq8DistortionOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,

@@ -995,6 +995,88 @@ object SimilaritySearch {
        |FROM a JOIN m ON a.query_id = m.query_id
        |ORDER BY a.query_id""".stripMargin
 
+  // ---- q221: SQ8 distortion card -------------------------------------
+
+  /** q221 error-energy quantization unit (lever (w)): e²·10⁹ as
+    * int64 — per-vector energies ~1e-2 quantize to ~1e7, summing
+    * exactly to ~1e11 over gate corpora, far inside int64. */
+  private[graft] val SqErrScale = 1000000000L
+
+  /** The generated SQ8 bounds + reconstruction CTE prefix (d → s →
+    * e, per-vector dq list with the original embedding carried) —
+    * the SQL mirror of plans/SqExprs exists ONCE; the q116 and q221
+    * oracles both interpolate it (shared-rule discipline). */
+  private[graft] def sq8DequantCteSql: String =
+    """d AS (
+      |  SELECT CAST(generate_subscripts(embedding,1) AS INT) AS dim, unnest(embedding) AS x
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS mns,
+      |         list(CAST(mx AS DOUBLE) ORDER BY dim) AS mxs
+      |  FROM (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim)),
+      |e AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_transform(range(1, len(embedding)+1), i ->
+      |      CASE WHEN s.mxs[i] = s.mns[i] THEN s.mns[i]
+      |        ELSE s.mns[i] + floor((CAST(embedding[i] AS DOUBLE) - s.mns[i]) / (s.mxs[i] - s.mns[i]) * 255 + 0.5)
+      |             * (s.mxs[i] - s.mns[i]) / 255 END) AS dq
+      |  FROM embeddings, s)""".stripMargin
+
+  /** q221: SQ8 DISTORTION CARD — the fidelity price of the 4×
+    * compression knob, next to q204's IVF recall curve and q188's
+    * LSH S-curve (every approximate structure in the serving family
+    * now carries a measured price table): per label, the exact
+    * reconstruction-error energy of q116's quantizer — total, mean
+    * per component, and the worst vector. A label whose distortion
+    * is an outlier occupies the corners of the bound box (its
+    * serving recall under SQ8 will trail the corpus), which is the
+    * go/no-go a deployment reads before switching the layout to int8.
+    *
+    * Scale shape: ONE scan; quantize → reconstruct → measure happens
+    * in ONE codegen kernel per row (plans/SqExprs.SqErr2Q — the
+    * error never materializes a second corpus-width array; bounds
+    * ride as reference objects); the rollup is |labels|-row. Float
+    * discipline: the kernel leaves the energy as a lever-(w)
+    * quantized int64, so sums are EXACT and partition-order-
+    * independent; mean = one IEEE division of exact int64s (lever
+    * (c)); max is an exact integer value pick. */
+  def sq8Distortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (mins, maxs) = sqBounds(spark, dir, emb)
+    emb.select(col("label"),
+        graft.plans.SqExprs.err2q(col("embedding"), mins, maxs, SqErrScale)
+          .as("e2q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("e2q")).cast("long").as("sum_err2_q"),
+        max(col("e2q")).cast("long").as("max_err2_q"))
+      .withColumn("mean_err2_q",
+        col("sum_err2_q").cast("double") /
+          (col("n_vecs") * EmbDim).cast("double"))
+      .select(col("label"), col("n_vecs"), col("sum_err2_q"),
+        col("max_err2_q"), col("mean_err2_q"))
+      .orderBy(col("label"))
+  }
+
+  /** The q221 oracle — the shared SQ8 reconstruction prefix + the
+    * same (dq−x)² fold and lever-(w) quantizer, scale and dim
+    * interpolated. */
+  private[graft] def sq8DistortionOracleSql: String =
+    s"""WITH $sq8DequantCteSql,
+       |er AS (
+       |  SELECT label,
+       |    CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(len(dq)), i ->
+       |        (dq[i+1] - CAST(embedding[i+1] AS DOUBLE)) * (dq[i+1] - CAST(embedding[i+1] AS DOUBLE)))),
+       |      (acc, v) -> acc + v) * $SqErrScale + 0.5) AS BIGINT) AS e2q
+       |  FROM e)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(e2q) AS BIGINT) AS sum_err2_q,
+       |  CAST(MAX(e2q) AS BIGINT) AS max_err2_q,
+       |  CAST(CAST(SUM(e2q) AS BIGINT) AS DOUBLE) /
+       |    CAST(COUNT(*) * $EmbDim AS DOUBLE) AS mean_err2_q
+       |FROM er GROUP BY label ORDER BY label""".stripMargin
+
   // ---- q216: embedding-space eval contamination ---------------------
 
   /** q216 leak threshold: a train vector this cosine-close to an

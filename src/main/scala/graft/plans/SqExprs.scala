@@ -78,4 +78,61 @@ object SqExprs {
 
   def dequant(v: Column, mins: Array[Double], maxs: Array[Double]): Column =
     ColumnShim.column(Dequant(ColumnShim.expression(v), mins, maxs))
+
+  // ---- quantization-error energy (q221's distortion kernel) --------
+
+  /** Σ_i (x̂_i − x_i)² in index order, then the lever-(w) portable
+    * quantizer floor(e²·scale + 0.5) → int64 — quantize, reconstruct,
+    * and measure in ONE pass (the error never materializes a second
+    * corpus-width array). Every step is a correctly-rounded IEEE op
+    * on values both engines derive identically, so the int64 is
+    * bit-identical cross-engine and SUMS EXACTLY downstream
+    * (partition-order-independent — the reason the energy leaves
+    * this kernel as an integer, not a double). */
+  def err2qCompute(v: ArrayData, mins: Array[Double], maxs: Array[Double],
+      scale: Long, isF: Boolean): Long = {
+    val n = math.min(v.numElements(), mins.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      val mn = mins(i)
+      val mx = maxs(i)
+      val dq =
+        if (mx == mn) mn
+        else {
+          val code = math.floor(((x - mn) / (mx - mn)) * 255.0 + 0.5)
+          mn + (code * (mx - mn)) / 255.0
+        }
+      val e = dq - x
+      acc += e * e
+      i += 1
+    }
+    math.floor(acc * scale.toDouble + 0.5).toLong
+  }
+
+  case class SqErr2Q(child: Expression, mins: Array[Double],
+      maxs: Array[Double], scale: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = TypeShim.vecOne
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "sq8_err2q"
+    private def aF: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(a: Any): Any =
+      err2qCompute(a.asInstanceOf[ArrayData], mins, maxs, scale, aF)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mnref = ctx.addReferenceObj("sqMins", mins, "double[]")
+      val mxref = ctx.addReferenceObj("sqMaxs", maxs, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.SqExprs.err2qCompute($c, $mnref, $mxref, ${scale}L, $aF);")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def err2q(v: Column, mins: Array[Double], maxs: Array[Double],
+      scale: Long): Column =
+    ColumnShim.column(SqErr2Q(ColumnShim.expression(v), mins, maxs, scale))
 }

@@ -211,6 +211,43 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q221 sq8 distortion: kernel replayed driver-side, rollup exact") {
+    // replay the quantizer + error fold in plain Scala for every
+    // vector and reproduce the per-label rollup exactly
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val dims = vecs.head._2.length
+    val mins = (0 until dims).map(d => vecs.map(_._2(d)).min).toArray
+    val maxs = (0 until dims).map(d => vecs.map(_._2(d)).max).toArray
+    def e2q(v: Array[Double]): Long = {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val (mn, mx, x) = (mins(i), maxs(i), v(i))
+        val dq = if (mx == mn) mn
+          else mn + (math.floor((x - mn) / (mx - mn) * 255.0 + 0.5) * (mx - mn)) / 255.0
+        val e = dq - x
+        acc += e * e
+        i += 1
+      }
+      math.floor(acc * SimilaritySearch.SqErrScale.toDouble + 0.5).toLong
+    }
+    val expect = vecs.groupBy(_._1).map { case (l, g) =>
+      val es = g.map(x => e2q(x._2))
+      l -> ((g.length.toLong, es.sum, es.max))
+    }
+    val rows = SimilaritySearch.sq8Distortion(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, s, mx) = expect(r.getInt(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, s, mx)),
+        s"label ${r.getInt(0)} rollup")
+      assert(r.getDouble(4) == s.toDouble / (n * 64).toDouble)
+      assert(s > 0L, "float quantization must show nonzero distortion")
+    }
+  }
+
   test("q216 embed contam anchored to q40's exact top-1; both verdicts live") {
     // the leak card's (max_cosine, nearest_id) must equal the
     // oracle-gated q40 rank-1 row value-for-value (same rule, same
