@@ -654,5 +654,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val p215 = plan(operators.CorpusOps.qualityTrainset(spark, sf))
     assert(p215.contains("WindowGroupLimit"), p215)
     assert(!p215.contains("CartesianProduct"), p215)
+    // q220: both rule sets are row-local columns over ONE scan —
+    // no join, no window, |sources|-row rollup (q72's shape, A/B'd)
+    val p220 = plan(TextOps.ruleChangeImpact(spark, sf))
+    assert(!p220.contains("Join"), p220)
+    assert(!p220.contains("Window"), p220)
+    assert("Scan parquet".r.findAllIn(p220).length == 1, p220)
+    // q221: quantize→reconstruct→measure is ONE codegen kernel in the
+    // final plan (the q175 kernel-present contract); one scan, no
+    // join/window, |labels|-row rollup
+    val p221 = plan(SimilaritySearch.sq8Distortion(spark, sf))
+    assert(p221.contains("sq8_err2q"), p221)
+    assert(!p221.contains("Join"), p221)
+    assert(!p221.contains("Window"), p221)
+    assert("Scan parquet".r.findAllIn(p221).length == 1, p221)
+    // q218: the ingest leak gate is a narrow map stage — the kernel
+    // in the plan, no join/shuffle besides the presentation sort
+    val p218 = plan(SimilaritySearch.leakGate(spark, sf))
+    assert(p218.contains("max_cosine") || p218.contains("max_cos"), p218)
+    assert(!p218.contains("Join"), p218)
+    assert(!p218.contains("Window"), p218)
   }
 }
