@@ -249,6 +249,7 @@ object SparkEntry {
     "q219_dedup_review" -> Dedup.dedupReviewQueue _,
     "q220_rule_impact" -> TextOps.ruleChangeImpact _,
     "q221_sq8_distortion" -> SimilaritySearch.sq8Distortion _,
+    "q222_quality_classifier" -> MlOps.qualityClassifier _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

@@ -388,6 +388,52 @@ object MlOps {
       .orderBy(col("label"))
   }
 
+  /** q222: QUALITY-CLASSIFIER FIT/EVAL — the consumer that closes
+    * q215's loop (the reference's train-a-prediction-model step,
+    * train/train_clasification_model.py:12, pointed at the quality
+    * task every LLM pipeline actually trains: GPT-3's WebText-vs-CC
+    * logistic classifier): fit LogisticRegression on q215's exported
+    * (signal features, pos/neg label) seed set, evaluate on a
+    * deterministic hash holdout, and report per-class holdout
+    * accuracy + AUC. The experiment is scalar-sized output +
+    * deterministic fit (single-partition LBFGS — the q45 tiny-input
+    * rule) → the lever-(j) registry serves collected rows after the
+    * first run. Scale: the trainset is K·|sources|·2 rows by
+    * construction (fit-sample discipline — the CLASSIFIER then
+    * scores the full corpus row-locally, which is q72/q85's existing
+    * admission path with learned weights). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    experiment(spark, dir, "q222")(qualityClassifierRun(spark, dir))
+
+  private def qualityClassifierRun(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val data = graft.operators.CorpusOps.qualityTrainset(spark, dir)
+      .select(
+        array_to_vector(array(col("n_words").cast("double"),
+          col("mean_wlen"), col("ttr"), col("doc_nll"))).as("features"),
+        when(col("label") === "pos", 1.0).otherwise(0.0).as("label"),
+        col("doc_id"))
+      .repartition(1).persist()
+    data.count()
+    val train = data.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val test = data.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      .fit(train)
+    val scored = model.transform(test)
+    val auc = math.rint(new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").evaluate(scored) * 10000) / 10000
+    val out = scored
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("prediction") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("auc", lit(auc))
+      .orderBy(col("label"))
+    val res = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    data.unpersist()
+    res
+  }
+
   /** TrainClassificationModel (train/train_clasification_model.py:12)
     * → multinomial LogisticRegression on embeddings with a
     * deterministic key-hash split; output = per-label test counts and

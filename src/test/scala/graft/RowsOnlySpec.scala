@@ -78,6 +78,21 @@ class RowsOnlySpec extends AnyFunSuite {
     assert(aucs.length == 1 && aucs.head >= 0.0 && aucs.head <= 1.0)
   }
 
+  test("q222 quality classifier: separable seed set, AUC and accuracy bounds") {
+    val rows = MlOps.qualityClassifier(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L), "both classes in the holdout")
+    val n = rows.map(_.getLong(1)).sum
+    val correct = rows.map(_.getLong(2)).sum
+    assert(n > 0)
+    // q215's labels are two verified quality axes agreeing vs rule
+    // failures — the signal features must separate them well
+    assert(correct.toDouble / n >= 0.8, s"holdout accuracy $correct/$n")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.9, s"AUC ${r.getDouble(3)}"))
+    // warm path serves the identical collected rows
+    val again = MlOps.qualityClassifier(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("lda doc topics: one dominant topic per doc with weight in (0,1]") {
     val out = MlOps.ldaDocTopics(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())
