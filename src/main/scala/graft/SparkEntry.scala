@@ -250,6 +250,7 @@ object SparkEntry {
     "q220_rule_impact" -> TextOps.ruleChangeImpact _,
     "q221_sq8_distortion" -> SimilaritySearch.sq8Distortion _,
     "q222_quality_classifier" -> MlOps.qualityClassifier _,
+    "q223_learned_admission" -> MlOps.learnedAdmission _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

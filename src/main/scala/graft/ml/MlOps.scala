@@ -405,20 +405,40 @@ object MlOps {
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     experiment(spark, dir, "q222")(qualityClassifierRun(spark, dir))
 
-  private def qualityClassifierRun(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
-    val data = graft.operators.CorpusOps.qualityTrainset(spark, dir)
+  /** The q215 seed set as (features, label, doc_id) — ONE def for
+    * the q222 fit/eval and q223's model registry. */
+  private def qualitySeed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOps.qualityTrainset(spark, dir)
       .select(
         array_to_vector(array(col("n_words").cast("double"),
           col("mean_wlen"), col("ttr"), col("doc_nll"))).as("features"),
         when(col("label") === "pos", 1.0).otherwise(0.0).as("label"),
         col("doc_id"))
-      .repartition(1).persist()
+
+  /** Trained quality-filter model registry: fit ONCE per (session,
+    * corpus) on the q215 hash-split train slice (single-partition
+    * LBFGS on the K·|sources|·2-row seed — deterministic), shared by
+    * q222's eval and q223's corpus-wide application (the reference's
+    * gokart model-artifact reuse). */
+  private val qmodelCache = graft.SessionRegistry
+    .cache[(SparkSession, String),
+      org.apache.spark.ml.classification.LogisticRegressionModel]()
+
+  private[graft] def qualityModel(spark: SparkSession,
+      dir: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    qmodelCache.getOrElseUpdate((spark, dir), {
+      val train = qualitySeed(spark, dir)
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .repartition(1)
+      new LogisticRegression().setMaxIter(20).setRegParam(0.01).fit(train)
+    })
+
+  private def qualityClassifierRun(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val data = qualitySeed(spark, dir).persist()
     data.count()
-    val train = data.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val test = data.filter(pmod(col("doc_id"), lit(5)) === 0)
-    val model = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
-      .fit(train)
+    val model = qualityModel(spark, dir)
     val scored = model.transform(test)
     val auc = math.rint(new BinaryClassificationEvaluator()
       .setMetricName("areaUnderROC").evaluate(scored) * 10000) / 10000
@@ -432,6 +452,53 @@ object MlOps {
       java.util.Arrays.asList(out.collect(): _*), out.schema)
     data.unpersist()
     res
+  }
+
+  /** q223: LEARNED-FILTER ADMISSION — q222's model DEPLOYED over the
+    * corpus (the FineWeb/GPT-3 serving step: the classifier trained
+    * on the seed set scores every document), reported as the
+    * per-source confusion against the rule-based Gopher gate it
+    * would replace: where the two disagree is exactly the review
+    * surface (q211/q219's loop) a migration reads before switching
+    * admission to the learned rule.
+    *
+    * Scale shape: scoring is ROW-LOCAL literal arithmetic — the 4
+    * learned weights ride in as literals (margin = w·x + b, no UDF,
+    * no vector assembly, no model broadcast), signals are the shared
+    * Gopher defs, doc_nll is the q95 disk artifact read — one slim
+    * join, |sources|-row rollup. This is q72's admission path with
+    * learned weights, which is why the learned filter deploys at
+    * 100 TB for free. Docs without a bigram LM score are out of
+    * scope (q215's training semantics). */
+  def learnedAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val m = qualityModel(spark, dir)
+    val w = m.coefficients.toArray
+    val sig = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("source")) ++
+        graft.operators.TextOps.gopherSignalCols: _*)
+    val flags = sig.select(Seq(col("doc_id"), col("source"), col("n_words"),
+      col("mean_wlen"), col("ttr")) ++
+      graft.operators.TextOps.gopherRuleCols: _*)
+    flags
+      .join(graft.operators.CorpusOps.docNll(spark, dir)
+        .select(col("doc_id"),
+          round(col("doc_nll").cast("double"), 6).as("doc_nll")),
+        Seq("doc_id"))
+      .withColumn("margin",
+        lit(w(0)) * col("n_words").cast("double") +
+          lit(w(1)) * col("mean_wlen") + lit(w(2)) * col("ttr") +
+          lit(w(3)) * col("doc_nll") + lit(m.intercept))
+      .withColumn("learned_admit", col("margin") > 0.0)
+      .withColumn("rule_pass", graft.operators.TextOps.gopherPass)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rule_pass"), 1L).otherwise(0L)).as("n_rule_pass"),
+        sum(when(col("learned_admit"), 1L).otherwise(0L)).as("n_learned_admit"),
+        sum(when(col("rule_pass") === col("learned_admit"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_rate",
+        col("n_agree").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
   }
 
   /** TrainClassificationModel (train/train_clasification_model.py:12)

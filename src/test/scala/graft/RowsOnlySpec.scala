@@ -93,6 +93,47 @@ class RowsOnlySpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q223 learned admission: margins replayed driver-side, confusion exact") {
+    val m = MlOps.qualityModel(spark, sf)
+    val w = m.coefficients.toArray
+    val perDoc = Tables.documents(spark, sf)
+      .select(Seq(col("doc_id"), col("source")) ++
+        graft.operators.TextOps.gopherSignalCols: _*)
+      .select(Seq(col("doc_id"), col("source"), col("n_words"),
+        col("mean_wlen"), col("ttr")) ++
+        graft.operators.TextOps.gopherRuleCols: _*)
+      .join(graft.operators.CorpusOps.docNll(spark, sf)
+        .select(col("doc_id"),
+          round(col("doc_nll").cast("double"), 6).as("doc_nll")), Seq("doc_id"))
+      .withColumn("pass", graft.operators.TextOps.gopherPass)
+      .collect()
+    val expect = perDoc.groupBy(_.getString(1)).map { case (s, g) =>
+      val stats = g.map { r =>
+        val margin = w(0) * r.getLong(2).toDouble + w(1) * r.getDouble(3) +
+          w(2) * r.getDouble(4) + w(3) * r.getDouble(9) + m.intercept
+        (r.getBoolean(10), margin > 0.0)
+      }
+      s -> ((g.length.toLong, stats.count(_._1).toLong,
+        stats.count(_._2).toLong, stats.count(x => x._1 == x._2).toLong))
+    }
+    val rows = MlOps.learnedAdmission(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (n, p, l, a) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((n, p, l, a)), s"${r.getString(0)} confusion")
+      assert(r.getDouble(5) == a.toDouble / n.toDouble)
+    }
+    // the learned rule both admits and rejects somewhere, and the
+    // two gates genuinely disagree on part of the corpus (that
+    // disagreement IS the migration review surface)
+    val totN = rows.map(_.getLong(1)).sum
+    val totL = rows.map(_.getLong(3)).sum
+    val totA = rows.map(_.getLong(4)).sum
+    assert(totL > 0L && totL < totN)
+    assert(totA < totN && totA > totN / 2)
+  }
+
   test("lda doc topics: one dominant topic per doc with weight in (0,1]") {
     val out = MlOps.ldaDocTopics(spark, sf)
     assert(out.count() == Tables.documents(spark, sf).count())
