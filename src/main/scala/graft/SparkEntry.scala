@@ -1172,10 +1172,12 @@ object SparkEntry {
         |WHERE o_orderstatus = 'F'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    // the digest rule's SQL mirror lives in Dedup.normTextDigestSql
+    // (q213's unique-supply chain interpolates the same string)
     "q30_dedup_exact" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')) AS content_hash
+        |    ${Dedup.normTextDigestSql} AS content_hash
         |  FROM documents)
         |SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS cluster_size
         |FROM h GROUP BY content_hash ORDER BY content_hash""".stripMargin,
@@ -1787,72 +1789,28 @@ object SparkEntry {
     // through DECIMAL(18,6) in both engines (associative, partition-
     // order-independent); every derived float is rounded before the
     // next arithmetic step so the IEEE chains can't diverge
+    // q111/q112/q117/q213/q217 all interpolate the ONE generated mix
+    // chain (CorpusOps.mixChainCteSql / mixAdmitCteSql) — the chain
+    // had drifted into five hand-kept copies before round 15
     "q111_mix_weights" ->
-      """WITH per AS (
-        |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\s+'))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
-        |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w)
-        |SELECT source, n_docs, n_tokens,
-        |  round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
-        |  CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target,
-        |  round(least(1.0,
-        |    CAST(CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
-        |      / n_tokens), 6) AS rate
-        |FROM w, t ORDER BY source""".stripMargin,
-    // q112: the q111 chain at budget 10000, applied as the q78-family
+      s"""WITH ${CorpusOps.mixChainCteSql(100000L)}
+        |SELECT source, n_docs, n_tokens, weight, token_target, rate
+        |FROM mix ORDER BY source""".stripMargin,
+    // q112: the chain at budget 10000, applied as the q78-family
     // doc-granularity hash filter; fill divides two exact longs
     "q112_mix_apply" ->
-      s"""WITH per AS (
-        |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
-        |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
-        |mix AS (
-        |  SELECT source,
-        |    CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target,
-        |    round(least(1.0,
-        |      CAST(CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
-        |        / n_tokens), 6) AS rate
-        |  FROM w, t),
-        |d AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
-        |  FROM documents)
-        |SELECT d.source, COUNT(*) AS n_docs_sampled,
-        |  CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens_sampled,
+      s"""WITH ${CorpusOps.mixAdmitCteSql(10000L)}
+        |SELECT adm.source, COUNT(*) AS n_docs_sampled,
+        |  CAST(SUM(adm.n_tok) AS BIGINT) AS n_tokens_sampled,
         |  MIN(mix.token_target) AS token_target,
-        |  round(CAST(CAST(SUM(d.n_tok) AS BIGINT) AS DOUBLE) / MIN(mix.token_target), 3) AS fill
-        |FROM d JOIN mix ON d.source = mix.source
-        |WHERE ((d.doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
-        |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
-        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+        |  round(CAST(CAST(SUM(adm.n_tok) AS BIGINT) AS DOUBLE) / MIN(mix.token_target), 3) AS fill
+        |FROM adm JOIN mix ON adm.source = mix.source
+        |GROUP BY adm.source ORDER BY adm.source""".stripMargin,
     // q117: the q112 admission chain at DOC level (same CTE fragments,
     // final select per admitted doc instead of the per-source rollup)
     "q117_mix_admit" ->
-      s"""WITH per AS (
-        |  SELECT source, COUNT(*) AS n_docs,
-        |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
-        |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
-        |mix AS (
-        |  SELECT source,
-        |    round(least(1.0,
-        |      CAST(CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
-        |        / n_tokens), 6) AS rate
-        |  FROM w, t),
-        |d AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
-        |  FROM documents)
-        |SELECT d.doc_id, d.source, d.n_tok
-        |FROM d JOIN mix ON d.source = mix.source
-        |WHERE ((d.doc_id % ${CorpusOps.SampleHashP} * ${CorpusOps.SampleHashC}) % ${CorpusOps.SampleHashP}) % 1000000
-        |      < CAST(floor(mix.rate * 1000000) AS BIGINT)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH ${CorpusOps.mixAdmitCteSql(10000L)}
+        |SELECT doc_id, source, n_tok FROM adm ORDER BY doc_id""".stripMargin,
     // q89: Robertson/Lucene BM25, k1=1.2 b=0.75; per-term
     // contributions rounded to 8dp and summed as DECIMAL so the
     // score is term-order-independent in both engines

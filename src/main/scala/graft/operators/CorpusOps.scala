@@ -1036,6 +1036,43 @@ object CorpusOps {
           col("token_target"), 3))
       .orderBy(col("source"))
 
+  /** THE generated τ-mix CTE chain (per → w → t → mix, budget
+    * interpolated) — the SQL mirror of [[mixWeights]] in ONE
+    * producer; the q111/q112/q117/q213/q217 oracles all interpolate
+    * it (shared-rule discipline, lever (a): the chain had drifted
+    * into five hand-kept copies before round 15 consolidated it).
+    * `mix` carries the full column set; consumers project. */
+  private[graft] def mixChainCteSql(budget: Long): String =
+    s"""per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
+       |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
+       |mix AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight,
+       |    CAST(floor($budget * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target,
+       |    round(least(1.0,
+       |      CAST(CAST(floor($budget * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
+       |        / n_tokens), 6) AS rate
+       |  FROM w, t)""".stripMargin
+
+  /** The admitted-docs chain ([[mixChainCteSql]] + the doc
+    * projection + the q78-family hash filter), emitting
+    * `adm(doc_id, source, n_tok)` — q112/q117/q217 interpolate it. */
+  private[graft] def mixAdmitCteSql(budget: Long): String =
+    s"""${mixChainCteSql(budget)},
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |adm AS (
+       |  SELECT d.doc_id, d.source, d.n_tok
+       |  FROM d JOIN mix ON d.source = mix.source
+       |  WHERE ((d.doc_id % $SampleHashP * $SampleHashC) % $SampleHashP) % 1000000
+       |        < CAST(floor(mix.rate * 1000000) AS BIGINT))""".stripMargin
+
   /** q111's plan at the q112 budget, slimmed to the columns the
     * admission rule consumes (shared by q112, q117 and the ingest
     * stream). */
@@ -1133,19 +1170,10 @@ object CorpusOps {
     * (lever (c)), the cap verdicts pure integer arithmetic with
     * [[EpochCap]] interpolated. */
   private[graft] def epochPlanOracleSql: String =
-    s"""WITH per AS (
-      |  SELECT source, COUNT(*) AS n_docs,
-      |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source),
-      |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
-      |t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
-      |mix AS (
-      |  SELECT source, n_tokens,
-      |    CAST(floor(100000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS token_target
-      |  FROM w, t),
+    s"""WITH ${mixChainCteSql(100000L)},
       |hd AS (
       |  SELECT doc_id, source,
-      |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS content_hash,
+      |    ${Dedup.normTextDigestSql} AS content_hash,
       |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
       |  FROM documents),
       |k AS (SELECT content_hash, MIN(doc_id) AS doc_id FROM hd GROUP BY content_hash),
@@ -1674,28 +1702,7 @@ object CorpusOps {
     * (ff)); the share normalizer is a window over the aggregated
     * rows (lever (g)). */
   private[graft] def mixQualityOracleSql: String =
-    s"""WITH adm AS (
-      |  SELECT * FROM (
-      |    WITH per AS (
-      |      SELECT source, COUNT(*) AS n_docs,
-      |        CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
-      |      FROM documents GROUP BY source),
-      |    w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sq FROM per),
-      |    t AS (SELECT CAST(SUM(sq) AS DECIMAL(18,6)) AS tot FROM w),
-      |    mix AS (
-      |      SELECT source,
-      |        round(least(1.0,
-      |          CAST(CAST(floor(10000 * round(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6)) AS BIGINT) AS DOUBLE)
-      |            / n_tokens), 6) AS rate
-      |      FROM w, t),
-      |    d AS (
-      |      SELECT doc_id, source,
-      |        CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS n_tok
-      |      FROM documents)
-      |    SELECT d.doc_id, d.source, d.n_tok
-      |    FROM d JOIN mix ON d.source = mix.source
-      |    WHERE ((d.doc_id % $SampleHashP * $SampleHashC) % $SampleHashP) % 1000000
-      |          < CAST(floor(mix.rate * 1000000) AS BIGINT) )),
+    s"""WITH ${mixAdmitCteSql(10000L)},
       |bkt AS (
       |  SELECT * FROM (
       |    WITH $nllDocCteSql,

@@ -28,6 +28,12 @@ object Dedup {
       lower(trim(graft.plans.NfcExprs.nfcNormalize(col("text")))),
       "\\s+", " ")
 
+  /** THE digest rule's SQL mirror (one expression string) — the q30
+    * oracle and q213's unique-supply chain interpolate it
+    * (shared-rule discipline). */
+  private[graft] val normTextDigestSql: String =
+    """md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))"""
+
   private def toks = TextFns.tokens(col("text"))
 
   /** Exact dedup: hash-groupBy on normalized text. Keeps the min
