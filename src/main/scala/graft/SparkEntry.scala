@@ -251,6 +251,7 @@ object SparkEntry {
     "q221_sq8_distortion" -> SimilaritySearch.sq8Distortion _,
     "q222_quality_classifier" -> MlOps.qualityClassifier _,
     "q223_learned_admission" -> MlOps.learnedAdmission _,
+    "q224_budget_curve" -> CorpusOps.budgetCurve _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:
@@ -2405,6 +2406,9 @@ object SparkEntry {
     // q221: the shared SQ8 reconstruction prefix + the lever-(w)
     // quantized error fold — the DuckDB hash value-checks the kernel
     "q221_sq8_distortion" -> SimilaritySearch.sq8DistortionOracleSql,
+    // q224: the shared q151 cumsum chain + grid sums generated from
+    // BudgetGrid — the whole curve from one pass (lever (gg))
+    "q224_budget_curve" -> CorpusOps.budgetCurveOracleSql,
     // q187: generated from the sampling-hash family + clamps; the
     // oracle states the sample as a rank window (lever (h))
     "q187_signal_corr" -> TextOps.signalCorrOracleSql,
@@ -2975,17 +2979,10 @@ object SparkEntry {
     // q151: window cumsum in priority order (longest first); the
     // admission compare is integer-exact; budget INTERPOLATED from
     // CorpusOps.BudgetTokens (one source of truth)
+    // q151/q224 both interpolate the ONE cumsum chain
+    // (CorpusOps.budgetCumCteSql)
     "q151_token_budget" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, source, n_chars,
-        |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS tok
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, source, tok,
-        |    CAST(SUM(tok) OVER (PARTITION BY source
-        |      ORDER BY n_chars DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
-        |  FROM d)
+      s"""WITH ${CorpusOps.budgetCumCteSql}
         |SELECT doc_id, source, tok, cum_tok, cum_tok <= ${CorpusOps.BudgetTokens} AS admitted
         |FROM w ORDER BY source, doc_id""".stripMargin,
     // q152: q76's verified 5-gram CTE re-rolled per doc as a

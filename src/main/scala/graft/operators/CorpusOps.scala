@@ -2179,7 +2179,10 @@ object CorpusOps {
     * domain serializes into one task here; the two-pass
     * per-partition-offset pattern (q98 stable ids) is the documented
     * fallback at that scale. */
-  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+  /** THE longest-first per-source cumulative-token frame — q151's
+    * rule in one def; q151 presents it per doc, q224 prices the
+    * budget grid over it (shared-rule discipline). */
+  private[graft] def budgetCum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars").desc, col("doc_id"))
@@ -2187,10 +2190,90 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("n_chars"),
         TextFns.tokenCount(col("text")).as("tok"))
       .withColumn("cum_tok", sum(col("tok")).over(w))
+  }
+
+  /** The SQL mirror of [[budgetCum]] (d → w with `cum_tok`) — the
+    * q151 and q224 oracles both interpolate it. */
+  private[graft] def budgetCumCteSql: String =
+    """d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, tok,
+      |    CAST(SUM(tok) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+      |  FROM d)""".stripMargin
+
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    budgetCum(spark, dir)
       .withColumn("admitted", col("cum_tok") <= BudgetTokens)
       .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"),
         col("admitted"))
       .orderBy(col("source"), col("doc_id"))
+
+  /** q224 budget grid — [[BudgetTokens]] sits in the grid so the
+    * curve prices the shipped setting against its alternatives
+    * (CorpusOpsSpec reconciles that level with q151 row-for-row). */
+  private[graft] val BudgetGrid: Seq[Long] = Seq(256L, 512L, 1024L, 2048L)
+
+  /** q224: TOKEN-BUDGET CURVE — the budget knob priced (the
+    * q212/q205/q206 move applied to q151's per-source hard cap): per
+    * (budget, source), docs and tokens the longest-first rule
+    * admits, and the budget utilization. What a budget buys is the
+    * planning question q151 answers only at one point.
+    *
+    * Scale shape (lever (gg)): the whole grid costs the ONE q151
+    * cumsum pass — each level is a conditional sum over the SAME
+    * cumulative column inside one |sources|-row wide aggregation
+    * (admission at budget b is cum_tok ≤ b, monotone in b by
+    * construction), and the grid explode runs over the aggregated
+    * table. fill = one IEEE division of exact longs (lever (c)). */
+  def budgetCurve(spark: SparkSession, dir: String): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens")) ++
+      BudgetGrid.flatMap(b => Seq(
+        sum(when(col("cum_tok") <= b, 1L).otherwise(0L)).as(s"d$b"),
+        sum(when(col("cum_tok") <= b, col("tok")).otherwise(0L)).cast("long")
+          .as(s"t$b")))
+    budgetCum(spark, dir)
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        explode(array(BudgetGrid.map(b =>
+          struct(lit(b).as("budget"), col(s"d$b").as("n_admitted"),
+            col(s"t$b").as("admitted_tokens"))): _*)).as("lv"))
+      .select(col("lv.budget").as("budget"), col("source"), col("n_docs"),
+        col("n_tokens"), col("lv.n_admitted").as("n_admitted"),
+        col("lv.admitted_tokens").as("admitted_tokens"))
+      .withColumn("fill",
+        col("admitted_tokens").cast("double") / col("budget").cast("double"))
+      .orderBy(col("budget"), col("source"))
+  }
+
+  /** The q224 oracle — the shared [[budgetCumCteSql]] chain + grid
+    * sums generated from [[BudgetGrid]] (q212's generated-union
+    * shape). */
+  private[graft] def budgetCurveOracleSql: String = {
+    val sums = BudgetGrid.map(b =>
+      s"""CAST(SUM(CASE WHEN cum_tok <= $b THEN 1 ELSE 0 END) AS BIGINT) AS d$b,
+         |    CAST(SUM(CASE WHEN cum_tok <= $b THEN tok ELSE 0 END) AS BIGINT) AS t$b""".stripMargin)
+      .mkString(",\n    ")
+    val union = BudgetGrid.map(b =>
+      s"SELECT CAST($b AS BIGINT) AS budget, source, n_docs, n_tokens, d$b AS n_admitted, t$b AS admitted_tokens FROM per")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $budgetCumCteSql,
+       |per AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       |    $sums
+       |  FROM w GROUP BY source),
+       |g AS (
+       |$union)
+       |SELECT budget, source, n_docs, n_tokens, n_admitted, admitted_tokens,
+       |  CAST(admitted_tokens AS DOUBLE) / CAST(budget AS DOUBLE) AS fill
+       |FROM g ORDER BY budget, source""".stripMargin
   }
 
   /** q152: per-document eval-overlap COVERAGE — the fraction of a

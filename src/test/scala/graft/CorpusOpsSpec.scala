@@ -675,6 +675,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       "n_train_docs sums to the distinct pair count")
   }
 
+  test("q224 budget curve: reconciles with q151 at the shipped budget, monotone in budget") {
+    val rows = CorpusOps.budgetCurve(spark, sf).collect()
+    assert(rows.length == CorpusOps.BudgetGrid.length * 20)
+    // the shipped level reproduces q151's admission accounting
+    val q151 = CorpusOps.tokenBudget(spark, sf).collect()
+      .groupBy(_.getString(1)).map { case (s, g) =>
+        val adm = g.filter(_.getBoolean(4))
+        s -> ((adm.length.toLong, adm.map(_.getLong(2)).sum))
+      }
+    rows.filter(_.getLong(0) == CorpusOps.BudgetTokens).foreach { r =>
+      assert((r.getLong(4), r.getLong(5)) == q151(r.getString(1)),
+        s"${r.getString(1)}: curve != q151")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(5) <= math.min(r.getLong(0), r.getLong(3)),
+        "admitted tokens bounded by budget and supply")
+      assert(r.getDouble(6) == r.getLong(5).toDouble / r.getLong(0).toDouble)
+    }
+    // admission monotone along the budget grid, per source
+    rows.groupBy(_.getString(1)).foreach { case (s, g) =>
+      val byB = g.sortBy(_.getLong(0))
+      byB.map(_.getLong(4)).sliding(2).foreach(w => assert(w(0) <= w(1), s"$s docs"))
+      byB.map(_.getLong(5)).sliding(2).foreach(w => assert(w(0) <= w(1), s"$s tokens"))
+    }
+  }
+
   test("q217 mix quality recomposes exactly from q117's manifest and q95's buckets") {
     val expect = CorpusOps.mixAdmit(spark, sf)
       .join(CorpusOps.ccnetBuckets(spark, sf).select(col("doc_id"), col("bucket")),
