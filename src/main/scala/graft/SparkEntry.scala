@@ -252,6 +252,7 @@ object SparkEntry {
     "q222_quality_classifier" -> MlOps.qualityClassifier _,
     "q223_learned_admission" -> MlOps.learnedAdmission _,
     "q224_budget_curve" -> CorpusOps.budgetCurve _,
+    "q225_pq_distortion" -> SimilaritySearch.pqDistortion _,
   )
 
   /** DuckDB oracle for each SQL-expressible query. Numeric parity:

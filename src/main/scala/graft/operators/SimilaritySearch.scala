@@ -1077,6 +1077,45 @@ object SimilaritySearch {
        |    CAST(COUNT(*) * $EmbDim AS DOUBLE) AS mean_err2_q
        |FROM er GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- q225: PQ distortion card --------------------------------------
+
+  /** q225: PQ DISTORTION CARD — q221's question asked of the TRAINED
+    * quantizer: per label, the reconstruction-error energy of the
+    * q67 codebooks (8 subspaces × 16 centroids = 8-byte codes, an
+    * 8× deeper compression than SQ8's 64 bytes — and the measured
+    * price of those bytes is exactly this table; DedupSpec pins the
+    * fidelity ordering PQ ≥ SQ8 per label). Encoding a vector and
+    * measuring its error are the SAME per-subspace argmin loop, so
+    * the kernel (plans/PqExprs.PqErr2Q) reuses the codes kernel's
+    * structure and accumulates the minimized distances — one scan,
+    * row-local, |labels|-row rollup, codebooks as reference objects.
+    * Rows-only (seeded KMeans codebooks); the lever-(w) int64
+    * energies keep the rollup exact and order-independent, and the
+    * spec replays the kernel driver-side from the same codebook
+    * arrays. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = centroidArrays(pqCodebooks(spark, dir, emb))
+    emb.select(col("label"),
+        graft.plans.PqExprs.err2q(col("embedding"), cents, SqErrScale)
+          .as("e2q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("e2q")).cast("long").as("sum_err2_q"),
+        max(col("e2q")).cast("long").as("max_err2_q"))
+      .withColumn("mean_err2_q",
+        col("sum_err2_q").cast("double") /
+          (col("n_vecs") * EmbDim).cast("double"))
+      .select(col("label"), col("n_vecs"), col("sum_err2_q"),
+        col("max_err2_q"), col("mean_err2_q"))
+      .orderBy(col("label"))
+  }
+
+  /** Codebook arrays for the spec's driver-side kernel replay. */
+  private[graft] def pqCentroidsFor(spark: SparkSession,
+      dir: String): graft.plans.PqExprs.Centroids =
+    centroidArrays(pqCodebooks(spark, dir, Tables.embeddings(spark, dir)))
+
   // ---- q216: embedding-space eval contamination ---------------------
 
   /** q216 leak threshold: a train vector this cosine-close to an

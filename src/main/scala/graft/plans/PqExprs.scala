@@ -141,4 +141,63 @@ object PqExprs {
     ColumnShim.column(PqCodes(ColumnShim.expression(v), cents))
   def adcTable(q: Column, cents: Centroids): Column =
     ColumnShim.column(PqAdcTable(ColumnShim.expression(q), cents))
+
+  // ---- PQ quantization-error energy (q225's distortion kernel) -----
+
+  /** Σ_j min_c ‖v_j − c‖² — the per-subspace nearest-centroid
+    * distance [[codesCompute]] already minimizes, ACCUMULATED as the
+    * vector's PQ reconstruction-error energy (encoding a vector and
+    * measuring its error are the same loop), then the lever-(w)
+    * portable quantizer floor(e²·scale + 0.5) → int64 so downstream
+    * sums are exact and partition-order-independent (the SqExprs
+    * .err2qCompute discipline on the trained-quantizer side). */
+  def err2qCompute(v: ArrayData, cents: Centroids, scale: Long,
+      isF: Boolean): Long = {
+    val m = cents.length
+    var acc = 0.0
+    var j = 0
+    var base = 0
+    while (j < m) {
+      val cj = cents(j)
+      val subDim = cj(0).length
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cj.length) {
+        val cc = cj(c)
+        var sd = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = (if (isF) v.getFloat(base + d).toDouble
+                   else v.getDouble(base + d)) - cc(d)
+          sd += x * x
+          d += 1
+        }
+        if (sd < bestD) bestD = sd
+        c += 1
+      }
+      acc += bestD
+      base += subDim
+      j += 1
+    }
+    math.floor(acc * scale.toDouble + 0.5).toLong
+  }
+
+  case class PqErr2Q(child: Expression, centroids: Centroids, scale: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = TypeShim.vecOne
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "pq_err2q"
+    private def aF: Boolean = isFloatArray(child.dataType)
+    override def nullSafeEval(a: Any): Any =
+      err2qCompute(a.asInstanceOf[ArrayData], centroids, scale, aF)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCentroids", centroids, "double[][][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.PqExprs.err2qCompute($c, $ref, ${scale}L, $aF);")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def err2q(v: Column, cents: Centroids, scale: Long): Column =
+    ColumnShim.column(PqErr2Q(ColumnShim.expression(v), cents, scale))
 }

@@ -248,6 +248,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q225 pq distortion: kernel replayed driver-side; PQ pays more error than SQ8") {
+    val cents = SimilaritySearch.pqCentroidsFor(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def e2q(v: Array[Double]): Long = {
+      var acc = 0.0
+      var base = 0
+      cents.foreach { cj =>
+        val subDim = cj(0).length
+        var bestD = Double.MaxValue
+        cj.foreach { cc =>
+          var sd = 0.0
+          var d = 0
+          while (d < subDim) {
+            val x = v(base + d) - cc(d); sd += x * x; d += 1
+          }
+          if (sd < bestD) bestD = sd
+        }
+        acc += bestD
+        base += subDim
+      }
+      math.floor(acc * SimilaritySearch.SqErrScale.toDouble + 0.5).toLong
+    }
+    val expect = vecs.groupBy(_._1).map { case (l, g) =>
+      val es = g.map(x => e2q(x._2))
+      l -> ((g.length.toLong, es.sum, es.max))
+    }
+    val rows = SimilaritySearch.pqDistortion(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet == expect.keySet)
+    val sq8 = SimilaritySearch.sq8Distortion(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val (n, s, mx) = expect(r.getInt(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, s, mx)),
+        s"label ${r.getInt(0)} rollup")
+      // the compression-fidelity tradeoff has a direction: 8-byte PQ
+      // codes must pay MORE reconstruction error than 64-byte SQ8
+      assert(r.getLong(2) > sq8(r.getInt(0)), s"label ${r.getInt(0)} PQ vs SQ8")
+    }
+  }
+
   test("q216 embed contam anchored to q40's exact top-1; both verdicts live") {
     // the leak card's (max_cosine, nearest_id) must equal the
     // oracle-gated q40 rank-1 row value-for-value (same rule, same
