@@ -124,6 +124,7 @@ object SparkEntry {
     "q65_gcmc_conv" -> MlOps.gcmcConv _,
     "q66_early_stopping" -> MlOps.earlyStopTrain _,
     "q107_gcmc_predict" -> MlOps.gcmcPredict _,
+    "q226_gcmc_cold_start" -> MlOps.gcmcColdStart _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeFeatures(s, d)),
     "q62_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),

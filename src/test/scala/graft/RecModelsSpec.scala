@@ -170,6 +170,74 @@ class RecModelsSpec extends AnyFunSuite {
       s"composed test RMSE $testGcmc worse than baseline $testBias")
   }
 
+  test("gcmc cold start: feature-side synthesis matches a sequential LS replay; warm rows ride the q107 model") {
+    // the reference's predict_with_new_items contract
+    // (test_graph_convolutional_matrix_completion.py:50): an item
+    // absent from the fit gets a REAL feature-dependent prediction,
+    // while warm pairs are served by the unchanged trained model
+    val out = MlOps.gcmcColdStart(spark, sf).collect()
+    assert(out.length == 24, s"roster 4×6 expected, got ${out.length}")
+    val (cold, warmRows) = out.partition(_.getBoolean(2))
+    assert(cold.length == 12 && warmRows.length == 12) // lever (hh): both branches
+    cold.foreach(r => assert(!r.isNullAt(4), s"null cold prediction: $r"))
+    // cold items carry distinct features -> predictions must separate
+    cold.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      assert(rs.map(_.getDouble(4)).distinct.length >= 2,
+        s"user $u cold predictions collapsed: ${rs.toSeq}")
+    }
+
+    // --- sequential driver replay from the SAME fit artifacts q107
+    //     consumes (bounded collects at spec scale): isolates the
+    //     distributed Gram agg + column arithmetic as the only
+    //     difference ---
+    val fit = MlOps.gcmcFitFor(spark, sf)
+    val feats = MlOps.gcmcItemFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qI = fit.qI(spark).collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val biM = fit.bi(spark).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val buM = fit.bu(spark).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pUM = fit.pU(spark).collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val convM = fit.convU(spark).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val d = MlOps.GcmcFeatDim; val k = MlOps.GcmcRank
+    val warmIds = (feats.keySet & qI.keySet & biM.keySet).toSeq.sorted
+    val gram = Array.ofDim[Double](d, d)
+    val x = Array.ofDim[Double](k, d)
+    val bb = new Array[Double](d)
+    warmIds.foreach { id =>
+      val fv = feats(id); val qv = qI(id)
+      for (a <- 0 until d; b <- 0 until d) gram(a)(b) += fv(a) * fv(b)
+      for (c <- 0 until k; a <- 0 until d) x(c)(a) += fv(a) * qv(c)
+      for (a <- 0 until d) bb(a) += fv(a) * biM(id)
+    }
+    val sols = MlOps.solveGram(gram, x :+ bb)
+    val (wMap, wBias) = (sols.take(k), sols(k))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
+    }
+    val users = (buM.keySet & pUM.keySet & convM.keySet).toSeq.sorted.take(4)
+    val coldParts = feats.keySet.toSeq.sorted.reverse.take(3)
+    out.foreach { r =>
+      val (u, it, isCold) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(users.contains(u), s"unexpected roster user $u")
+      val (bI, qEff) =
+        if (isCold) {
+          val part = it - MlOps.GcmcColdIdOffset
+          assert(coldParts.contains(part), s"unexpected cold item $it")
+          val fv = feats(part)
+          (dot(wBias, fv), Array.tabulate(k)(c => dot(wMap(c), fv)))
+        } else (biM(it), qI(it))
+      val exp = fit.mu + buM(u) + bI +
+        fit.alpha * dot(pUM(u), qEff) + fit.beta * dot(convM(u), qEff)
+      assert(math.abs(r.getDouble(4) - exp) <= 2e-6,
+        s"pred mismatch u=$u item=$it cold=$isCold: ${r.getDouble(4)} vs $exp")
+    }
+  }
+
   test("hits: scores non-negative, each side's mass within N units of its target") {
     val rows = operators.GraphOps.hits(spark, SparkTest.sf).collect()
     assert(rows.nonEmpty)
