@@ -66,11 +66,12 @@ class MlStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("subword OOV quality rate: top-1 base recovery >= 0.8 on a vocab sweep") {
-    // the quantified quality bound the fastText approximation is held
-    // to (round 7): a deterministic ~40-word vocabulary sample (not
-    // hand-picked), each perturbed two ways; the synthesized vector's
-    // nearest vocab word must be the base form for >= 80% of probes
+  test("subword OOV quality rate: top-1 base recovery >= 0.9 on a vocab sweep (joint fit)") {
+    // the quantified quality bound (round 7 pinned the post-hoc
+    // approximation at >= 0.8; round 8's JOINTLY-trained gram vectors
+    // must beat it): a deterministic ~40-word vocabulary sample (not
+    // hand-picked), each perturbed two ways; the composed vector's
+    // nearest vocab word must be the base form for >= 90% of probes
     val bases = MlOps
       .word2vecModelForSpec(spark, sf).getVectors
       .collect().map(_.getString(0))
@@ -81,7 +82,54 @@ class MlStreamSpec extends AnyFunSuite {
     assert(top1.length >= 30, s"too few OOV probes survived: ${top1.length}")
     val hit = top1.count(r => r.getString(3) == r.getString(1))
     val rate = hit.toDouble / top1.length
-    assert(rate >= 0.8, s"top-1 base recovery $rate (${hit}/${top1.length})")
+    info(s"top-1 base recovery: $rate ($hit/${top1.length})")
+    assert(rate >= 0.9, s"top-1 base recovery $rate (${hit}/${top1.length})")
+  }
+
+  test("subword composition replays driver-side from the trained gram vectors") {
+    // the joint-fit contract: q110's OOV vector IS the mean of its
+    // TRAINED gram vectors, and a vocab word's representation IS the
+    // mean of its word vector and its gram vectors — replay both
+    // compositions sequentially from the collected model table and
+    // reproduce the query's top-1 neighbor and cosine per probe
+    val all = MlOps.fastTextModel(spark, sf).getVectors.collect()
+      .map(r => r.getString(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray).toMap
+    val (gramVecs, wordVecs) = all.partition(_._1.startsWith("#"))
+    def grams(w: String): Seq[String] = {
+      val p = s"<$w>"
+      MlOps.FtGramSizes.flatMap(n =>
+        if (p.length >= n) (0 to p.length - n).map(i => "#" + p.substring(i, i + n))
+        else Seq.empty)
+    }
+    def mean(vs: Seq[Array[Double]]): Array[Double] = {
+      val s = new Array[Double](vs.head.length)
+      vs.foreach(v => for (i <- s.indices) s(i) += v(i))
+      s.map(_ / vs.length)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val composed = wordVecs.map { case (w, v) =>
+      w -> mean(v +: grams(w).flatMap(gramVecs.get))
+    }
+    val out = MlOps.subwordOov(spark, sf).collect().filter(_.getLong(2) == 1L)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val probe = r.getString(0)
+      val known = grams(probe).flatMap(gramVecs.get)
+      assert(known.nonEmpty, s"probe $probe has no trained grams")
+      val pv = mean(known)
+      val best = composed.toSeq
+        .map { case (w, wv) => (w, math.rint(cos(pv, wv) * 1e4) / 1e4) }
+        .minBy { case (w, c) => (-c, w) }
+      assert(best._1 == r.getString(3),
+        s"probe $probe: replay top-1 ${best._1} != query ${r.getString(3)}")
+      assert(math.abs(best._2 - r.getDouble(4)) <= 2e-4,
+        s"probe $probe: replay cos ${best._2} != query ${r.getDouble(4)}")
+    }
   }
 
   test("adaptive search matches the exhaustive grid's best within epsilon") {
