@@ -117,6 +117,7 @@ object SparkEntry {
     "q108_adaptive_tuning" -> MlOps.adaptiveTuning _,
     "q169_tpe_tuning" -> MlOps.tpeTuning _,
     "q110_subword_oov" -> MlOps.subwordOov _,
+    "q227_doc2vec" -> MlOps.doc2vecNeighbors _,
     "q58_binary_classification" -> MlOps.binaryClassify _,
     "q59_lda_doc_topics" -> MlOps.ldaDocTopics _,
     "q63_mf_item_sim" -> ((s: SparkSession, d: String) => MlOps.mfItemSimilarity(s, d)),

@@ -189,6 +189,76 @@ object MlOps {
       .orderBy(col("probe"), col("rank"))
   }
 
+  /** Pseudo-token stride of the PV-DBOW-shaped doc2vec fit: the doc
+    * token is interleaved every [[D2vStride]] words, so with MLlib's
+    * default window (5) every skip-gram window of a doc contains its
+    * tag — the paragraph-vector role of gensim's TaggedDocument. */
+  private[graft] val D2vStride = 1
+
+  private val d2vCache = graft.SessionRegistry
+    .cache[(SparkSession, String), org.apache.spark.ml.feature.Word2VecModel]()
+
+  /** TrainDoc2Vec (train/train_doc2vec.py:10 — gensim Doc2Vec over
+    * TaggedDocument; MLlib ships no doc2vec and the no-new-
+    * dependencies rule bars gensim): JOINTLY-trained paragraph
+    * vectors inside MLlib Word2Vec. The capped fit stream is
+    * interleaved with a namespaced per-doc pseudo-token (every
+    * [[D2vStride]] words), so the doc token trains against every
+    * context of its doc — the PV-DBOW objective's doc/word
+    * co-occurrence. Doc vector = the TRAINED pseudo-token vector.
+    * Trained vectors exist for the FIT SAMPLE (gensim's contract
+    * too: docs must be present at train time; inference for unseen
+    * docs is a gradient step neither engine runs here) — the
+    * corpus-scale embedding remains q44's mean pooling
+    * (fit-sample, transform-all). */
+  private[graft] def doc2vecModel(spark: SparkSession,
+      dir: String): org.apache.spark.ml.feature.Word2VecModel =
+    d2vCache.getOrElseUpdate((spark, dir),
+      new Word2Vec()
+        .setInputCol("tokens").setOutputCol("vec")
+        .setVectorSize(32).setMinCount(5).setSeed(42L)
+        // doc tokens see only their own doc's contexts, so they need
+        // more passes than the corpus-wide word vocab (gensim's
+        // Doc2Vec defaults to 10+ epochs for the same reason); the
+        // fit input is the BOUNDED sample, so extra passes are
+        // sample-sized work, not corpus-sized
+        .setNumPartitions(1).setMaxIter(15).setWindowSize(8)
+        .fit(w2vFitInput(spark, dir).select(
+          flatten(transform(col("tokens"), (w, i) =>
+            when(pmod(i, lit(D2vStride)) === 0,
+              array(concat(lit("@"), col("doc_id")), w))
+              .otherwise(array(w)))).as("tokens"))))
+
+  /** Trained doc vectors: the '@'-namespaced pseudo-token rows of the
+    * joint model's vector table — fit-sample-sized by construction. */
+  private[graft] def docVecs(spark: SparkSession, dir: String): DataFrame =
+    doc2vecModel(spark, dir).getVectors
+      .filter(col("word").startsWith("@"))
+      .select(substring(col("word"), 2, 100).cast("long").as("doc_id"),
+        vector_to_array(col("vector")).as("dv"))
+
+  /** q227: top-3 nearest trained-paragraph-vector neighbors for the 5
+    * smallest trained doc ids (the TrainDoc2Vec consumer surface —
+    * doc-level similarity from JOINT vectors rather than q44's pooled
+    * means). The scan side is the fit-sample-sized trained table;
+    * probes broadcast. */
+  def doc2vecNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dv = docVecs(spark, dir)
+    val probes = dv.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("probe_id"), col("dv").as("pv"))
+    dv.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("cos",
+        round(graft.functions.VecFns.cosine(col("pv"), col("dv")), 4))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("doc_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Shared CountVectorizer+LDA fit (q51 topics and q59 doc-topics
     * use the same seed-fixed model — same registry idea as w2vCache). */
   private val ldaCache = graft.SessionRegistry
