@@ -63,6 +63,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.select("new_id").distinct().count() == n)
   }
 
+  test("q23/q124 rank in parallel: every window is pid-keyed, no empty-window rank") {
+    // round-7 verdict items 5/6: the vocab dictionary rank and the
+    // three RFM quintiles ride the q98 range-partition + offset-table
+    // shape — a 10⁸-term vocab / 10⁹-user table must never serialize
+    // through one window task. The property: every window spec in the
+    // plan partitions by pid (the parallel per-range rank); an
+    // empty-window row_number/ntile would print its ORDER columns
+    // first. (A SinglePartition blanket check would be a proxy — the
+    // 1-row n_docs scalar agg legitimately funnels.)
+    for (df <- Seq(graft.operators.TextOps.dictionary(spark, sf),
+        FrameOps.rfmSegments(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("ntile("), p)
+      val specs = p.split("windowspecdefinition\\(").drop(1)
+      assert(specs.nonEmpty && specs.forall(_.startsWith("pid")), p)
+    }
+  }
+
   test("click-train negatives are an equi-join, never a cross product") {
     val p = plan(graft.operators.WordItemApp.clickTrainData(spark, sf))
     // the pmod sampling rule is solved for the item residue, so the
@@ -238,14 +256,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("rfm: the log collapses in one user shuffle before the quintile windows") {
+  test("rfm: query-time plan touches only the per-user disk artifacts, never the log") {
     val p = plan(FrameOps.rfmSegments(spark, sf))
-    // partial agg (map-side combine) then ONE log-sized exchange on
-    // user_id; the serialized ntile windows see only per-user rows
-    assert(p.split("hashpartitioning\\(user_id").length - 1 == 1, p)
-    val aggIdx = p.indexOf("Exchange hashpartitioning(user_id")
-    assert(aggIdx >= 0 && p.substring(aggIdx).contains("partial"), p)
-    assert(!p.contains("Join"), p)
+    // round 8: the corpus collapses ONCE into the per-(session,
+    // corpus) per-user rollup artifact (and three ranged quintile
+    // artifacts) at first call; the served plan joins only those
+    // |users|-slim parquet frames — the event log never re-enters
+    assert(p.contains("graft_rfm_"), p)
+    assert(!p.contains("events.parquet"), p)
   }
 
   test("session transitions reuse the session rule's single user shuffle") {
