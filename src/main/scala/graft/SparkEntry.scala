@@ -70,6 +70,7 @@ object SparkEntry {
     "q122_keyness" -> TextOps.keyness _,
     "q72_gopher_rules" -> TextOps.gopherRules _,
     "q73_repetition" -> TextOps.repetition _,
+    "q228_repetition_battery" -> TextOps.repetitionBattery _,
     "q30_dedup_exact" -> Dedup.exact _,
     // q31 serves the shared disk artifact (== jaccard(s, d) content,
     // written once per session); re-applies the query's deterministic
@@ -2373,6 +2374,10 @@ object SparkEntry {
     // q211: shared per-doc gopher chain + generated axis unions; the
     // deterministic sample stated as a hash rank window (lever (h))
     "q211_review_queue" -> TextOps.reviewQueueOracleSql,
+    // q228: per-n UNNEST chains + line/paragraph splits generated from
+    // the SAME threshold constants as the Spark predicate (lever (jj));
+    // the DuckDB hash value-checks the RepExprs kernel (lever (ii))
+    "q228_repetition_battery" -> TextOps.repetitionBatteryOracleSql,
     // q212: generated from PackGrid — per-level integer chunk sums in
     // ONE per-source agg, grid union over the aggregated table;
     // efficiency = raw IEEE quotient of exact longs (lever (c))

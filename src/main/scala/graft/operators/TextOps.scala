@@ -691,6 +691,124 @@ object TextOps {
   /** Document fingerprinting with the native rolling-hash Expression
     * (plans/RollingHash.scala) — codegen'd polynomial hash, plus the
     * duplicate-cluster size per fingerprint. */
+  // ---- q228 Gopher repetition battery -----------------------------
+
+  /** Gopher §A1.1 thresholds (Rae et al. 2021 Table A1), as the
+    * occurrence-share analogs this battery measures. Named constants
+    * feeding ONE predicate def that generates the Spark columns AND
+    * the SQL fragments (lever (jj)) — the thresholds cannot drift
+    * between the filter and its oracle. */
+  private[graft] val RepDupLineMax = 0.30
+  private[graft] val RepDupParaMax = 0.30
+  private[graft] val RepTopNgram = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private[graft] val RepDupNgram =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The battery's per-doc FAIL flags from the kernel's 22-slot count
+    * array: (rule name, numerator slot, denominator slot, threshold).
+    * Shares are single IEEE divisions of exact longs (lever (c)), so
+    * a raw `share > threshold` compare is engine-exact; a zero
+    * denominator never fails the rule (both engines guard it). */
+  private[graft] def repRules: Seq[(String, Int, Int, Double)] =
+    Seq(("dup_line", 1, 0, RepDupLineMax), ("dup_para", 3, 2, RepDupParaMax)) ++
+      RepTopNgram.zipWithIndex.map { case ((n, t), i) =>
+        (s"top$n", 4 + 2 * i, 5 + 2 * i, t) } ++
+      RepDupNgram.zipWithIndex.map { case ((n, t), i) =>
+        (s"dup$n", 10 + 2 * i, 11 + 2 * i, t) }
+
+  /** q228: the COMPLETE Gopher §A1.1 repetition battery (q73 covered
+    * the top-2-gram share only) — duplicate-line / duplicate-paragraph
+    * occurrence fractions, top-n-gram share for n ∈ {2,3,4} and
+    * duplicate-n-gram mass for n ∈ {5..10}, each flagged against its
+    * Table-A1 threshold and rolled up per source with the pass
+    * conjunction (funnel-ready, the q72 predicate-family shape).
+    *
+    * Scale shape: the ENTIRE battery is ONE row-local codegen kernel
+    * pass per doc (plans/RepExprs — exact string counting, no lossy
+    * hash) + one |sources|-bounded rollup; the naive form is 9 corpus
+    * explosions each shuffling a gram stream. The oracle's per-n
+    * UNNEST chains value-check the kernel itself (lever (ii)). */
+  def repetitionBattery(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.plans.RepExprs.repStats(toks,
+          graft.plans.NfcExprs.nfcNormalize(col("text"))).as("rs"))
+    def share(num: Int, den: Int) =
+      element_at(col("rs"), num + 1).cast("double") /
+        element_at(col("rs"), den + 1).cast("double")
+    // CaseWhen evaluates the taken branch only — a doc shorter than n
+    // has zero n-grams and must not reach the ANSI division (the
+    // degenerate-input class; planted in TextOpsSpec/DegenerateInputSpec)
+    val fails = repRules.map { case (name, num, den, thr) =>
+      name -> when(element_at(col("rs"), den + 1) > 0L,
+        share(num, den) > lit(thr)).otherwise(lit(false))
+    }
+    val pass = fails.map(!_._2).reduce(_ && _)
+    val aggs = sum(when(pass, 1L).otherwise(0L)).as("n_pass") +:
+      fails.map { case (name, f) =>
+        sum(when(f, 1L).otherwise(0L)).as(s"n_fail_$name") }
+    stats.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .orderBy(col("source"))
+  }
+
+  /** Generated q228 oracle: per-n gram CTE chains (the q73/q184
+    * UNNEST pattern, 1-based inclusive slices), line/paragraph splits
+    * of the NFC text, all LEFT-joined onto the doc roster with
+    * COALESCE(0) so gram-less short docs carry zero counts — exactly
+    * the kernel's max(len-n+1, 0). Thresholds interpolate from the
+    * SAME constants as the Spark predicate. */
+  private[graft] def repetitionBatteryOracleSql: String = {
+    def gramExpr(n: Int): String =
+      (0 until n).map {
+        case 0 => "toks[CAST(i AS BIGINT)]"
+        case j => s"toks[CAST(i AS BIGINT)+$j]"
+      }.mkString(" || ' ' || ")
+    val gramCtes = (RepTopNgram.map(_._1) ++ RepDupNgram.map(_._1)).map { n =>
+      val agg =
+        if (n <= 4) "MAX(c) AS num"
+        else "CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS num"
+      s"""g$n AS (
+        |  SELECT doc_id, ${gramExpr(n)} AS g
+        |  FROM t, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)),
+        |c$n AS (SELECT doc_id, g, COUNT(*) AS c FROM g$n GROUP BY 1, 2),
+        |s$n AS (SELECT doc_id, $agg, CAST(SUM(c) AS BIGINT) AS den FROM c$n GROUP BY 1)""".stripMargin
+    }
+    val segCtes = Seq(
+      ("sl", "string_split(nfc_normalize(text), chr(10))"),
+      ("sp", "string_split(nfc_normalize(text), chr(10) || chr(10))")).map {
+      case (nm, splitExpr) =>
+        s"""${nm}e AS (
+          |  SELECT doc_id, seg FROM (SELECT doc_id, $splitExpr AS segs FROM documents) x,
+          |    UNNEST(segs) AS u(seg) WHERE len(seg) > 0),
+          |${nm}c AS (SELECT doc_id, seg, COUNT(*) AS c FROM ${nm}e GROUP BY 1, 2),
+          |$nm AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS num,
+          |  CAST(SUM(c) AS BIGINT) AS den FROM ${nm}c GROUP BY 1)""".stripMargin
+    }
+    val joins =
+      Seq("sl", "sp").map(nm => s"LEFT JOIN $nm ON $nm.doc_id = t.doc_id") ++
+        (RepTopNgram.map(_._1) ++ RepDupNgram.map(_._1))
+          .map(n => s"LEFT JOIN s$n ON s$n.doc_id = t.doc_id")
+    val ruleCols = repRules.zip(Seq("sl", "sp") ++
+      (RepTopNgram.map(_._1) ++ RepDupNgram.map(_._1)).map(n => s"s$n"))
+      .map { case ((name, _, _, thr), cte) =>
+        (name,
+          s"(COALESCE($cte.den, 0) > 0 AND CAST(COALESCE($cte.num, 0) AS DOUBLE) / COALESCE($cte.den, 0) > $thr)")
+      }
+    val passExpr = ruleCols.map(r => s"NOT ${r._2}").mkString(" AND ")
+    val failSums = ruleCols.map { case (name, cond) =>
+      s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_$name"
+    }
+    s"""WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
+      |${(segCtes ++ gramCtes).mkString(",\n")}
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN $passExpr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  ${failSums.mkString(",\n  ")}
+      |FROM t ${joins.mkString(" ")}
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), RollingHash(col("text")).as("fp"))

@@ -49,7 +49,8 @@ class DegenerateInputSpec extends AnyFunSuite {
   test("tokenizer-family queries survive empty/whitespace/single-token docs") {
     val dir = plantedDir
     val family = Seq("q20_token_stats", "q21_quality_score", "q23_dictionary",
-      "q24_tfidf", "q72_gopher_rules", "q79_bigram_lm", "q95_ccnet_buckets")
+      "q24_tfidf", "q72_gopher_rules", "q79_bigram_lm", "q95_ccnet_buckets",
+      "q228_repetition_battery")
     family.foreach { name =>
       val out = SparkEntry.queries(name)(spark, dir)
       assert(out.count() > 0, s"$name returned 0 rows on the planted corpus")

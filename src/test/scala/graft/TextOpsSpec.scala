@@ -263,4 +263,79 @@ class TextOpsSpec extends AnyFunSuite {
     // the proposed bounds must actually bite at the gate scale
     assert(rows.map(_.getLong(4)).sum > 0L, "proposed set rejects nothing")
   }
+
+  test("q228 repetition battery: planted docs exercise BOTH branches of every rule family") {
+    // lever (hh): the gate corpora pass the whole battery, so the
+    // FAIL branches are planted here — one doc per failure mode,
+    // each its own source so the rollup row pins its flags
+    import spark.implicits._
+    val dir = "/tmp/graft_rep_spec"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near this river bank today", "clean"),
+      (2L, Seq.fill(6)("repeat me").mkString("\n"), "dupline"),
+      (3L, "para one text\n\npara one text\n\npara one text", "duppara"),
+      (4L, (Seq.fill(3)("alpha beta gamma delta epsilon").mkString(" ") +
+        " zeta eta theta iota kappa"), "gram5"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.repetitionBattery(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("clean", "dupline", "duppara", "gram5"))
+    def f(src: String, c: String): Long = out(src).getAs[Long](c)
+    // the clean doc passes everything
+    assert(f("clean", "n_pass") == 1L, out("clean").toString)
+    // six identical lines: dup-line fires; single paragraph: dup-para doesn't
+    assert(f("dupline", "n_pass") == 0L)
+    assert(f("dupline", "n_fail_dup_line") == 1L)
+    assert(f("dupline", "n_fail_dup_para") == 0L)
+    // three identical paragraphs (and their lines) both fire
+    assert(f("duppara", "n_fail_dup_para") == 1L)
+    assert(f("duppara", "n_fail_dup_line") == 1L)
+    // the repeated 5-gram run fires the dup-5 mass rule but not the
+    // line/para rules (one line, one paragraph)
+    assert(f("gram5", "n_fail_dup5") == 1L)
+    assert(f("gram5", "n_fail_dup_line") == 0L)
+    assert(f("gram5", "n_fail_dup_para") == 0L)
+  }
+
+  test("q228 kernel replay: counts match a direct recount on a planted doc") {
+    // lever (ii)'s spec half: the codegen kernel's exact counts are
+    // replayed with an independent driver-side recount
+    import spark.implicits._
+    val text = "a b c a b c a b\n\nx y\nx y"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .select(graft.plans.RepExprs.repStats(
+        graft.functions.TextFns.tokens(col("text")), col("text")).as("rs"))
+    val rs = df.head.getSeq[Long](0)
+    // text tokenizes (on \s+) to: a b c a b c a b x y x y (12 tokens)
+    // lines: "a b c a b c a b", "x y", "x y" -> 3 lines, "x y" dup mass 2
+    assert(rs(0) == 3L && rs(1) == 2L, rs.toString)
+    // paragraphs: "a b c a b c a b" and "x y\nx y" -> 2, no dups
+    assert(rs(2) == 2L && rs(3) == 0L, rs.toString)
+    // 2-grams (11): top is "a b" x3
+    assert(rs(4) == 3L && rs(5) == 11L, rs.toString)
+    // 3-grams (10): "a b c" x2 top
+    assert(rs(6) == 2L && rs(7) == 10L, rs.toString)
+    // 5-grams (8): "a b c a b" x2 -> dup mass includes overlapping
+    // repeats: a-b-c-a-b (pos 1,4? -> occurrences at i=0 and i=3)
+    val words = text.split("\\s+").toSeq
+    def recount(n: Int): (Long, Long, Long) = {
+      val grams = words.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      val top = if (counts.isEmpty) 0L else counts.values.max
+      val dup = counts.values.filter(_ > 1).sum
+      (top, dup, grams.size.toLong)
+    }
+    Seq(2, 3, 4).zipWithIndex.foreach { case (n, i) =>
+      val (top, _, tot) = recount(n)
+      assert(rs(4 + 2 * i) == top && rs(5 + 2 * i) == tot, s"n=$n ${rs.toString}")
+    }
+    (5 to 10).zipWithIndex.foreach { case (n, i) =>
+      val (_, dup, tot) = recount(n)
+      assert(rs(10 + 2 * i) == dup && rs(11 + 2 * i) == tot, s"n=$n ${rs.toString}")
+    }
+  }
 }

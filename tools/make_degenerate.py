@@ -15,7 +15,7 @@ Usage:
 then:
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.VerifyOne /tmp/graft_degen_sf \
         /tmp/degen_out q20_token_stats q21_quality_score q23_dictionary \
-        q24_tfidf q72_gopher_rules q79_bigram_lm q95_ccnet_buckets"
+        q24_tfidf q72_gopher_rules q79_bigram_lm q95_ccnet_buckets q228_repetition_battery"
     python3 tools/check_oracle.py /tmp/degen_out /tmp/graft_degen_sf
 """
 import os
