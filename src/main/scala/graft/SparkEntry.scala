@@ -71,6 +71,7 @@ object SparkEntry {
     "q72_gopher_rules" -> TextOps.gopherRules _,
     "q73_repetition" -> TextOps.repetition _,
     "q228_repetition_battery" -> TextOps.repetitionBattery _,
+    "q229_tokenizer_fertility" -> TextOps.tokenizerFertility _,
     "q30_dedup_exact" -> Dedup.exact _,
     // q31 serves the shared disk artifact (== jaccard(s, d) content,
     // written once per session); re-applies the query's deterministic
@@ -2378,6 +2379,10 @@ object SparkEntry {
     // the SAME threshold constants as the Spark predicate (lever (jj));
     // the DuckDB hash value-checks the RepExprs kernel (lever (ii))
     "q228_repetition_battery" -> TextOps.repetitionBatteryOracleSql,
+    // q229: q118's generated merge chain (ONE shared producer, lever
+    // (t)) closed per (source, lang) with byte mass — fertility as a
+    // raw quotient of exact longs
+    "q229_tokenizer_fertility" -> TextOps.tokenizerFertilityOracleSql,
     // q212: generated from PackGrid — per-level integer chunk sums in
     // ONE per-source agg, grid union over the aggregated table;
     // efficiency = raw IEEE quotient of exact longs (lever (c))

@@ -125,7 +125,11 @@ object TextOps {
     * `</w>` end marker's symbol. Oracle: the q115 generated chain
     * carrying `word` through the merge CTEs (bpeEncodeOracleSql) —
     * training AND application value-checked end to end. */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained word→piece-count map: q115's learned merges applied
+    * to the DISTINCT vocab (bounded table — the only place the
+    * interpreted fold runs). ONE def shared by q118's compression
+    * stats and q229's fertility audit (shared-rule discipline). */
+  private[graft] def bpePieces(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeTrain(spark, dir).collect()
       .map(r => (r.getString(1), r.getString(2)))
     var vocab = Tables.documents(spark, dir)
@@ -139,21 +143,53 @@ object TextOps {
       val Array(a, b) = pr.split(" ", 2)
       vocab = vocab.select(col("word"), bpeMergeFold(col("sym"), a, b, ab).as("sym"))
     }
-    val pieces = vocab.select(col("word"),
+    vocab.select(col("word"),
       size(split(col("sym"), " ")).cast("long").as("n_pieces"))
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), explode(toks).as("word"))
-      .join(broadcast(pieces), Seq("word"))
+      .join(broadcast(bpePieces(spark, dir)), Seq("word"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
       .withColumn("pieces_per_word",
         round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6))
       .orderBy(col("source"))
-  }
 
-  /** The q118 oracle: q115's generated chain with `word` carried
-    * through every merge CTE, closed by the corpus join + rollup. */
-  private[graft] def bpeEncodeOracleSql: String = {
+  /** q229: tokenizer FERTILITY audit under the LEARNED merges —
+    * per (source, lang): pieces-per-word (fertility) and
+    * bytes-per-piece, the multilingual-equity table every tokenizer
+    * change ships with (a fertility spike on an underserved language
+    * is the standard tokenizer regression; cf. the fertility tables
+    * of the SentencePiece/BPE literature). q115/q118's consumer
+    * surface (round-7 verdict item 8).
+    *
+    * Scale shape: the fold runs on the bounded vocab only (shared
+    * bpePieces map, broadcast); the corpus contributes ONE
+    * column-pruned scan whose explode joins the broadcast map —
+    * row-local, two-level agg with map-side combine. Fertility and
+    * bytes-per-piece are single IEEE divisions of exact longs
+    * (lever (c) — no rounding needed). */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), explode(toks).as("word"))
+      .join(broadcast(bpePieces(spark, dir)), Seq("word"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(octet_length(col("word")).cast("long")).as("n_bytes"))
+      .withColumn("fertility",
+        col("n_pieces").cast("double") / col("n_words").cast("double"))
+      .withColumn("bytes_per_piece",
+        col("n_bytes").cast("double") / col("n_pieces").cast("double"))
+      .orderBy(col("source"), col("lang"))
+
+  /** The shared generated prefix of the q118/q229 oracles (lever
+    * (t)): q115's merge chain with `word` carried through every CTE,
+    * closed by the word→piece-count map `enc` — one producer, two
+    * consumers. */
+  private def bpeEncChainSql: String = {
     val mergeLambda = bpeMergeLambdaSql
     val blocks = scala.collection.mutable.ArrayBuffer(
       """v0 AS (
@@ -170,16 +206,37 @@ object TextOps {
       blocks += s"b$i AS (SELECT pr, c FROM p$i ORDER BY c DESC, pr LIMIT 1)"
       blocks += s"v$i AS (SELECT word, $mergeLambda AS sym, freq FROM v${i - 1}, b$i)"
     }
-    "WITH " + blocks.mkString(",\n") + s"""
-      |, enc AS (SELECT word, CAST(len(string_split(sym,' ')) AS BIGINT) AS n_pieces FROM v$BpeSteps),
-      |d AS (SELECT source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS word FROM documents)
+    "WITH " + blocks.mkString(",\n") +
+      s"\n, enc AS (SELECT word, CAST(len(string_split(sym,' ')) AS BIGINT) AS n_pieces FROM v$BpeSteps)"
+  }
+
+  /** The q118 oracle: the shared chain closed by the corpus join +
+    * per-source rollup. */
+  private[graft] def bpeEncodeOracleSql: String =
+    bpeEncChainSql + s"""
+      |, d AS (SELECT source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS word FROM documents)
       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_words,
       |  CAST(SUM(enc.n_pieces) AS BIGINT) AS n_pieces,
       |  round(CAST(CAST(SUM(enc.n_pieces) AS BIGINT) AS DOUBLE)
       |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE), 6) AS pieces_per_word
       |FROM d JOIN enc ON d.word = enc.word
       |GROUP BY d.source ORDER BY d.source""".stripMargin
-  }
+
+  /** The q229 oracle: the SAME shared chain, rolled up per (source,
+    * lang) with byte mass — fertility and bytes-per-piece as raw
+    * quotients of exact longs (lever (c)). */
+  private[graft] def tokenizerFertilityOracleSql: String =
+    bpeEncChainSql + s"""
+      |, d AS (SELECT source, lang, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS word FROM documents)
+      |SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(enc.n_pieces) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(strlen(d.word)) AS BIGINT) AS n_bytes,
+      |  CAST(CAST(SUM(enc.n_pieces) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS fertility,
+      |  CAST(CAST(SUM(strlen(d.word)) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(enc.n_pieces) AS BIGINT) AS DOUBLE) AS bytes_per_piece
+      |FROM d JOIN enc ON d.word = enc.word
+      |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin
 
   /** The shared merge-apply lambda fragment of both generated
     * oracles. */

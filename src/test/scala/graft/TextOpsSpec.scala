@@ -264,6 +264,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).sum > 0L, "proposed set rejects nothing")
   }
 
+  test("q229 fertility: BPE pieces are never coarser than whitespace words, full (source, lang) coverage") {
+    val rows = TextOps.tokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, p, b) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("n_bytes"))
+      // every word is >= 1 piece -> fertility >= 1 and bytes-per-piece
+      // <= the whitespace bytes-per-word baseline (verdict item 8's
+      // done criterion)
+      assert(p >= w, s"${r.getString(0)}/${r.getString(1)}: pieces $p < words $w")
+      assert(r.getAs[Double]("fertility") == p.toDouble / w.toDouble)
+      assert(r.getAs[Double]("bytes_per_piece") <= b.toDouble / w.toDouble,
+        s"${r.getString(0)}/${r.getString(1)} coarser than whitespace")
+    }
+    // the equity table covers every (source, lang) cell in the corpus
+    val expected = Tables.documents(spark, sf)
+      .select("source", "lang").distinct().count()
+    assert(rows.length == expected, s"${rows.length} cells vs $expected")
+  }
+
   test("q228 repetition battery: planted docs exercise BOTH branches of every rule family") {
     // lever (hh): the gate corpora pass the whole battery, so the
     // FAIL branches are planted here — one doc per failure mode,
