@@ -538,8 +538,16 @@ object MlOps {
 
   private[graft] def qualityModel(spark: SparkSession,
       dir: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    qualityModelFrom(spark, dir, qualitySeed(spark, dir))
+
+  /** Fit threaded with a caller-supplied seed frame so a caller that
+    * already persisted the seed (q222's eval) doesn't pay the q215
+    * pipeline twice (round-7 ADVICE item); the registry still
+    * guarantees one fit per (session, corpus). */
+  private def qualityModelFrom(spark: SparkSession, dir: String,
+      seed: => DataFrame): org.apache.spark.ml.classification.LogisticRegressionModel =
     qmodelCache.getOrElseUpdate((spark, dir), {
-      val train = qualitySeed(spark, dir)
+      val train = seed
         .filter(pmod(col("doc_id"), lit(5)) =!= 0)
         .repartition(1)
       new LogisticRegression().setMaxIter(20).setRegParam(0.01).fit(train)
@@ -550,7 +558,7 @@ object MlOps {
     val data = qualitySeed(spark, dir).persist()
     data.count()
     val test = data.filter(pmod(col("doc_id"), lit(5)) === 0)
-    val model = qualityModel(spark, dir)
+    val model = qualityModelFrom(spark, dir, data)
     val scored = model.transform(test)
     val auc = math.rint(new BinaryClassificationEvaluator()
       .setMetricName("areaUnderROC").evaluate(scored) * 10000) / 10000

@@ -868,13 +868,24 @@ object SimilaritySearch {
     * contract with q40. */
   private[graft] val VoteK = 5
 
+  /** The probe/eval-query id roster bound of the labeled-kNN family
+    * (q209/q210 queries, q216's compromised-probe report, q218's
+    * leak gate and its stream twin, and every oracle fragment
+    * stating the roster): ids below the bound are the frozen eval
+    * probes, ids at or above it are gated train vectors. ONE named
+    * constant (lever (s)) — the four coupled occurrences were
+    * hand-maintained literals (round-7 ADVICE), and the >=/<
+    * complement means a drift FLIPS semantics rather than shifting
+    * a boundary. */
+  private[graft] val ProbeIdBound = 10L
+
   private def labeledEmb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         VecFns.norm(col("embedding")).as("nrm"))
 
   private def labeledQueries(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") < 10)
+    emb.filter(col("vec_id") < ProbeIdBound)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("embedding").as("qv"), col("nrm").as("qnrm"))
 
@@ -942,7 +953,7 @@ object SimilaritySearch {
   /** The shared labeled-kNN CTE front (e with label + norm, bounded
     * query set) — q209's and q210's oracles both interpolate it. */
   private def knnLabeledCteSql: String =
-    """e AS (
+    s"""e AS (
       |  SELECT vec_id, label, embedding,
       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |      list_transform(range(len(embedding)),
@@ -950,7 +961,7 @@ object SimilaritySearch {
       |      (acc, v) -> acc + v)) AS nrm
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv, nrm AS qnrm
-      |      FROM e WHERE vec_id < 10),
+      |      FROM e WHERE vec_id < $ProbeIdBound),
       |c AS (
       |  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
       |    round(
@@ -1191,7 +1202,7 @@ object SimilaritySearch {
       dir: String): (Array[Long], Array[Array[Double]]) =
     probeCache.getOrElseUpdate((spark, dir), {
       val rows = Tables.embeddings(spark, dir)
-        .filter(col("vec_id") < 10)
+        .filter(col("vec_id") < ProbeIdBound)
         .select(col("vec_id"), col("embedding"))
         .collect()
         .sortBy(_.getLong(0))
@@ -1206,12 +1217,12 @@ object SimilaritySearch {
     * is flagged when any probe cosine reaches [[EmbedContamTau]].
     * Pure row-local projection → runs unchanged on a streaming
     * vector frame (the q83/q190 twin discipline); probe rows
-    * themselves (vec_id < 10) are excluded from gating. */
+    * themselves (vec_id < ProbeIdBound) are excluded from gating. */
   private[graft] def embedLeakProjection(vecs: DataFrame,
       probes: (Array[Long], Array[Array[Double]])): DataFrame = {
     val mc = graft.plans.CellExprs.maxCosine(
       col("embedding"), probes._1, probes._2)
-    vecs.filter(col("vec_id") >= 10)
+    vecs.filter(col("vec_id") >= ProbeIdBound)
       .withColumn("mc", mc)
       .select(col("vec_id"), col("mc.sim").as("max_cosine"),
         col("mc.pid").as("nearest_probe"),
@@ -1251,7 +1262,7 @@ object SimilaritySearch {
        |  SELECT neighbor_id AS vec_id, query_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY neighbor_id
        |      ORDER BY cosine DESC, query_id) AS rn
-       |  FROM c WHERE neighbor_id >= 10)
+       |  FROM c WHERE neighbor_id >= $ProbeIdBound)
        |SELECT vec_id, cosine AS max_cosine, query_id AS nearest_probe,
        |  cosine >= $EmbedContamTau AS leaked
        |FROM r WHERE rn = 1

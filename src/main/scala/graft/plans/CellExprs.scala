@@ -118,9 +118,15 @@ object CellExprs {
       isF: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val dim = math.min(v.numElements(),
       if (probes.length > 0) probes(0).length else 0)
+    // the input norm runs over ALL components (only the dot is
+    // truncated to the shared prefix) — the declarative chain this
+    // kernel must stay bit-identical to (VecFns.norm in
+    // knnLabeledCteSql) norms the full vector, so a dimension
+    // mismatch shows up as a parity-visible shorter cosine instead
+    // of silently renormalizing the prefix (round-7 ADVICE item)
     var vsq = 0.0
     var i = 0
-    while (i < dim) {
+    while (i < v.numElements()) {
       val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
       vsq += x * x
       i += 1
