@@ -955,7 +955,7 @@ object TextOps {
     // re-ran tokenization AND the skip-gram kernel just to size-sum
     val totals = uni.agg(sum(col("n_w")).cast("long").as("n_tok"))
       .crossJoin(cab.agg(sum(col("n_pair")).cast("long").as("n_pairs")))
-    cab.filter(col("n_pair") >= PmiMinCount)
+    val scored = cab.filter(col("n_pair") >= PmiMinCount)
       .withColumn("w1", split(col("pair"), " ").getItem(0))
       .withColumn("w2", split(col("pair"), " ").getItem(1))
       .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), Seq("w1"))
@@ -965,6 +965,12 @@ object TextOps {
         (col("n_pair").cast("double") * col("n_tok").cast("double") * col("n_tok").cast("double")) /
           (col("n_pairs").cast("double") * col("n_a").cast("double") * col("n_b").cast("double"))), 6))
       .select(col("pair"), col("n_pair"), col("pmi"))
+    // round 8: the rank window's input is pre-cut to the rows that
+    // can rank ≤ K (bounded-heap K-th score as a broadcast scalar) —
+    // the ≥MinCount survivor table is vocab²-bounded but at a
+    // multilingual web vocab that bound is still hours in one window
+    // task; the oracle keeps stating the plain window (lever (h))
+    graft.plans.TopKByKey.cutTop(scored, col("pmi"), PmiTopK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pmi").desc, col("pair"))).cast("long"))
       .filter(col("rank") <= PmiTopK)

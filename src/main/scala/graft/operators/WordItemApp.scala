@@ -198,7 +198,12 @@ object WordItemApp {
         SplitP % SplitMod === 0L
     val train = clicks.filter(!isTest)
     val test = clicks.filter(isTest)
-    val topM = train.groupBy(col("item")).agg(count(lit(1)).as("n_clicks"))
+    // round 8: the popularity rank window's input is pre-cut to the
+    // rows that can rank ≤ M (bounded-heap M-th count as a broadcast
+    // scalar) — at 10⁸ items the |items| table must not serialize
+    // through one window task; the oracle keeps the plain window
+    val counts = train.groupBy(col("item")).agg(count(lit(1)).as("n_clicks"))
+    val topM = graft.plans.TopKByKey.cutTop(counts, col("n_clicks"), RecTopM)
       .withColumn("pop_rank", row_number().over(
         Window.orderBy(col("n_clicks").desc, col("item"))).cast("long"))
       .filter(col("pop_rank") <= RecTopM)

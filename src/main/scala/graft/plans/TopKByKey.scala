@@ -70,4 +70,29 @@ object TopKByKey {
     val agg = udaf(TopKAgg(k), Encoders.product[Entry])
     agg(id, score)
   }
+
+  /** CUT-THEN-RANK scale guard for global "top-K by (score desc,
+    * tie asc)" selections (the lever-(h) sibling for EXACT string
+    * tie-breaks, where the heap's id-hash tie order can't replicate
+    * the declarative one): compute the K-th-best score with the
+    * bounded per-partition heap as a BROADCAST SCALAR (no driver
+    * action, no global sort), then return the input filtered to the
+    * rows that can possibly rank ≤ K — score ≥ that cut. The caller
+    * applies the EXACT rank window on the survivor set, which is K +
+    * boundary-tie rows instead of the whole table, so the
+    * single-task window stops being the scale bottleneck while the
+    * selected set (and the oracle's plain-window statement) is
+    * value-identical. Fewer than K rows → cut = −∞ (everything
+    * survives, the window sees what it always saw). */
+  def cutTop(df: org.apache.spark.sql.DataFrame, score: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cut = df.agg(topK(k)(lit(0L), score.cast("double")).as("t"))
+      .select(when(size(col("t")) >= k,
+        element_at(col("t"), k).getField("score"))
+        .otherwise(lit(Double.NegativeInfinity)).as("cut_score"))
+    df.crossJoin(broadcast(cut))
+      .filter(score.cast("double") >= col("cut_score"))
+      .drop("cut_score")
+  }
 }

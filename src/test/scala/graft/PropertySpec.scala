@@ -189,4 +189,29 @@ class PropertySpec extends AnyFunSuite {
       assert(n > 0 && n <= SessionRegistry.CollectedRowsCeiling,
         s"collected-rows entry of $n rows breaks the declared ceiling"))
   }
+
+  test("cutTop + exact window == plain global window, including boundary ties") {
+    // the q121/q157 scale guard: the heap pre-cut must never change
+    // the SELECTED set — in particular when score ties straddle the
+    // K boundary (the heap's id-hash tie order differs from the
+    // declarative (score desc, id asc) order; only the CUT VALUE is
+    // taken from it, so the window's verdict is unchanged)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 200).map(i => (s"id_$i", rnd.nextInt(12).toDouble))
+      .toDF("id", "score") // 12 distinct scores over 200 rows: dense ties
+    def ranked(in: org.apache.spark.sql.DataFrame) = in
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 10)
+      .select("rank", "id", "score").collect().toSeq
+    val full = ranked(df)
+    val cut = ranked(graft.plans.TopKByKey.cutTop(df, col("score"), 10))
+    assert(cut == full, s"cutTop changed the selection:\n$cut\nvs\n$full")
+    // degenerate: fewer rows than K -> cut is -inf, nothing dropped
+    val tiny = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "score")
+    assert(graft.plans.TopKByKey.cutTop(tiny, col("score"), 10).count() == 2)
+  }
 }
