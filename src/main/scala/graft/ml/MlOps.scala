@@ -574,6 +574,42 @@ object MlOps {
     res
   }
 
+  /** q230: CALIBRATION CURVE of the learned quality filter — the
+    * reliability-diagram data (DeGroot & Fienberg 1983; Guo et al.
+    * 2017) for q222's model on its held-out slice: per
+    * predicted-probability decile, the holdout count, mean predicted
+    * probability, actual positive rate, and |gap|. The go/no-go card
+    * BEFORE q223 deploys the scores corpus-wide: an admission
+    * threshold on a mis-calibrated probability admits a different
+    * corpus than the one the offline eval graded. Deterministic
+    * (shared model registry + hash holdout), 10-row output → the
+    * lever-(j) experiment registry. Completes the learned-filter
+    * loop q215 → q222 → q230 → q223. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    experiment(spark, dir, "q230")(classifierCalibrationRun(spark, dir))
+
+  private def classifierCalibrationRun(spark: SparkSession,
+      dir: String): DataFrame = {
+    val data = qualitySeed(spark, dir).persist()
+    data.count()
+    val test = data.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val model = qualityModelFrom(spark, dir, data)
+    val p = element_at(vector_to_array(col("probability")), 2)
+    val out = model.transform(test)
+      .select(col("label"), p.as("p"))
+      .withColumn("decile", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("mean_pred"),
+        round(avg(col("label")), 6).as("pos_rate"))
+      .withColumn("gap", round(abs(col("mean_pred") - col("pos_rate")), 6))
+      .orderBy(col("decile"))
+    val res = spark.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    data.unpersist()
+    res
+  }
+
   /** q223: LEARNED-FILTER ADMISSION — q222's model DEPLOYED over the
     * corpus (the FineWeb/GPT-3 serving step: the classifier trained
     * on the seed set scores every document), reported as the

@@ -785,9 +785,14 @@ object TextOps {
     * hash) + one |sources|-bounded rollup; the naive form is 9 corpus
     * explosions each shuffling a gram stream. The oracle's per-n
     * UNNEST chains value-check the kernel itself (lever (ii)). */
-  def repetitionBattery(spark: SparkSession, dir: String): DataFrame = {
-    val stats = Tables.documents(spark, dir)
-      .select(col("source"),
+  /** THE per-doc battery projection — kernel stats + one boolean fail
+    * flag per rule + the pass conjunction, all row-local, so the
+    * batch rollup (q228) and the ingest stream twin
+    * (StreamOps.repFlagStream) ride the SAME def (the
+    * qualityFlags/langFlags twin discipline). */
+  private[graft] def repFlags(docs: DataFrame): DataFrame = {
+    val stats = docs
+      .select(col("doc_id"), col("source"),
         graft.plans.RepExprs.repStats(toks,
           graft.plans.NfcExprs.nfcNormalize(col("text"))).as("rs"))
     def share(num: Int, den: Int) =
@@ -800,11 +805,17 @@ object TextOps {
       name -> when(element_at(col("rs"), den + 1) > 0L,
         share(num, den) > lit(thr)).otherwise(lit(false))
     }
-    val pass = fails.map(!_._2).reduce(_ && _)
-    val aggs = sum(when(pass, 1L).otherwise(0L)).as("n_pass") +:
-      fails.map { case (name, f) =>
-        sum(when(f, 1L).otherwise(0L)).as(s"n_fail_$name") }
-    stats.groupBy(col("source"))
+    stats.select(Seq(col("doc_id"), col("source")) ++
+      fails.map { case (name, f) => f.as(s"fail_$name") } :+
+      fails.map(!_._2).reduce(_ && _).as("rep_pass"): _*)
+  }
+
+  def repetitionBattery(spark: SparkSession, dir: String): DataFrame = {
+    val flags = repFlags(Tables.documents(spark, dir))
+    val aggs = sum(when(col("rep_pass"), 1L).otherwise(0L)).as("n_pass") +:
+      repRules.map { case (name, _, _, _) =>
+        sum(when(col(s"fail_$name"), 1L).otherwise(0L)).as(s"n_fail_$name") }
+    flags.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), aggs: _*)
       .orderBy(col("source"))
   }

@@ -1004,6 +1004,16 @@ object StreamOps {
   def qualityFlagStream(spark: SparkSession, docsDir: String): DataFrame =
     qualityFlags(streamDocs(spark, docsDir))
 
+  /** Repetition-battery-at-ingest (q228's twin): the whole Gopher
+    * §A1.1 battery is ONE row-local codegen kernel + flag columns
+    * (TextOps.repFlags — no explode/join/window), so it runs
+    * unchanged on an unbounded frame: every arriving doc is stamped
+    * with its per-rule fail flags and the pass conjunction before it
+    * reaches a shard. Stream == batch doc-for-doc (TextOpsSpec
+    * parity). */
+  def repFlagStream(spark: SparkSession, docsDir: String): DataFrame =
+    graft.operators.TextOps.repFlags(streamDocs(spark, docsDir))
+
   /** Language-ID at ingest (q194's twin): the row-local argmax
     * projection (TextOps.langPredCol — no explode/join/window, so it
     * runs unchanged on an unbounded frame) stamps every arriving doc

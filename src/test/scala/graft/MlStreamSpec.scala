@@ -51,6 +51,29 @@ class MlStreamSpec extends AnyFunSuite {
     assert(nnz.getLong(0) > 0 && nnz.getLong(1) <= 48)
   }
 
+  test("q230 calibration: bins well-formed, counts reconcile with the holdout, ends ordered") {
+    val rows = MlOps.classifierCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(d >= 0L && d <= 9L)
+      val mp = r.getAs[Double]("mean_pred")
+      assert(mp >= d / 10.0 - 1e-9 && mp <= (d + 1) / 10.0 + 1e-9,
+        s"decile $d mean_pred $mp out of bin")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(mp - pr)) <= 2e-6)
+    }
+    // a 0.98-AUC model must separate its extreme bins
+    val byD = rows.sortBy(_.getAs[Long]("decile"))
+    assert(byD.head.getAs[Double]("pos_rate") <= byD.last.getAs[Double]("pos_rate"),
+      "lowest-decile positive rate above highest-decile")
+    // count reconciliation: bin mass == q222's holdout mass
+    val q222 = MlOps.qualityClassifier(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      q222.map(_.getAs[Long]("n_test")).sum)
+  }
+
   test("subword OOV synthesis lands every perturbed probe next to its base word") {
     val out = MlOps.subwordOov(spark, sf).collect()
     assert(out.nonEmpty)

@@ -243,6 +243,28 @@ class TextOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming repetition flags equal the batch projection doc-for-doc") {
+    // q228's twin: the battery is one row-local kernel + flag
+    // columns, so the stream and batch verdicts must be identical
+    val staged = java.nio.file.Files.createTempDirectory("graft_rep_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      staged.resolve("documents.parquet"))
+    val batch = TextOps.repFlags(Tables.documents(spark, sf)).collect()
+      .map(_.toString).toSet
+    val q = graft.streaming.StreamOps.repFlagStream(spark, staged.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rep_flags_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("rep_flags_test").collect()
+        .map(_.toString).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("q220 rule impact: anchored to q72, strictly-tighter containment, real delta") {
     val rows = TextOps.ruleChangeImpact(spark, sf).collect()
     // the CURRENT side must reproduce q72's pass accounting exactly
