@@ -129,6 +129,7 @@ object SparkEntry {
     "q107_gcmc_predict" -> MlOps.gcmcPredict _,
     "q226_gcmc_cold_start" -> MlOps.gcmcColdStart _,
     "q230_classifier_calibration" -> MlOps.classifierCalibration _,
+    "q231_gcmc_features" -> MlOps.gcmcFeatures _,
     "q60_multimodal_meta" -> Multimodal.assetMeta _,
     "q61_multimodal_decode" -> ((s: SparkSession, d: String) => Multimodal.decodeFeatures(s, d)),
     "q62_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),

@@ -1583,14 +1583,15 @@ object MlOps {
   def gcmcColdStart(spark: SparkSession, dir: String): DataFrame =
     experiment(spark, dir, "gcmc_cold_start")(gcmcColdStartRun(spark, dir))
 
-  private def gcmcColdStartRun(spark: SparkSession, dir: String): DataFrame = {
-    val f = gcmcFitFor(spark, dir)
-    val bu = f.bu(spark); val bi = f.bi(spark)
-    val pU = f.pU(spark); val qI = f.qI(spark); val convU = f.convU(spark)
-    val feats = gcmcItemFeatures(spark, dir)
-
-    // --- learn feature→factor + feature→bias maps on WARM items ---
-    val warm = feats.join(qI, Seq("item")).join(bi, Seq("item"))
+  /** The exact least-squares feature→factor / feature→bias maps
+    * learned on WARM items — ONE def shared by the q226 cold-start
+    * prediction and the q231 feature extraction (shared-rule
+    * discipline). Returns (wMap, wBias): wMap(c)(a) is the weight of
+    * feature a for factor component c. */
+  private def gcmcItemMaps(spark: SparkSession, dir: String,
+      f: GcmcFit): (Array[Array[Double]], Array[Double]) = {
+    val warm = gcmcItemFeatures(spark, dir)
+      .join(f.qI(spark), Seq("item")).join(f.bi(spark), Seq("item"))
     val fa = (0 until GcmcFeatDim).map(a => element_at(col("feat"), a + 1))
     val qc = (0 until GcmcRank).map(c =>
       element_at(col("q_i"), c + 1).cast("double"))
@@ -1608,8 +1609,64 @@ object MlOps {
       Array.tabulate(GcmcFeatDim)(a => d(s"x_${a}_$c"))) :+
       Array.tabulate(GcmcFeatDim)(a => d(s"bb_$a"))
     val sols = solveGram(gram, rhs)
-    val wMap = sols.take(GcmcRank) // wMap(c)(a): feature a → factor c
-    val wBias = sols(GcmcRank)
+    (sols.take(GcmcRank), sols(GcmcRank))
+  }
+
+  /** The synthesized-factor column: w·feat as literal arithmetic. */
+  private def gcmcLin(w: Array[Double]) =
+    (0 until GcmcFeatDim).map(a => lit(w(a)) * element_at(col("feat"), a + 1))
+      .reduce(_ + _)
+
+  /** q231: GCMC FEATURE EXTRACTION — the reference's
+    * `get_user_feature` / `get_item_feature` (+ `_with_new_items`)
+    * surface (contrib/model/graph_convolutional_matrix_completion
+    * .py:313-330, tested at test_graph_convolutional_matrix_completion
+    * .py:86/:117): the trained encoder representation served for a
+    * requested roster. User feature = [p_u ∥ conv_u] (the low-rank
+    * embedding plus the per-class neighborhood convolution — the
+    * model's user-side encoder inputs); warm item feature = q_i;
+    * NEW-item feature = the synthesized W·f factors through the
+    * q226 least-squares feature map. Roster-sized → the lever-(j)
+    * experiment registry. */
+  def gcmcFeatures(spark: SparkSession, dir: String): DataFrame =
+    experiment(spark, dir, "gcmc_features")(gcmcFeaturesRun(spark, dir))
+
+  private def gcmcFeaturesRun(spark: SparkSession, dir: String): DataFrame = {
+    val f = gcmcFitFor(spark, dir)
+    val bu = f.bu(spark); val pU = f.pU(spark)
+    val qI = f.qI(spark); val convU = f.convU(spark)
+    val feats = gcmcItemFeatures(spark, dir)
+    val (wMap, _) = gcmcItemMaps(spark, dir, f)
+    val r6 = (v: org.apache.spark.sql.Column) => transform(v, x => round(x, 6))
+    val users = bu.join(pU, Seq("user")).join(convU, Seq("user"))
+      .orderBy(col("user")).limit(4)
+      .select(lit("user").as("kind"), col("user").as("id"),
+        lit(false).as("is_cold"),
+        r6(concat(col("p_u").cast("array<double>"), col("conv_u"))).as("feature"))
+    val warmItems = feats.join(qI, Seq("item"))
+      .orderBy(col("item")).limit(3)
+      .select(lit("item").as("kind"), col("item").as("id"),
+        lit(false).as("is_cold"),
+        r6(col("q_i").cast("array<double>")).as("feature"))
+    val coldItems = feats.orderBy(col("item").desc).limit(3)
+      .select(lit("item").as("kind"),
+        (col("item") + lit(GcmcColdIdOffset)).as("id"),
+        lit(true).as("is_cold"),
+        r6(array((0 until GcmcRank).map(c => gcmcLin(wMap(c))): _*)).as("feature"))
+    users.unionByName(warmItems).unionByName(coldItems)
+      .select(col("kind"), col("id"), col("is_cold"),
+        size(col("feature")).cast("long").as("n_dims"),
+        round(graft.plans.VecExprs.norm(col("feature")), 6).as("l2"),
+        col("feature"))
+      .orderBy(col("kind"), col("id"))
+  }
+
+  private def gcmcColdStartRun(spark: SparkSession, dir: String): DataFrame = {
+    val f = gcmcFitFor(spark, dir)
+    val bu = f.bu(spark); val bi = f.bi(spark)
+    val pU = f.pU(spark); val qI = f.qI(spark); val convU = f.convU(spark)
+    val feats = gcmcItemFeatures(spark, dir)
+    val (wMap, wBias) = gcmcItemMaps(spark, dir, f)
 
     // --- request roster (the reference's predict_with_new_items call
     //     shape): bounded user/item lists ---
@@ -1620,13 +1677,10 @@ object MlOps {
       .orderBy(col("item")).limit(3)
       .select(col("item"), lit(false).as("is_cold"), col("b_i"),
         col("q_i").cast("array<double>").as("q_eff"))
-    def lin(w: Array[Double]) =
-      (0 until GcmcFeatDim).map(a => lit(w(a)) * element_at(col("feat"), a + 1))
-        .reduce(_ + _)
     val coldItems = feats.orderBy(col("item").desc).limit(3)
       .select((col("item") + lit(GcmcColdIdOffset)).as("item"),
-        lit(true).as("is_cold"), lin(wBias).as("b_i"),
-        array((0 until GcmcRank).map(c => lin(wMap(c))): _*).as("q_eff"))
+        lit(true).as("is_cold"), gcmcLin(wBias).as("b_i"),
+        array((0 until GcmcRank).map(c => gcmcLin(wMap(c))): _*).as("q_eff"))
 
     users.crossJoin(warmItems.unionByName(coldItems)) // 4 × 6, both bounded
       .select(col("user"), col("item"), col("is_cold"),

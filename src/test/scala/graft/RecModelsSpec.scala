@@ -238,6 +238,42 @@ class RecModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("gcmc feature extraction: warm features are the trained factors, cold are the LS synthesis") {
+    // the reference's get_user_feature / get_item_feature(_with_new_
+    // items) surface: replay every roster row from the fit artifacts
+    val out = MlOps.gcmcFeatures(spark, sf).collect()
+    assert(out.length == 10) // 4 users + 3 warm + 3 cold items
+    val fit = MlOps.gcmcFitFor(spark, sf)
+    val qI = fit.qI(spark).collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val pUM = fit.pU(spark).collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val convM = fit.convU(spark).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val k = MlOps.GcmcRank
+    out.foreach { r =>
+      val (kind, id, isCold) = (r.getString(0), r.getLong(1), r.getBoolean(2))
+      val got = r.getSeq[Double](5).toArray
+      assert(r.getLong(3) == got.length)
+      kind match {
+        case "user" =>
+          val exp = pUM(id) ++ convM(id)
+          assert(got.length == exp.length &&
+            got.zip(exp).forall { case (a, b) => math.abs(a - b) <= 1e-6 },
+            s"user $id feature mismatch")
+        case "item" if !isCold =>
+          assert(got.zip(qI(id)).forall { case (a, b) => math.abs(a - b) <= 1e-6 },
+            s"warm item $id feature mismatch")
+        case _ =>
+          // cold synthesis is validated end-to-end by the q226 replay
+          // (same wMap); here: right shape, non-degenerate, distinct
+          assert(got.length == k && got.exists(_ != 0.0), s"cold item $id")
+      }
+    }
+    val colds = out.filter(_.getBoolean(2)).map(_.getSeq[Double](5).toSeq)
+    assert(colds.distinct.length == colds.length, "cold features collapsed")
+  }
+
   test("hits: scores non-negative, each side's mass within N units of its target") {
     val rows = operators.GraphOps.hits(spark, SparkTest.sf).collect()
     assert(rows.nonEmpty)
