@@ -72,6 +72,7 @@ object SparkEntry {
     "q73_repetition" -> TextOps.repetition _,
     "q228_repetition_battery" -> TextOps.repetitionBattery _,
     "q229_tokenizer_fertility" -> TextOps.tokenizerFertility _,
+    "q232_bpe_merge_curve" -> TextOps.bpeMergeCurve _,
     "q30_dedup_exact" -> Dedup.exact _,
     // q31 serves the shared disk artifact (== jaccard(s, d) content,
     // written once per session); re-applies the query's deterministic
@@ -160,6 +161,7 @@ object SparkEntry {
     "q92_incremental_funnel" -> CorpusOps.incrementalFunnel _,
     "q109_curated_append" -> CorpusOps.curatedAppend _,
     "q111_mix_weights" -> ((s: SparkSession, d: String) => CorpusOps.mixWeights(s, d)),
+    "q233_temperature_mix" -> CorpusOps.temperatureMix _,
     "q112_mix_apply" -> CorpusOps.mixApply _,
     "q117_mix_admit" -> CorpusOps.mixAdmit _,
     "q113_curated_compact" -> CorpusOps.curatedCompact _,
@@ -997,7 +999,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        list_transform(list_filter(string_split(text, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM documents),
         |c AS (SELECT fp, COUNT(*) AS cluster_size FROM f GROUP BY fp)
@@ -1022,9 +1024,9 @@ object SparkEntry {
         |    CASE WHEN pos >= ${operators.Multimodal.CdcWindow} AND
         |      list_reduce(
         |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(string_split(substr(text,
+        |          list_transform(list_filter(string_split(substr(text,
         |            CAST(pos - ${operators.Multimodal.CdcWindow} + 1 AS BIGINT),
-        |            ${operators.Multimodal.CdcWindow}), ''),
+        |            ${operators.Multimodal.CdcWindow}), ''), fc -> fc != ''),
         |            c -> CAST(ord(c) AS BIGINT))),
         |        (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod})
         |      % ${operators.Multimodal.CdcByteMod} = ${operators.Multimodal.CdcByteRem}
@@ -1043,7 +1045,7 @@ object SparkEntry {
         |  SELECT ch.doc_id, ch.source, ch.chunk_idx, ch.n_bytes,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(substr(d.text, ch.st, ch.n_bytes), ''),
+        |        list_transform(list_filter(string_split(substr(d.text, ch.st, ch.n_bytes), ''), fc -> fc != ''),
         |          c -> CAST(ord(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM ch JOIN d USING (doc_id)),
@@ -1065,7 +1067,7 @@ object SparkEntry {
         |  SELECT d.doc_id, d.source,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(substr(d.text, CAST(u.f * 32 + 1 AS BIGINT), 32), ''),
+        |        list_transform(list_filter(string_split(substr(d.text, CAST(u.f * 32 + 1 AS BIGINT), 32), ''), fc -> fc != ''),
         |          c -> CAST(ord(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fhash
         |  FROM documents d, UNNEST(range(0, len(d.text) // 32, 4)) AS u(f)),
@@ -1116,7 +1118,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        list_transform(list_filter(string_split(text, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM documents),
         |hx AS (
@@ -2073,7 +2075,7 @@ object SparkEntry {
         |  SELECT source, doc_id,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        list_transform(list_filter(string_split(text, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp,
         |    CAST(len(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS BIGINT) AS tok
         |  FROM documents)
@@ -2224,7 +2226,7 @@ object SparkEntry {
         |    len(text) - len(scrubbed) AS chars_removed,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(scrubbed, ''), c -> CAST(ord(c) AS BIGINT))),
+        |        list_transform(list_filter(string_split(scrubbed, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % ${graft.plans.RollingHash.Mod}) AS fp
         |  FROM s)
         |SELECT source, COUNT(*) AS n_docs,
@@ -2385,6 +2387,8 @@ object SparkEntry {
     // (t)) closed per (source, lang) with byte mass — fertility as a
     // raw quotient of exact longs
     "q229_tokenizer_fertility" -> TextOps.tokenizerFertilityOracleSql,
+    "q232_bpe_merge_curve" -> TextOps.bpeMergeCurveOracleSql,
+    "q233_temperature_mix" -> CorpusOps.temperatureMixOracleSql,
     // q212: generated from PackGrid — per-level integer chunk sums in
     // ONE per-source agg, grid union over the aggregated table;
     // efficiency = raw IEEE quotient of exact longs (lever (c))
@@ -3400,7 +3404,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |    list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(string_split(sh, ''), c -> CAST(ord(c) AS BIGINT))),
+       |        list_transform(list_filter(string_split(sh, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
        |      (acc, c) -> (acc * 31 + c) % ${operators.Dedup.minhashP}) AS x
        |  FROM sh),
        |sig AS MATERIALIZED (

@@ -397,7 +397,7 @@ object CorpusOps {
        |  SELECT doc_id, pos, tok,
        |    CASE WHEN list_reduce(
        |        list_prepend(CAST(0 AS BIGINT),
-       |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+       |          list_transform(list_filter(string_split(tok, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
        |        (acc, c) -> (acc * 31 + c) % $mod)
        |      % $CdcMod = $CdcRem THEN 1 ELSE 0 END AS anchor
        |  FROM ${p}tok),
@@ -411,7 +411,7 @@ object CorpusOps {
        |    CAST(COUNT(*) AS BIGINT) AS n_tok,
        |    list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(string_split(string_agg(tok, ' ' ORDER BY pos), ''),
+       |        list_transform(list_filter(string_split(string_agg(tok, ' ' ORDER BY pos), ''), fc -> fc != ''),
        |          c -> CAST(ord(c) AS BIGINT))),
        |      (acc, c) -> (acc * 31 + c) % $mod) AS fp
        |  FROM ${p}cidx GROUP BY doc_id, chunk_idx)""".stripMargin
@@ -1014,6 +1014,88 @@ object CorpusOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("weight"), col("token_target"), col("rate"))
       .orderBy(col("source"))
+  }
+
+  /** q233: TEMPERATURE-SAMPLED source mix — the α-sweep price table
+    * for multinomial temperature sampling, weight_s ∝ n_tokens_s^α
+    * (Conneau & Lample 2019 §3.1; XLM-R/mT5 ship exactly this table
+    * when picking α): per (source, α ∈ {0.25, 0.5, 0.75, 1.0}) the
+    * normalized weight, token target under the shared budget, and
+    * effective epochs (>1 ⇒ the source is UPSAMPLED — the
+    * low-resource repetition cost the knob trades against diversity).
+    * q111's fixed sqrt plan is the α = 0.5 row of this table.
+    *
+    * Cross-engine exactness with NO libm and NO rounding bridges:
+    * the α grid is chosen so every power is composed from IEEE
+    * correctly-rounded ops (lever (x)) — x^0.25 = sqrt(sqrt(x)),
+    * x^0.5 = sqrt(x), x^0.75 = sqrt(x)·sqrt(sqrt(x)) (one multiply
+    * of two exact values), x^1 = x — on int64→double casts, so both
+    * engines hold bit-identical raw weights. The cross-source sum
+    * then goes through lever (w)'s portable quantizer
+    * (floor(w·10⁴ + 0.5) as int64; max w ≈ 10¹³ tokens at 100 TB ⇒
+    * w·10⁴ < 2⁶³, and the α = 1 total is corpus-total-bounded, not
+    * source-count-bounded) — exact integer sums, then single IEEE
+    * divisions for weight/epochs (lever (c)).
+    *
+    * Scale shape: ONE corpus scan (the per-source token rollup);
+    * everything after runs on the |sources|×4 grid with a window
+    * normalizer (lever (g) — no totals self-join). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 100000.0
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text"))).as("n_tokens"))
+    val x = col("n_tokens").cast("double")
+    val powers = Seq(
+      (0.25, sqrt(sqrt(x))),
+      (0.5, sqrt(x)),
+      (0.75, sqrt(x) * sqrt(sqrt(x))),
+      (1.0, x))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("alpha"))
+    per
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        explode(array(powers.map { case (a, p) =>
+          struct(lit(a).as("alpha"), p.as("wr")) }: _*)).as("g"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("g.alpha").as("alpha"),
+        floor(col("g.wr") * lit(10000.0) + lit(0.5)).as("wq"))
+      .withColumn("weight",
+        col("wq").cast("double") / sum(col("wq")).over(w).cast("double"))
+      .withColumn("token_target", floor(lit(budget) * col("weight")))
+      .withColumn("eff_epochs",
+        col("token_target").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("upsampled", col("eff_epochs") > lit(1.0))
+      .select(col("source"), col("alpha"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("token_target"), col("eff_epochs"), col("upsampled"))
+      .orderBy(col("alpha"), col("source"))
+  }
+
+  /** The q233 oracle — the identical IEEE chain spelled in DuckDB;
+    * the power composition is interpolated per α from the SAME grid
+    * so the two sides cannot drift. */
+  private[graft] def temperatureMixOracleSql: String = {
+    val powSql = Map(
+      "0.25" -> "sqrt(sqrt(CAST(n_tokens AS DOUBLE)))",
+      "0.5" -> "sqrt(CAST(n_tokens AS DOUBLE))",
+      "0.75" -> "sqrt(CAST(n_tokens AS DOUBLE)) * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))",
+      "1.0" -> "CAST(n_tokens AS DOUBLE)")
+    val grid = Seq("0.25", "0.5", "0.75", "1.0")
+      .map(a => s"SELECT source, n_docs, n_tokens, CAST($a AS DOUBLE) AS alpha, " +
+        s"CAST(floor(${powSql(a)} * 10000.0 + 0.5) AS BIGINT) AS wq FROM per")
+      .mkString(" UNION ALL ")
+    s"""WITH per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |g AS ($grid),
+       |t AS (SELECT *, CAST(SUM(wq) OVER (PARTITION BY alpha) AS BIGINT) AS totq FROM g),
+       |r AS (SELECT *, CAST(wq AS DOUBLE) / CAST(totq AS DOUBLE) AS weight FROM t),
+       |tt AS (SELECT *, CAST(floor(100000.0 * weight) AS BIGINT) AS token_target FROM r)
+       |SELECT source, alpha, n_docs, n_tokens, weight, token_target,
+       |  CAST(token_target AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS eff_epochs,
+       |  CAST(token_target AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 1.0 AS upsampled
+       |FROM tt ORDER BY alpha, source""".stripMargin
   }
 
   /** q112: the mix EXECUTED — q111's plan applied as deterministic
@@ -2381,7 +2463,7 @@ object CorpusOps {
   private[graft] def dsirOracleSql: String = {
     val b = DsirBuckets
     val hash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split(g, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      "list_transform(list_filter(string_split(g, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * 31 + c) % 1000000007) % $b"
     s"""WITH tok AS (
        |  SELECT doc_id, source, unnest(string_split_regex(trim(nfc_normalize(text)), '\\s+')) AS tok,
@@ -2781,7 +2863,7 @@ object CorpusOps {
       |  SELECT source,
       |    CASE WHEN list_reduce(
       |        list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+      |          list_transform(list_filter(string_split(tok, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
       |        (acc, c) -> (acc * 31 + c) % $mod)
       |      % $CdcMod = $CdcRem THEN 1 ELSE 0 END AS anchor
       |  FROM t0),

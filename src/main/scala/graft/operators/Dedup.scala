@@ -586,7 +586,7 @@ object Dedup {
     import graft.plans.PolySimHash.{BaseHi, BaseLo, HalfMod}
     def foldSql(base: Long) =
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        "list_transform(list_filter(string_split(tok, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))), " +
         s"(a, c) -> (a * $base + c) % $HalfMod)"
     val voteCols = (0 until 64).map { j =>
       val (half, sh) = if (j < 32) ("lo", j) else ("hi", j - 32)

@@ -51,15 +51,22 @@ object TextOps {
     *
     * Output: (step, pair, merged, pair_count) — the merge table a
     * tokenizer ships as its vocab artifact. */
+  /** The symbolized word-frequency table BPE training starts from —
+    * ONE def shared by q115's trainer and q232's merge-budget curve
+    * (shared-rule discipline): (sym, freq), vocab-sized, one corpus
+    * scan. */
+  private def bpeVocab0(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(concat_ws(" ",
+          filter(split(col("word"), ""), c => length(c) > 0)),
+        lit(" </w>")).as("sym"), col("freq"))
+      .repartition(1)
+
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val rows = bpeCache.getOrElseUpdate((spark, dir), {
-      var vocab = Tables.documents(spark, dir)
-        .select(explode(toks).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(concat(concat_ws(" ",
-            filter(split(col("word"), ""), c => length(c) > 0)),
-          lit(" </w>")).as("sym"), col("freq"))
-        .repartition(1)
+      var vocab = bpeVocab0(spark, dir)
         .persist()
       vocab.count()
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -67,9 +74,15 @@ object TextOps {
       var exhausted = false
       while (step <= BpeSteps && !exhausted) {
         val s = split(col("sym"), " ")
+        // A fully-merged word has ONE symbol: sequence(0, -1) would
+        // DESCEND ([0, -1] → element_at(s, 0), an ANSI error), so pair
+        // generation must be empty below 2 symbols — exactly what the
+        // oracle's range(1, len) yields (empty for len = 1).
         val best = vocab
-          .select(explode(transform(sequence(lit(0), size(s) - 2),
-            j => concat(element_at(s, j + 1), lit(" "), element_at(s, j + 2))))
+          .select(explode(when(size(s) >= 2,
+            transform(sequence(lit(0), size(s) - 2),
+              j => concat(element_at(s, j + 1), lit(" "), element_at(s, j + 2))))
+            .otherwise(array()))
             .as("pr"), col("freq"))
           .groupBy(col("pr")).agg(sum(col("freq")).as("c"))
           .orderBy(col("c").desc, col("pr"))
@@ -101,18 +114,25 @@ object TextOps {
     * symbol is `a` and the incoming one is `b`. A just-merged `ab`
     * tail never re-merges (it no longer equals `a`), which is exactly
     * the one-pass BPE application order. Mirrored token-for-token by
-    * the oracle's list_reduce lambda. */
+    * the oracle's list_reduce lambda — including the SEED: DuckDB's
+    * list_reduce starts acc = first element (no sentinel), so the
+    * Spark fold must too. An `acc === ""` not-started sentinel
+    * collides with a legitimately EMPTY first symbol (the '' word's
+    * " </w>" symbolization) and silently drops a piece — found by
+    * the degenerate-corpus full-surface sweep (q118/q229 split while
+    * q115's merge table matched). */
   private def bpeMergeFold(sym: org.apache.spark.sql.Column, a: String,
-      b: String, ab: String): org.apache.spark.sql.Column =
-    aggregate(split(sym, " "), lit(""),
+      b: String, ab: String): org.apache.spark.sql.Column = {
+    val arr = split(sym, " ")
+    aggregate(slice(arr, lit(2), size(arr) - 1), element_at(arr, 1),
       (acc, v) =>
-        when(acc === "", v)
-          .when((acc === a || acc.endsWith(" " + a)) && v === b,
+        when((acc === a || acc.endsWith(" " + a)) && v === b,
             when(acc === a, lit(ab))
               .otherwise(concat(
                 acc.substr(lit(1), length(acc) - lit(a.length + 1)),
                 lit(" " + ab))))
           .otherwise(concat(acc, lit(" "), v)))
+  }
 
   /** q118: THE TRAINED TOKENIZER APPLIED — per-source subword
     * compression stats under q115's merge table. The scale-correct
@@ -237,6 +257,90 @@ object TextOps {
       |    / CAST(CAST(SUM(enc.n_pieces) AS BIGINT) AS DOUBLE) AS bytes_per_piece
       |FROM d JOIN enc ON d.word = enc.word
       |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin
+
+  /** q232: BPE MERGE-BUDGET curve — corpus piece mass, fertility and
+    * compression at EVERY merge level k ∈ 0..BpeSteps from ONE chain
+    * (lever (gg)): level k's mass is the trained fold replayed on
+    * the SAME vocab-sized (sym, freq) table the trainer ran
+    * (bpeVocab0 — one def), weighted by corpus word frequency. This
+    * is the "how many merges do we buy" price table every tokenizer
+    * budget discussion starts from (Sennrich et al. 2016 §5 report
+    * exactly this curve); the reference's train_dictionary.py
+    * analogously exposes its vocab-size knob
+    * (/root/reference/redshells/train/train_dictionary.py:14).
+    *
+    * Scale shape: the corpus contributes ONE word-frequency scan;
+    * the BpeSteps+1 fold levels run on the bounded vocab table and
+    * the final agg is ONE row exploded to BpeSteps+1 output rows.
+    * n_words is level-invariant (merges never change word count), so
+    * fertility_k = pieces_k / n_words and saved_frac_k =
+    * 1 − pieces_k / pieces_0 are raw IEEE quotients of exact longs
+    * (lever (c) — bit-identical cross-engine, no rounding). Oracle:
+    * generated from the SAME chain (bpeMergeCurveOracleSql), so every
+    * level's mass — i.e. every merge decision's corpus-wide effect —
+    * is value-checked. */
+  def bpeMergeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var v = bpeVocab0(spark, dir)
+      .withColumn("p0", size(split(col("sym"), " ")).cast("long"))
+    merges.zipWithIndex.foreach { case ((pr, ab), i) =>
+      val Array(a, b) = pr.split(" ", 2)
+      v = v.withColumn("sym", bpeMergeFold(col("sym"), a, b, ab))
+        .withColumn(s"p${i + 1}", size(split(col("sym"), " ")).cast("long"))
+    }
+    val levels = 0 to merges.length
+    val aggCols = sum(col("freq")).as("n_words") +:
+      levels.map(k => sum(col(s"p$k") * col("freq")).as(s"pieces_$k"))
+    v.agg(aggCols.head, aggCols.tail: _*)
+      .select(col("n_words"), col("pieces_0"),
+        explode(array(levels.map(k =>
+          struct(lit(k.toLong).as("step"),
+            col(s"pieces_$k").as("n_pieces"))): _*)).as("lv"))
+      .select(col("lv.step").as("step"), col("n_words"),
+        col("lv.n_pieces").as("n_pieces"),
+        (col("lv.n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (lit(1.0) - col("lv.n_pieces").cast("double")
+          / col("pieces_0").cast("double")).as("saved_frac"))
+      .orderBy(col("step"))
+  }
+
+  /** The q232 oracle, generated from the same constants as
+    * bpeOracleSql's chain — with `AS MATERIALIZED` levels (lever
+    * (l)): each v_i here has THREE consumers (p_{i+1}, v_{i+1}, its
+    * own level rollup), so an inlined chain re-evaluates its prefix
+    * exponentially. */
+  private[graft] def bpeMergeCurveOracleSql: String = {
+    val mergeLambda = bpeMergeLambdaSql
+    val blocks = scala.collection.mutable.ArrayBuffer(
+      """v0 AS MATERIALIZED (
+        |  SELECT array_to_string(string_split(word,''), ' ') || ' </w>' AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS word FROM documents)
+        |  GROUP BY 1)""".stripMargin)
+    for (i <- 1 to BpeSteps) {
+      blocks += s"""p$i AS (
+        |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(string_split(sym,' '))),
+        |      j -> string_split(sym,' ')[j] || ' ' || string_split(sym,' ')[j+1])) AS pr, freq
+        |    FROM v${i - 1}) GROUP BY pr)""".stripMargin
+      blocks += s"b$i AS (SELECT pr, c FROM p$i ORDER BY c DESC, pr LIMIT 1)"
+      blocks += s"v$i AS MATERIALIZED (SELECT $mergeLambda AS sym, freq FROM v${i - 1}, b$i)"
+    }
+    val union = (0 to BpeSteps)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, " +
+        s"CAST(SUM(freq * len(string_split(sym,' '))) AS BIGINT) AS n_pieces FROM v$i")
+      .mkString(" UNION ALL ")
+    "WITH " + blocks.mkString(",\n") + s""",
+      |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+      |  CAST(SUM(freq * len(string_split(sym,' '))) AS BIGINT) AS p0 FROM v0),
+      |lv AS ($union)
+      |SELECT lv.step, tot.n_words, lv.n_pieces,
+      |  CAST(lv.n_pieces AS DOUBLE) / CAST(tot.n_words AS DOUBLE) AS fertility,
+      |  1.0 - CAST(lv.n_pieces AS DOUBLE) / CAST(tot.p0 AS DOUBLE) AS saved_frac
+      |FROM lv, tot ORDER BY lv.step""".stripMargin
+  }
 
   /** The shared merge-apply lambda fragment of both generated
     * oracles. */
@@ -1279,7 +1383,7 @@ object TextOps {
       |  CAST(SUM(len(text)) - SUM(len(norm)) AS BIGINT) AS cp_saved,
       |  CAST(SUM(list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(norm, ''), c -> CAST(ord(c) AS BIGINT))),
+      |      list_transform(list_filter(string_split(norm, ''), fc -> fc != ''), c -> CAST(ord(c) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % $mod)) % $mod AS BIGINT) AS norm_checksum
       |FROM n GROUP BY source ORDER BY source""".stripMargin
   }

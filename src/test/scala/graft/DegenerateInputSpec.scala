@@ -97,4 +97,33 @@ class DegenerateInputSpec extends AnyFunSuite {
     val solo = q24.filter(col("doc_id") === 9003L).collect()
     assert(solo.length == 1 && solo.head.getAs[String]("term") == "solitary")
   }
+
+  test("BPE trainer + consumers survive fully-merged and EMPTY words (round-8 sweep bugs)") {
+    val dir = plantedDir
+    // Bug A: pair generation must be EMPTY below 2 symbols — a
+    // descending sequence(0, -1) hits element_at(s, 0), an ANSI
+    // error, the moment any vocab word fully merges. Training on the
+    // planted corpus exercises the guard.
+    val merges = SparkEntry.queries("q115_bpe_train")(spark, dir)
+    assert(merges.count() > 0, "BPE training produced no merges")
+
+    // Bug B (fold-seed contract): DuckDB's list_reduce seeds acc with
+    // the FIRST element; an `acc === ""` not-started sentinel in the
+    // Spark fold collides with the '' word's legitimately-empty first
+    // symbol (" </w>" → ["", "</w>"]) and silently drops a piece.
+    // Pin: the empty word costs exactly 2 pieces in BOTH engines.
+    val empties = operators.TextOps.bpePieces(spark, dir)
+      .filter(col("word") === "").collect()
+    assert(empties.length == 1, s"expected one '' vocab row, got ${empties.length}")
+    assert(empties.head.getAs[Long]("n_pieces") == 2L,
+      s"'' word pieces = ${empties.head.getAs[Long]("n_pieces")} (want 2: ['', '</w>'])")
+
+    // and the consumers roll it up without crashing
+    val enc = SparkEntry.queries("q118_bpe_encode")(spark, dir)
+      .filter(col("source") === "degenerate").collect()
+    assert(enc.length == 1 && enc.head.getAs[Long]("n_words") == 10L,
+      s"degenerate encode rollup: ${enc.toSeq}")
+    assert(SparkEntry.queries("q229_tokenizer_fertility")(spark, dir)
+      .filter(col("source") === "degenerate").count() == 1L)
+  }
 }

@@ -35,6 +35,28 @@ class OracleDisciplineSpec extends AnyFunSuite {
     assert(n >= 40, s"expected >=40 NFC-fronted tokenizer fragments, found $n")
   }
 
+  test("every char-fold feeds ord() only through the empty-char guard") {
+    // DuckDB: string_split('', '') = [''] and ord('') = -1, so a raw
+    // list_transform(string_split(x, ''), c -> ord(c)) poisons the
+    // poly-31 fold on EMPTY strings (-1 vs the Spark kernel's 0 —
+    // found by the round-8 degenerate full-surface sweep: q26/q171/
+    // q175/q182/q193 split). The canonical spelling wraps the split
+    // in list_filter(..., fc -> fc != '') — a no-op on every
+    // non-empty string, identity 0 on the empty one, matching the
+    // Spark fold over zero chars. This pins the spelling so a new
+    // fragment written without the guard fails the suite.
+    val offenders = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+      val flat = sql.replaceAll("\\s+", " ")
+      if (flat.contains("list_transform(string_split(")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"oracle char-folds missing the empty-char guard: ${offenders.mkString(", ")}")
+    val guarded = SparkEntry.oracleSql.values.count(
+      _.replaceAll("\\s+", " ")
+        .contains("list_transform(list_filter(string_split("))
+    assert(guarded >= 12, s"expected >=12 guarded char-folds, found $guarded")
+  }
+
   test("every click-payload extraction is THE canonical fragment (no copy drift)") {
     // the item rule mirrors WordItemApp.itemFromProps (get_json_object
     // '$.k'); its SQL mirror appears in several oracles as a literal —

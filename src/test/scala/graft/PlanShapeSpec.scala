@@ -693,4 +693,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p218.contains("Join"), p218)
     assert(!p218.contains("Window"), p218)
   }
+
+  test("round-16 knob cards: one-scan curves, window normalizer, no joins") {
+    // q232: the whole merge-budget curve costs ONE corpus scan (the
+    // vocab word count); the BpeSteps+1 fold levels live on the
+    // bounded vocab table — no join, no window anywhere
+    val p232 = plan(TextOps.bpeMergeCurve(spark, sf))
+    assert(!p232.contains("Join"), p232)
+    assert(!p232.contains("Window"), p232)
+    assert("Scan parquet".r.findAllIn(p232).length == 1, p232)
+    // q233: one corpus scan; the per-α normalizer is a WINDOW over
+    // the |sources|×4 grid (lever (g)) — a totals self-join would
+    // re-derive the corpus rollup per consumer
+    val p233 = plan(operators.CorpusOps.temperatureMix(spark, sf))
+    assert(!p233.contains("Join"), p233)
+    assert(p233.contains("Window"), p233)
+    assert("Scan parquet".r.findAllIn(p233).length == 1, p233)
+  }
 }

@@ -50,8 +50,11 @@ def main() -> int:
     base = con.execute(
         f"SELECT max(doc_id) FROM read_parquet('{src}/documents.parquet')"
     ).fetchone()[0]
+    # E'...' escape-string literals: a plain SQL literal would plant
+    # LITERAL backslash-n bytes instead of newlines (found round 8 —
+    # the whitespace-mix row was silently a 2-word backslash doc)
     rows = ",\n".join(
-        f"({base + 1 + i}, {text!r}, 'en', 'degenerate', {len(text)})"
+        f"({base + 1 + i}, E{text!r}, 'en', 'degenerate', {len(text)})"
         for i, (_, text) in enumerate(DEGENERATE))
     con.execute(f"""
         COPY (
