@@ -91,6 +91,7 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("vec_a"),
           org.apache.spark.sql.functions.col("vec_b"))),
     "q35_dedup_clusters" -> Dedup.clusters _,
+    "q234_cluster_size_dist" -> Dedup.clusterSizeDist _,
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
     "q116_knn_sq8" -> SimilaritySearch.knnSq8 _,
     "q120_range_search" -> ((s: SparkSession, d: String) => SimilaritySearch.rangeSearch(s, d)),
@@ -244,6 +245,7 @@ object SparkEntry {
     "q206_contam_sensitivity" -> CorpusOps.contamSensitivity _,
     "q207_embed_separation" -> SimilaritySearch.embedSeparation _,
     "q208_store_growth" -> graft.sources.Sources.storeGrowth _,
+    "q235_store_quality_drift" -> graft.sources.Sources.storeQualityDrift _,
     "q209_hard_negatives" -> SimilaritySearch.hardNegatives _,
     "q210_label_vote" -> SimilaritySearch.labelVote _,
     "q211_review_queue" -> TextOps.reviewQueue _,
@@ -1240,41 +1242,8 @@ object SparkEntry {
     // min-label-propagation fixpoint is expressed as a recursive CTE
     // (label set per node = labels reachable via any path; component
     // id = MIN) — exact, so the cluster table is hash-checkable
-    "q35_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS tok,
-        |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\s+'), 1) AS ord
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
-        |    SELECT doc_id, tok,
-        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
-        |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
-        |    FROM tok) WHERE lead2 IS NOT NULL),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT doc_a, doc_b
-        |  FROM cand
-        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
-        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
-        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM jac
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM jac),
-        |cc(id, label) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
-        |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id)
-        |SELECT cluster_id, COUNT(*) AS cluster_size,
-        |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-        |FROM lab GROUP BY cluster_id
-        |ORDER BY cluster_id""".stripMargin,
+    "q35_dedup_clusters" -> Dedup.clustersOracleSql,
+    "q234_cluster_size_dist" -> Dedup.clusterSizeDistOracleSql,
     "q40_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
@@ -2372,6 +2341,7 @@ object SparkEntry {
     // q208: live states re-derived from the raw corpus with the
     // store's %-rules (q168's pattern); deltas via LAG over 3 rows
     "q208_store_growth" -> graft.sources.Sources.storeGrowthOracleSql,
+    "q235_store_quality_drift" -> graft.sources.Sources.storeQualityDriftOracleSql,
     // q209/q210: one shared labeled-kNN CTE front (q40's verified
     // cosine fold + labels); rank stated as windows (lever (h))
     "q209_hard_negatives" -> SimilaritySearch.hardNegativesOracleSql,

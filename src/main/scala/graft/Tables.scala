@@ -43,4 +43,26 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** A PARTITIONED parquet sink that cannot VANISH when the frame is
+    * empty. Dynamic partitioning creates files lazily per partition
+    * VALUE, so an empty frame writes ZERO files and the read-back
+    * fails schema inference — found by the round-8 empty-corpus
+    * sweep: every partitionBy commit/sink broke this way (plain
+    * writes are safe — Spark's empty-schema-file handling covers
+    * them). (Delta keeps the schema in its log; this is the
+    * files-only reduction of that guarantee: an empty commit still
+    * leaves one schema-bearing file.) The empty branch writes the
+    * frame minus the partition column into a SENTINEL partition dir
+    * (`version=0` / `source=__schema__` — a zero-row partition value
+    * is invisible to every reader, and the sentinel must parse as
+    * the partition column's type or the column type flips to
+    * string). Hot path untouched — the isEmpty probe short-circuits
+    * at the first row. */
+  def writePartitionedKeepSchema(df: DataFrame, mode: String,
+      partCol: String, sentinel: String, path: String): Unit =
+    if (df.isEmpty)
+      df.drop(partCol).repartition(1)
+        .write.mode(mode).parquet(s"$path/$partCol=$sentinel")
+    else df.write.mode(mode).partitionBy(partCol).parquet(path)
 }

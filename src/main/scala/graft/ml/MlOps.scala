@@ -268,6 +268,11 @@ object MlOps {
   private def ldaModels(spark: SparkSession, dir: String) =
     ldaCache.getOrElseUpdate((spark, dir), {
       val docs = tokenized(spark, dir)
+      // loud empty-fit contract (the empty-corpus sweep turned this
+      // into an opaque `head of empty array` deep in MLlib; gensim's
+      // trainer raises on an empty corpus too — make_empty.py)
+      require(!docs.isEmpty,
+        "LDA fit (q51/q59): empty fit input — a zero-doc corpus cannot train topics")
       val cv = new CountVectorizer()
         .setInputCol("tokens").setOutputCol("features")
         .setMinDF(5).setVocabSize(1000)
@@ -550,6 +555,11 @@ object MlOps {
       val train = seed
         .filter(pmod(col("doc_id"), lit(5)) =!= 0)
         .repartition(1)
+      // loud empty-fit contract (otherwise an opaque "Nothing has
+      // been added to this summarizer" — the empty-corpus sweep
+      // class, make_empty.py)
+      require(!train.isEmpty,
+        "quality-filter fit (q222/q223/q230): empty train slice — the q215 seed set is empty")
       new LogisticRegression().setMaxIter(20).setRegParam(0.01).fit(train)
     })
 

@@ -961,10 +961,10 @@ object CorpusOps {
       // silently share (and cross-clobber) one sink path
       val path = s"/tmp/graft_curated_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      funnelFlags(spark, dir)
+      graft.Tables.writePartitionedKeepSchema(funnelFlags(spark, dir)
         .filter(col("sampled"))
-        .select(col("doc_id"), col("lang"), col("n_words"), col("source"))
-        .write.mode("overwrite").partitionBy("source").parquet(path)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("source")),
+        "overwrite", "source", "__schema__", path)
       path
     })
     spark.read.parquet(out)
@@ -1299,10 +1299,10 @@ object CorpusOps {
     val out = appendDirCache.getOrElseUpdate((spark, dir), {
       val path = s"/tmp/graft_curated_append_${graft.SessionRegistry.sessionToken(spark)}_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      funnelFlags(spark, dir)
+      graft.Tables.writePartitionedKeepSchema(funnelFlags(spark, dir)
         .filter(col("sampled") && !batchPredicate())
-        .select(col("doc_id"), col("lang"), col("n_words"), col("source"))
-        .write.mode("overwrite").partitionBy("source").parquet(path)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("source")),
+        "overwrite", "source", "__schema__", path)
       incrementalOutcomes(spark, dir, PipelineConfig.default)
         .filter(col("outcome") === "admitted")
         .join(Tables.documents(spark, dir)
@@ -1351,9 +1351,9 @@ object CorpusOps {
     val src = appendDirCache.get((spark, dir)).get
     val out = compactDirCache.getOrElseUpdate((spark, dir), {
       val path = src + "_compact"
-      spark.read.parquet(src)
-        .repartition(col("source"))
-        .write.mode("overwrite").partitionBy("source").parquet(path)
+      graft.Tables.writePartitionedKeepSchema(
+        spark.read.parquet(src).repartition(col("source")),
+        "overwrite", "source", "__schema__", path)
       path
     })
     spark.read.parquet(out)
@@ -1869,7 +1869,15 @@ object CorpusOps {
         xxhash64(Dedup.normText).as("h64"), md5(Dedup.normText).as("h"))
         .persist()
       val n = s.count() // materializes the one store scan
-      (s, s.stat.bloomFilter("h64", math.max(n, 1L), fpp))
+      // an EMPTY store must yield an explicit empty bloom: the
+      // zero-row stat.bloomFilter aggregate returns a filter with a
+      // null bit buffer that NPEs inside the codegen probe (the
+      // empty-corpus sweep class); an empty created bloom answers
+      // false everywhere — correct, nothing can be a store dup
+      val bloom =
+        if (n == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+        else s.stat.bloomFilter("h64", n, fpp)
+      (s, bloom)
     })
     val batch = docs.filter(isBatch).select(
       col("doc_id"),
@@ -2934,8 +2942,12 @@ object CorpusOps {
       .join(hits, Seq("n"), "left")
       .na.fill(0L, Seq("n_eval_grams", "n_flagged_docs", "total_hits"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train_docs"))))
+      // lazily-evaluated zero-denominator guard (ANSI division — an
+      // EMPTY train slice must yield NULL, not DIVIDE_BY_ZERO; the
+      // empty-corpus sweep class, mirrored in the oracle)
       .withColumn("flag_rate",
-        col("n_flagged_docs").cast("double") / col("n_train_docs").cast("double"))
+        when(col("n_train_docs") =!= 0L,
+          col("n_flagged_docs").cast("double") / col("n_train_docs").cast("double")))
       .orderBy(col("n"))
   }
 
@@ -2974,7 +2986,9 @@ object CorpusOps {
        |$blocks
        |SELECT u.n, u.n_eval_grams, u.n_flagged_docs, u.total_hits,
        |  ntr.n_train_docs,
-       |  CAST(u.n_flagged_docs AS DOUBLE) / CAST(ntr.n_train_docs AS DOUBLE) AS flag_rate
+       |  CASE WHEN ntr.n_train_docs != 0 THEN
+       |    CAST(u.n_flagged_docs AS DOUBLE) / CAST(ntr.n_train_docs AS DOUBLE)
+       |  END AS flag_rate
        |FROM ($unions) u CROSS JOIN ntr
        |ORDER BY u.n""".stripMargin
   }

@@ -837,6 +837,119 @@ object Dedup {
         concat_ws(",", col("members")).as("members"))
       .orderBy(col("cluster_id"))
 
+  /** q234: CLUSTER-SIZE DISTRIBUTION of the near-dup graph — per
+    * size: cluster count, doc mass, docs a keep-one rule removes,
+    * and the corpus fraction, INCLUDING the size-1 row (docs in no
+    * cluster). The power-law audit every dedup report leads with
+    * (Lee et al. 2021 §4 bucket duplicates by cluster size before
+    * deciding policy): a removal mass dominated by a few mega-
+    * clusters is a template/boilerplate symptom with a different fix
+    * (q94) than a long tail of pairs, and the singleton row is the
+    * denominator that makes "X% of the corpus is near-duplicated"
+    * honest.
+    *
+    * Scale shape: rides the q35 cluster DISK artifact (dup-rate-
+    * bounded — no corpus pass beyond the 1-row total count); the
+    * distribution is a |distinct sizes|-row agg, the normalizer an
+    * unpartitioned window over it (bounded-survivor class), the
+    * singleton row a scalar cross of two 1-row aggs (the q213
+    * shape). Counts exact longs; corpus_frac = one IEEE division
+    * (lever (c)). Oracle: q35's verified recursive chain closed by
+    * the size histogram (lever (ff) — whole fragment as a derived
+    * producer), so every cluster boundary behind the card is
+    * value-checked. */
+  def clusterSizeDist(spark: SparkSession, dir: String): DataFrame = {
+    val dist = clusters(spark, dir)
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1L).as("n_removed"))
+    val singletons = graft.Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(
+        dist.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_clustered"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"),
+        lit(0L).as("n_removed"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist.unionByName(singletons)
+      // zero-denominator guard: an EMPTY corpus has total 0 (ANSI
+      // errors on double x/0 too — the empty-corpus sweep class)
+      .withColumn("corpus_frac",
+        when(sum(col("n_docs")).over(w) =!= 0L,
+          col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double")))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** The verified q35 cluster chain (shingle → Jaccard ≥ 0.5 →
+    * symmetric edges → recursive reachable-label closure → min-label
+    * per id) as a shared WITH-prefix (lever (t)): ONE producer, two
+    * consumers — q35's member rollup and q234's size histogram. */
+  private[graft] def clusterChainSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(nfc_normalize(text)), '\s+')) AS tok,
+      |         generate_subscripts(string_split_regex(trim(nfc_normalize(text)), '\s+'), 1) AS ord
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok || ' ' || lead1 || ' ' || lead2 AS sh FROM (
+      |    SELECT doc_id, tok,
+      |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lead1,
+      |      LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lead2
+      |    FROM tok) WHERE lead2 IS NOT NULL),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b
+      |  FROM cand
+      |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+      |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM jac
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM jac),
+      |cc(id, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, cc.label FROM edges e JOIN cc ON e.dst = cc.id),
+      |lab AS (SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id)""".stripMargin
+
+  /** The q35 oracle: the shared chain closed by the member rollup. */
+  private[graft] def clustersOracleSql: String =
+    clusterChainSql + """
+      |SELECT cluster_id, COUNT(*) AS cluster_size,
+      |  STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      |FROM lab GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
+
+  /** The q234 oracle: the SAME chain closed by the size histogram +
+    * the singleton row + the window normalizer. */
+  private[graft] def clusterSizeDistOracleSql: String =
+    clusterChainSql + """,
+      |cl AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM lab GROUP BY cluster_id),
+      |dist AS (
+      |  SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |    CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(SUM(sz - 1) AS BIGINT) AS n_removed
+      |  FROM cl GROUP BY sz),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |clu AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS c FROM dist),
+      |s1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS cluster_size, tot.n - clu.c AS n_clusters,
+      |    tot.n - clu.c AS n_docs, CAST(0 AS BIGINT) AS n_removed
+      |  FROM tot, clu),
+      |u AS (SELECT * FROM dist UNION ALL SELECT * FROM s1)
+      |SELECT cluster_size, n_clusters, n_docs, n_removed,
+      |  CASE WHEN CAST(SUM(n_docs) OVER () AS BIGINT) != 0 THEN
+      |    CAST(n_docs AS DOUBLE) / CAST(CAST(SUM(n_docs) OVER () AS BIGINT) AS DOUBLE)
+      |  END AS corpus_frac
+      |FROM u ORDER BY cluster_size""".stripMargin
+
   /** q172: cross-source DUPLICATE-FLOW matrix — which sources share
     * near-duplicate content with which (the corpus-governance
     * diagnostic behind source-level dedup budgeting and "is source X

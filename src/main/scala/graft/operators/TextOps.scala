@@ -769,18 +769,24 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** The four signal EXPRESSIONS over a `toks` list — the one SQL
+    * body every Gopher-signal CTE instantiates (q72's chain below,
+    * q235's per-version store states). */
+  private[graft] val gopherSignalExprsSql: String =
+    """CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+      |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds""".stripMargin
+
   /** The per-doc Gopher SIGNAL CTE chain (t → d, doc_id carried) —
     * the rule-free prefix of [[gopherDocCteSql]]; q220's A/B report
     * evaluates TWO bound sets over the same `d`. */
   private[graft] def gopherSignalCteSql: String =
-    """t AS (
-      |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\s+') AS toks FROM documents),
+    s"""t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM documents),
       |d AS (
       |  SELECT doc_id, source,
-      |    CAST(len(toks) AS BIGINT) AS n_words,
-      |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_wlen,
-      |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
-      |    len(list_filter(['the','a','of','and','to','in','is'], s -> list_contains(toks, s))) AS n_stop_kinds
+      |    $gopherSignalExprsSql
       |  FROM t)""".stripMargin
 
   /** The four rule predicates at (minWords, ttrMin) — the SQL mirror

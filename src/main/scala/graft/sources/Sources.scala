@@ -135,10 +135,14 @@ object Sources {
       // src_version rides in the PAYLOAD too (== the partition value
       // at commit time): after a vacuum collapses old partitions into
       // a checkpoint, it is what keeps since_version byte-stable
+      // keep-schema sink: an EMPTY commit must still leave a schema-
+      // bearing file or every later read of the store fails (the
+      // empty-corpus sweep class; sentinel version=0 < every commit)
       def commit(v: Int, df: DataFrame): Unit =
-        df.withColumn("src_version", lit(v.toLong))
-          .withColumn("version", lit(v.toLong))
-          .write.mode("append").partitionBy("version").parquet(base)
+        graft.Tables.writePartitionedKeepSchema(
+          df.withColumn("src_version", lit(v.toLong))
+            .withColumn("version", lit(v.toLong)),
+          "append", "version", "0", base)
       commit(1, docs.select(col("doc_id"), col("text"), lit("upsert").as("op")))
       commit(2, docs.filter(col("doc_id") % 17 === 3)
         .select(col("doc_id"), lit("").as("text"), lit("delete").as("op"))
@@ -213,15 +217,16 @@ object Sources {
       val src = spark.read.parquet(versionedStore(spark, dir))
       val base = stagingDir("vacuumed", dir) +
         s"_h${horizon}_" + graft.SessionRegistry.sessionToken(spark)
-      lwwRows(src, horizon)
+      graft.Tables.writePartitionedKeepSchema(lwwRows(src, horizon)
         .filter(col("op") === "upsert") // tombstone removal
         .select(col("doc_id"), col("text"), col("op"), col("src_version"),
-          lit(horizon.toLong).as("version"))
-        .write.mode("append").partitionBy("version").parquet(base)
-      src.filter(col("version") > horizon.toLong)
-        .select(col("doc_id"), col("text"), col("op"), col("src_version"),
-          col("version"))
-        .write.mode("append").partitionBy("version").parquet(base)
+          lit(horizon.toLong).as("version")),
+        "append", "version", "0", base)
+      graft.Tables.writePartitionedKeepSchema(
+        src.filter(col("version") > horizon.toLong)
+          .select(col("doc_id"), col("text"), col("op"), col("src_version"),
+            col("version")),
+        "append", "version", "0", base)
       base
     })
 
@@ -329,10 +334,10 @@ object Sources {
       val src = spark.read.parquet(versionedStore(spark, dir))
       val base = stagingDir("erased", dir) +
         "_" + graft.SessionRegistry.sessionToken(spark)
-      src.filter(!isForgotten)
+      graft.Tables.writePartitionedKeepSchema(src.filter(!isForgotten)
         .select(col("doc_id"), col("text"), col("op"), col("src_version"),
-          col("version"))
-        .write.mode("append").partitionBy("version").parquet(base)
+          col("version")),
+        "append", "version", "0", base)
       base
     })
 
@@ -457,6 +462,94 @@ object Sources {
       .withColumn("tokens_delta",
         col("live_tokens") - lag(col("live_tokens"), 1).over(w))
       .orderBy(col("version"))
+  }
+
+  /** q235: STORE QUALITY DRIFT — the Gopher pass rate of the LIVE
+    * corpus state at every commit version: the release-gate card a
+    * dataset ships between versions ("did v2's revisions regress
+    * quality?") — the lakehouse × quality-rule composition (the
+    * reference's pipeline re-runs its filter task per dataset
+    * version through gokart; here the audit reads the store's own
+    * commits). Rules are THE shared Gopher defs (q72's signal
+    * columns, rule columns and pass conjunction — one def).
+    *
+    * Scale shape: ONE store scan — signals are computed once per
+    * COMMIT ROW (row-local), and the live winner at each version is
+    * q208's map_from_entries + coalesce(element_at(m, v..1)) chain
+    * over the per-doc commit map, so the naive |versions| LWW
+    * re-scans never happen; the rollup is a |versions|-row explode.
+    * pass_rate = one IEEE division of exact longs (lever (c)).
+    * Oracle: per-version live states derived from the raw corpus
+    * with the store's %-rules (the verified q164/q168 pattern)
+    * through the SAME generated signal/rule fragments (lever (t)). */
+  def storeQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val store = spark.read.parquet(versionedStore(spark, dir))
+    val versions = (1 to StoreVersions).map(_.toLong)
+    val sig = store.select(Seq(col("doc_id"),
+      col("version").cast("long").as("version"), col("op")) ++
+      graft.operators.TextOps.gopherSignalCols: _*)
+    val flags = sig.select(col("doc_id"), col("version"),
+      struct(col("op") +: graft.operators.TextOps.gopherRuleCols: _*).as("e"))
+    val perDoc = flags.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("version"), col("e"))))
+        .as("m"))
+    val liveCols = versions.map { v =>
+      val winner = coalesce((v to 1L by -1L).map(u =>
+        element_at(col("m"), lit(u))): _*)
+      val isLive = winner.getField("op") === "upsert"
+      struct(
+        when(isLive, 1L).otherwise(0L).as("live"),
+        when(isLive && winner.getField("words_ok") && winner.getField("wlen_ok")
+          && winner.getField("ttr_ok") && winner.getField("stop_ok"), 1L)
+          .otherwise(0L).as("pass")).as(s"v$v")
+    }
+    val aggs = versions.flatMap(v => Seq(
+      sum(col(s"v$v.live")).as(s"d$v"), sum(col(s"v$v.pass")).as(s"p$v")))
+    perDoc.select(liveCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(versions.map(v => struct(
+        lit(v).as("version"),
+        col(s"d$v").cast("long").as("n_docs"),
+        col(s"p$v").cast("long").as("n_pass"))): _*)).as("r"))
+      .select(col("r.version"), col("r.n_docs"), col("r.n_pass"))
+      .withColumn("pass_rate",
+        when(col("n_docs") > 0L,
+          col("n_pass").cast("double") / col("n_docs").cast("double")))
+      .orderBy(col("version"))
+  }
+
+  /** The q235 oracle — the three live states from the store's
+    * %-rules, each through the SAME generated Gopher signal/rule
+    * fragments. */
+  private[graft] def storeQualityDriftOracleSql: String = {
+    val (w, ml, tr, st) = graft.operators.TextOps
+      .gopherRulePredsSql(graft.operators.TextOps.GopherMinWords,
+        graft.operators.TextOps.GopherTtrMin)
+    val pass = "words_ok AND wlen_ok AND ttr_ok AND stop_ok"
+    s"""WITH u AS (
+       |  SELECT CAST(1 AS BIGINT) AS version, doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), doc_id,
+       |    CASE WHEN doc_id % 13 = 1 THEN text || ' rev' ELSE text END
+       |  FROM documents WHERE doc_id % 17 <> 3
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), doc_id,
+       |    CASE WHEN doc_id % 17 = 3 THEN text || ' back'
+       |         WHEN doc_id % 13 = 1 THEN text || ' rev'
+       |         ELSE text END
+       |  FROM documents),
+       |t AS (SELECT version, string_split_regex(trim(nfc_normalize(text)), '\\s+') AS toks FROM u),
+       |d AS (SELECT version,
+       |    ${graft.operators.TextOps.gopherSignalExprsSql}
+       |  FROM t),
+       |r AS (SELECT version, $w AS words_ok, $ml AS wlen_ok, $tr AS ttr_ok, $st AS stop_ok FROM d)
+       |SELECT version, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN $pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CASE WHEN COUNT(*) > 0 THEN
+       |    CAST(CAST(SUM(CASE WHEN $pass THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE)
+       |  END AS pass_rate
+       |FROM r GROUP BY version ORDER BY version""".stripMargin
   }
 
   /** The q208 oracle — live states re-derived from the raw corpus
