@@ -459,7 +459,18 @@ object MlOps {
   def fmRegression(spark: SparkSession, dir: String): DataFrame =
     experiment(spark, dir, "q53")(fmRegressionRun(spark, dir))
 
+  /** Uniform loud empty-fit guard for the embeddings-backed
+    * experiment runs — otherwise an empty corpus surfaces as opaque
+    * MLlib internals ("Nothing has been added to this summarizer",
+    * "head of empty array", a mid-job task failure); the reference's
+    * trainers raise on empty fit input too (empty-corpus contract,
+    * tools/make_empty.py). */
+  private def requireFit(spark: SparkSession, dir: String, what: String): Unit =
+    require(!Tables.embeddings(spark, dir).isEmpty,
+      s"$what: empty embeddings fit input")
+
   private def fmRegressionRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "FM regression fit (q53)")
     val data = Tables.embeddings(spark, dir)
       .select(array_to_vector(col("embedding")).as("features"),
         col("label").cast("double").as("label"),
@@ -485,6 +496,7 @@ object MlOps {
     experiment(spark, dir, "q58")(binaryClassifyRun(spark, dir))
 
   private def binaryClassifyRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "binary classification fit (q58)")
     import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
     val data = Tables.embeddings(spark, dir)
       .select(array_to_vector(col("embedding")).as("features"),
@@ -675,6 +687,7 @@ object MlOps {
     experiment(spark, dir, "q54")(classifyRun(spark, dir))
 
   private def classifyRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "classification fit (q54)")
     val data = Tables.embeddings(spark, dir)
       .select(array_to_vector(col("embedding")).as("features"),
         col("label").cast("double").as("label"), col("vec_id"))
@@ -701,6 +714,7 @@ object MlOps {
     experiment(spark, dir, "q43")(pairwiseSimilarityRun(spark, dir))
 
   private def pairwiseSimilarityRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "pairwise-similarity fit (q43)")
     val emb = Tables.embeddings(spark, dir)
     // bucket count scales with the corpus (expected width stays
     // bounded — see Pairing); == 25 at every test SF
@@ -833,6 +847,7 @@ object MlOps {
     experiment(spark, dir, "q57")(cvTuningRun(spark, dir))
 
   private def cvTuningRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "CV tuning fits (q57)")
     import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
     import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
     import spark.implicits._
@@ -874,6 +889,7 @@ object MlOps {
     experiment(spark, dir, "q108")(adaptiveTuningRun(spark, dir))
 
   private def adaptiveTuningRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "adaptive tuning fits (q108)")
     import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -989,6 +1005,7 @@ object MlOps {
     experiment(spark, dir, "q169")(tpeTuningRun(spark, dir))
 
   private def tpeTuningRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "TPE tuning fits (q169)")
     import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)
@@ -1244,6 +1261,7 @@ object MlOps {
     experiment(spark, dir, "q66")(earlyStopTrainRun(spark, dir))
 
   private def earlyStopTrainRun(spark: SparkSession, dir: String): DataFrame = {
+    requireFit(spark, dir, "early-stopping fits (q66)")
     import org.apache.spark.ml.classification.LogisticRegressionModel
     import spark.implicits._
     val data = Tables.embeddings(spark, dir)

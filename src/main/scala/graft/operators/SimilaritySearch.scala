@@ -112,6 +112,10 @@ object SimilaritySearch {
     sqBoundsCache.getOrElseUpdate((spark, dir), {
       import org.apache.spark.ml.functions.array_to_vector
       import org.apache.spark.ml.stat.Summarizer
+      // loud empty-fit contract (otherwise a mid-job task failure
+      // deep in the Summarizer — the empty-corpus sweep class)
+      require(!emb.isEmpty,
+        "SQ8 bounds fit (q116/q221): empty embeddings table — no vectors to quantize")
       val row = emb
         .select(array_to_vector(col("embedding")).as("v"))
         .agg(Summarizer.min(col("v")).as("mn"), Summarizer.max(col("v")).as("mx"))
@@ -155,10 +159,13 @@ object SimilaritySearch {
       emb: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    coarseCache.getOrElseUpdate((spark, dir),
+    coarseCache.getOrElseUpdate((spark, dir), {
+      require(!emb.isEmpty,
+        "IVF coarse-quantizer fit (q41/q69/q74/q204): empty embeddings table")
       new KMeans().setK(ivfCells).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("feat")
-        .fit(emb.select(array_to_vector(col("embedding")).as("feat"))))
+        .fit(emb.select(array_to_vector(col("embedding")).as("feat")))
+    })
   }
 
   /** Centroid arrays of the coarse quantizer (driver-sized). */
@@ -226,6 +233,8 @@ object SimilaritySearch {
     pqCache.getOrElseUpdate((spark, dir), {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      require(!emb.isEmpty,
+        "PQ codebook fit (q67/q69/q74/q225): empty embeddings table")
       val trainSample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
         .select((0 until pqM).map(j => array_to_vector(
           slice(col("embedding"), j * pqSubDim + 1, pqSubDim)).as(s"sub_$j")): _*)

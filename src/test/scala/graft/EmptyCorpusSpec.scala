@@ -72,5 +72,16 @@ class EmptyCorpusSpec extends AnyFunSuite {
       SparkEntry.queries("q223_learned_admission")(spark, dir).collect()
     }
     assert(qm.getMessage.contains("empty train slice"), qm.getMessage)
+    // the embeddings-backed index/experiment family: the quantizer/
+    // codebook builders and the experiment runs must fail at the
+    // require, not as a mid-job Summarizer task failure
+    val sq = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q116_knn_sq8")(spark, dir).collect()
+    }
+    assert(sq.getMessage.contains("empty embeddings table"), sq.getMessage)
+    val fm = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q53_fm")(spark, dir).collect()
+    }
+    assert(fm.getMessage.contains("empty embeddings fit input"), fm.getMessage)
   }
 }
