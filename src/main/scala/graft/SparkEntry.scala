@@ -163,6 +163,8 @@ object SparkEntry {
     "q109_curated_append" -> CorpusOps.curatedAppend _,
     "q111_mix_weights" -> ((s: SparkSession, d: String) => CorpusOps.mixWeights(s, d)),
     "q233_temperature_mix" -> CorpusOps.temperatureMix _,
+    "q236_partition_plan" -> CorpusOps.partitionPlan _,
+    "q237_skew_audit" -> FrameOps.skewAudit _,
     "q112_mix_apply" -> CorpusOps.mixApply _,
     "q117_mix_admit" -> CorpusOps.mixAdmit _,
     "q113_curated_compact" -> CorpusOps.curatedCompact _,
@@ -2359,6 +2361,8 @@ object SparkEntry {
     "q229_tokenizer_fertility" -> TextOps.tokenizerFertilityOracleSql,
     "q232_bpe_merge_curve" -> TextOps.bpeMergeCurveOracleSql,
     "q233_temperature_mix" -> CorpusOps.temperatureMixOracleSql,
+    "q236_partition_plan" -> CorpusOps.partitionPlanOracleSql,
+    "q237_skew_audit" -> FrameOps.skewAuditOracleSql,
     // q212: generated from PackGrid — per-level integer chunk sums in
     // ONE per-source agg, grid union over the aggregated table;
     // efficiency = raw IEEE quotient of exact longs (lever (c))

@@ -1016,6 +1016,63 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Partition-sizing constants (POWERS OF TWO on purpose: dividing
+    * an exact integer-valued double by 2^k is exact, so the ceil-div
+    * is bit-identical cross-engine with no integer-div operator
+    * gymnastics): Spark's own defaults — 128 MiB scan splits
+    * (spark.sql.files.maxPartitionBytes), 64 MiB shuffle-partition
+    * target. */
+  private[graft] val ScanPartBytes = 128L << 20
+  private[graft] val ShufflePartBytes = 64L << 20
+
+  /** q236: PARTITION PLAN — the cluster-sizing card a 100 TB run
+    * publishes before it launches: per source (and the `_all` rollup
+    * row) the byte/token mass, the scan partition count at the
+    * 128 MiB split target, and the shuffle-partition count a
+    * same-sized shuffle should set (the spark.sql.shuffle.partitions
+    * input — sizing partitions to fit executor memory is the
+    * SURVEY §5 spill rule, and this is the table that rule reads).
+    *
+    * Scale shape: ONE corpus scan into a ROLLUP agg (q104's shape);
+    * everything after is row-local integer arithmetic on the
+    * |sources|+1 rollup. Ceil-divs via floor of an exact
+    * power-of-two division (see constants); avg_doc_bytes = one IEEE
+    * division (lever (c)). */
+  def partitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    def ceilDiv(c: org.apache.spark.sql.Column, p: Long) =
+      greatest(lit(1L),
+        floor((c + lit(p - 1)).cast("double") / lit(p.toDouble)).cast("long"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("b"),
+        graft.functions.TextFns.tokenCount(col("text")).as("t"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("b")).as("n_bytes"),
+        sum(col("t")).as("n_tokens"))
+      .select(coalesce(col("source"), lit("_all")).as("source"),
+        col("n_docs"), col("n_bytes"), col("n_tokens"))
+      .withColumn("scan_partitions", ceilDiv(col("n_bytes"), ScanPartBytes))
+      .withColumn("shuffle_partitions", ceilDiv(col("n_bytes"), ShufflePartBytes))
+      .withColumn("avg_doc_bytes",
+        col("n_bytes").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  /** The q236 oracle — the same rollup + integer ceil-divs from the
+    * SAME constants. */
+  private[graft] def partitionPlanOracleSql: String =
+    s"""WITH per AS (
+       |  SELECT COALESCE(source, '_all') AS source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+       |    CAST(SUM(len(string_split_regex(trim(nfc_normalize(text)), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY ROLLUP(source))
+       |SELECT source, n_docs, n_bytes, n_tokens,
+       |  GREATEST(CAST(1 AS BIGINT), CAST((n_bytes + ${ScanPartBytes - 1}) // $ScanPartBytes AS BIGINT)) AS scan_partitions,
+       |  GREATEST(CAST(1 AS BIGINT), CAST((n_bytes + ${ShufflePartBytes - 1}) // $ShufflePartBytes AS BIGINT)) AS shuffle_partitions,
+       |  CAST(n_bytes AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_doc_bytes
+       |FROM per ORDER BY source""".stripMargin
+
   /** q233: TEMPERATURE-SAMPLED source mix — the α-sweep price table
     * for multinomial temperature sampling, weight_s ∝ n_tokens_s^α
     * (Conneau & Lample 2019 §3.1; XLM-R/mT5 ship exactly this table

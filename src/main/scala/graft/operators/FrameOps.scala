@@ -1458,4 +1458,82 @@ object FrameOps {
       |    OR max_hour_events >= $BotHourlyBurst) AS is_bot
       |FROM u JOIN hm ON u.user_id = hm.user_id
       |ORDER BY u.user_id""".stripMargin
+
+  /** The key families q237 audits and the salting flag threshold —
+    * ONE spec list serving the Spark plan AND the generated oracle
+    * (lever (t)); the threshold is a named constant (lever (s)). */
+  private[graft] val SkewFamilies: Seq[(String, String)] =
+    Seq(("events", "user_id"), ("events", "event_type"),
+      ("documents", "source"))
+  private[graft] val SaltTop1Share = 0.2
+
+  /** q237: KEY-SKEW AUDIT — per join/groupBy key family: key count,
+    * row count, top-1/top-10 key mass and shares, the skew ratio
+    * (top-1 count ÷ mean per key), and the salting recommendation.
+    * This is the decision table in FRONT of every shuffle-key choice
+    * at 100 TB: AQE's skew split is a BYTES test that a hot
+    * compressible key never fires (the documented SourcesSkewSpec
+    * caveat), so the pipeline needs the measured top-key shares
+    * BEFORE it picks salting (the q78-family hash salts) vs relying
+    * on AQE.
+    *
+    * Scale shape: per family, one scan + a slim (key, count) shuffle;
+    * top-1/top-10 are a MAX and a TakeOrdered(10) over the count
+    * table — never a global sort (lever (h): the oracle states the
+    * rank window, the plan runs the bounded heap). Shares/ratio are
+    * pinned-order IEEE ops on exact longs (levers (c)/(x)); the flag
+    * is a raw-threshold compare (lever (c), the q95 precedent). */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def tableOf(name: String): DataFrame = name match {
+      case "events" => Tables.events(spark, dir)
+      case "documents" => Tables.documents(spark, dir)
+    }
+    val fams = SkewFamilies.map { case (table, key) =>
+      val counts = tableOf(table)
+        .groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("top1_rows"))
+      val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("top10_rows"))
+      stats.crossJoin(broadcast(top10))
+        .select(lit(s"$table.$key").as("key_col"),
+          col("n_keys"), col("n_rows"), col("top1_rows"), col("top10_rows"))
+    }
+    fams.reduce(_ unionByName _)
+      .withColumn("top1_share",
+        col("top1_rows").cast("double") / col("n_rows").cast("double"))
+      .withColumn("top10_share",
+        col("top10_rows").cast("double") / col("n_rows").cast("double"))
+      .withColumn("skew_ratio",
+        col("top1_rows").cast("double") / col("n_rows").cast("double")
+          * col("n_keys").cast("double"))
+      .withColumn("salt_recommended", col("top1_share") > SaltTop1Share)
+      .orderBy(col("key_col"))
+  }
+
+  /** The q237 oracle — per-family CTE triples generated from the
+    * SAME SkewFamilies list; the top-10 stated as ORDER BY/LIMIT
+    * (value-equal to the plan's bounded heap). */
+  private[graft] def skewAuditOracleSql: String = {
+    val fams = SkewFamilies.zipWithIndex.map { case ((table, key), i) =>
+      s"""e$i AS (SELECT CAST($key AS VARCHAR) AS k FROM $table),
+         |c$i AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM e$i GROUP BY k),
+         |s$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS top1_rows FROM c$i),
+         |t$i AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS top10_rows
+         |  FROM (SELECT c FROM c$i ORDER BY c DESC, k LIMIT 10)),
+         |r$i AS (SELECT '$table.$key' AS key_col, s$i.*, t$i.* FROM s$i, t$i)""".stripMargin
+    }
+    val union = SkewFamilies.indices.map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""WITH ${fams.mkString(",\n")}
+       |SELECT key_col, n_keys, n_rows, top1_rows, top10_rows,
+       |  CAST(top1_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+       |  CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+       |  CAST(top1_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) AS skew_ratio,
+       |  CAST(top1_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) > $SaltTop1Share AS salt_recommended
+       |FROM ($union) ORDER BY key_col""".stripMargin
+  }
 }

@@ -709,5 +709,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p233.contains("Join"), p233)
     assert(p233.contains("Window"), p233)
     assert("Scan parquet".r.findAllIn(p233).length == 1, p233)
+    // q236: one corpus scan into the rollup Expand; no join, no window
+    val p236 = plan(operators.CorpusOps.partitionPlan(spark, sf))
+    assert(!p236.contains("Join"), p236)
+    assert(!p236.contains("Window"), p236)
+    assert("Scan parquet".r.findAllIn(p236).length == 1, p236)
+    // q237: the top-10 mass is a bounded heap (TakeOrderedAndProject),
+    // never a global sort of the key-count table; the only joins are
+    // the 1-row stat crosses
+    val p237 = plan(FrameOps.skewAudit(spark, sf))
+    assert(p237.contains("TakeOrderedAndProject"), p237)
+    assert(!p237.contains("SortMergeJoin"), p237)
+    assert(!p237.contains("Window"), p237)
   }
 }
