@@ -92,6 +92,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("vec_b"))),
     "q35_dedup_clusters" -> Dedup.clusters _,
     "q234_cluster_size_dist" -> Dedup.clusterSizeDist _,
+    "q238_dedup_order" -> Dedup.dedupOrderRoi _,
     "q40_knn_brute" -> SimilaritySearch.knnBrute _,
     "q116_knn_sq8" -> SimilaritySearch.knnSq8 _,
     "q120_range_search" -> ((s: SparkSession, d: String) => SimilaritySearch.rangeSearch(s, d)),
@@ -1246,6 +1247,7 @@ object SparkEntry {
     // id = MIN) — exact, so the cluster table is hash-checkable
     "q35_dedup_clusters" -> Dedup.clustersOracleSql,
     "q234_cluster_size_dist" -> Dedup.clusterSizeDistOracleSql,
+    "q238_dedup_order" -> Dedup.dedupOrderRoiOracleSql,
     "q40_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -950,6 +950,69 @@ object Dedup {
       |  END AS corpus_frac
       |FROM u ORDER BY cluster_size""".stripMargin
 
+  /** q238: DEDUP-ORDERING ROI — the pipeline-design card for the
+    * classic "filter before dedup, or dedup before filter" question:
+    * exact-dup mass among ALL docs vs among quality-PASS docs only.
+    * Filtering first shrinks the dedup working set (the saved
+    * fraction this card reports) but forfeits cluster evidence from
+    * failed twins (cf. the NfcIngestSpec conjunction-annihilation
+    * class); pipelines pick an order with this table, not by
+    * convention. Digest = THE q30 rule (normText→md5, one def);
+    * pass = THE q72 rule family.
+    *
+    * Scale shape: one scan computing digest + the row-local rule
+    * columns, one slim (digest, counts) shuffle, a 1-row rollup.
+    * saved_frac = one IEEE division of exact longs, zero-denominator
+    * guarded (levers (c)/(q)). Oracle: the verified q30 digest and
+    * q72 rule fragments composed (lever (ff)). */
+  def dedupOrderRoi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextOps => T}
+    val flags = Tables.documents(spark, dir)
+      .select(Seq(md5(normText).as("k")) ++ T.gopherSignalCols: _*)
+      .select(col("k"), T.gopherPassAt(T.GopherMinWords, T.GopherTtrMin).as("pass"))
+    flags.groupBy(col("k"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("pc"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("pc")).as("n_pass"),
+        sum(col("c") - 1L).as("n_dup_all"),
+        sum(when(col("pc") > 0L, col("pc") - 1L).otherwise(0L))
+          .as("n_dup_after_filter"))
+      .withColumn("dedup_saved_frac",
+        when(col("n_dup_all") > 0L,
+          lit(1.0) - col("n_dup_after_filter").cast("double")
+            / col("n_dup_all").cast("double")))
+  }
+
+  /** The q238 oracle — the q30 digest and q72 rule fragments
+    * composed into one chain. */
+  private[graft] def dedupOrderRoiOracleSql: String = {
+    val (w, ml, tr, st) = graft.operators.TextOps.gopherRulePredsSql(
+      graft.operators.TextOps.GopherMinWords,
+      graft.operators.TextOps.GopherTtrMin)
+    s"""WITH ${graft.operators.TextOps.gopherSignalCteSql},
+       |h AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS k
+       |  FROM documents),
+       |j AS (
+       |  SELECT h.k, ($w AND $ml AND $tr AND $st) AS pass
+       |  FROM h JOIN d USING (doc_id)),
+       |g AS (
+       |  SELECT k, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS pc
+       |  FROM j GROUP BY k)
+       |SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pc) AS BIGINT) AS n_pass,
+       |  CAST(SUM(c - 1) AS BIGINT) AS n_dup_all,
+       |  CAST(SUM(CASE WHEN pc > 0 THEN pc - 1 ELSE 0 END) AS BIGINT) AS n_dup_after_filter,
+       |  CASE WHEN CAST(SUM(c - 1) AS BIGINT) > 0 THEN
+       |    1.0 - CAST(CAST(SUM(CASE WHEN pc > 0 THEN pc - 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |      / CAST(CAST(SUM(c - 1) AS BIGINT) AS DOUBLE)
+       |  END AS dedup_saved_frac
+       |FROM g""".stripMargin
+  }
+
   /** q172: cross-source DUPLICATE-FLOW matrix — which sources share
     * near-duplicate content with which (the corpus-governance
     * diagnostic behind source-level dedup budgeting and "is source X
