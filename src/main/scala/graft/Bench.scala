@@ -10,6 +10,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE re-coalesce reads of CACHED frames (off by default):
+      // persisted bounded frames (q204's heaps, q207's label sums, the
+      // graph/pair persists) otherwise materialize at the full shuffle
+      // width and every consumer stage pays width× task-binary deser —
+      // measured opt r08: q204 663→37 tasks/rep, deser 2.4s→0.2s.
+      // Scale-adaptive (AQE sizes by bytes), not a local[32] constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

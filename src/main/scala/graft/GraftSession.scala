@@ -21,6 +21,10 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // cached bounded frames re-coalesce on read (AQE sizes by bytes;
+      // default false keeps cache reads at full shuffle width — see
+      // OPTIMIZATION_r08.md)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

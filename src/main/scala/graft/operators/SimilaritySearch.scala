@@ -1412,30 +1412,51 @@ object SimilaritySearch {
           .as("top"),
         count(lit(1)).as("n_cand"))
       .persist() // |queries|·maxProbe rows — bounded
+    // persisted: the 50-row exact baseline is consumed SIX times (the
+    // nq count below + one left_semi build per probe level) and static
+    // plans get no exchange reuse across the per-level union arms —
+    // without the persist every consumer re-runs knnBrute's full
+    // corpus pass (opt r08: 6 corpus passes → 1; bounded at
+    // |queries|·RecallK rows)
     val exact = knnBrute(spark, dir)
       .select(col("query_id").as("xq"), col("neighbor_id").as("xn"))
+      .persist()
     val nq = exact.select(col("xq")).distinct().count()
-    RecallProbes.map { p =>
-      val lvl = perCr.filter(col("cr") < p)
-      val scanned = lvl.groupBy().agg(
-        coalesce(sum(col("n_cand")), lit(0L)).as("n_scanned"))
-      val hits = lvl
-        .select(col("query_id"), explode(col("top")).as("e"))
-        .groupBy(col("query_id"))
-        .agg(graft.plans.TopKByKey.topK(RecallK)(
-          col("e.id"), col("e.score")).as("top"))
-        .select(col("query_id"), explode(col("top")).as("e"))
-        .join(exact, col("query_id") === col("xq") &&
-          col("e.id") === col("xn"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      hits.crossJoin(scanned).select(
-        lit(p.toLong).as("nprobe"),
+    // ONE pass for all five levels (opt r08): the old per-level loop
+    // unioned five arms, each re-aggregating the heaps and re-joining
+    // the baseline — ~35 one-task stages whose per-stage scheduling
+    // latency dominated at any scale where the heaps are tiny (and at
+    // 100 TB five arms re-read the persisted heap frame five times).
+    // Instead the 5-row level table LEFT-joins the heaps on cr < nprobe
+    // (left outer keeps a level with zero candidates — the 1-vector
+    // corpus — at n_scanned = 0, exactly the old coalesce(sum, 0)), and
+    // BOTH reductions group by nprobe: per-level values are identical
+    // because the join replicates each heap row into every qualifying
+    // level and TopKByKey is encounter-order-free with the same
+    // (score desc, id asc) order the per-level arms used.
+    import spark.implicits._
+    val levels = RecallProbes.map(_.toLong).toDF("nprobe")
+    val cand = broadcast(levels)
+      .join(perCr, col("cr") < col("nprobe"), "left")
+    val scanned = cand.groupBy(col("nprobe"))
+      .agg(coalesce(sum(col("n_cand")), lit(0L)).as("n_scanned"))
+    val hits = cand.filter(col("query_id").isNotNull)
+      .select(col("nprobe"), col("query_id"), explode(col("top")).as("e"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(graft.plans.TopKByKey.topK(RecallK)(
+        col("e.id"), col("e.score")).as("top"))
+      .select(col("nprobe"), col("query_id"), explode(col("top")).as("e"))
+      .join(exact, col("query_id") === col("xq") &&
+        col("e.id") === col("xn"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    scanned.join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("nprobe"),
         col("n_hits"),
         (col("n_hits").cast("double") /
           lit((nq * RecallK).toDouble)).as("recall_at_5"),
         (col("n_scanned").cast("double") / lit(nq.toDouble))
           .as("avg_candidates"))
-    }.reduce(_ unionByName _)
       .orderBy(col("nprobe"))
   }
 
