@@ -489,8 +489,15 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    // tf persists and df folds out of it (opt r08): tf holds exactly
+    // one row per (doc, term), so count(*) per term == the old
+    // countDistinct(doc_id) over the raw token stream — the separate
+    // df subtree re-ran the corpus tokenize+explode pass (3 tokenizing
+    // scans → 1); tf is the aggregation output the shuffle already
+    // materialized.
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .persist()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df.crossJoin(broadcast(nDocs))), Seq("term"))
       .withColumn("tfidf",
@@ -519,11 +526,18 @@ object TextOps {
     val k1 = 1.2
     val b = 0.75
     val docs = Tables.documents(spark, dir)
+    // both persist (opt r08): dl feeds the corpus stats AND the
+    // contrib join, tf feeds the df rollup AND contrib — unpersisted,
+    // each consumer re-ran its tokenizing corpus scan (4 scans → 2).
+    // dl is the slim per-doc projection (docNll's class); tf is
+    // bounded by the 5-term posting mass.
     val dl = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).as("dl"))
+      .persist()
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .filter(col("term").isin(terms.map(x => x: Any): _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val contrib = tf
       .join(broadcast(df), Seq("term"))
@@ -1069,13 +1083,27 @@ object TextOps {
     val pairCol = SkipGramPairs(toks, PmiWindow)
     val cab = docs.select(explode(pairCol).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+    // uni persists (opt r08): it feeds TWO broadcast join sides (w1,
+    // w2) and the static plan re-ran the corpus tokenize pass per
+    // broadcast build; the table is the vocab-bounded aggregation
+    // output the shuffle already materialized.
     val uni = docs.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    // totals fold out of the two aggregated tables (Σ n_w = token
-    // count, Σ n_pair pre-filter = pair count) — a third corpus scan
-    // re-ran tokenization AND the skip-gram kernel just to size-sum
-    val totals = uni.agg(sum(col("n_w")).cast("long").as("n_tok"))
-      .crossJoin(cab.agg(sum(col("n_pair")).cast("long").as("n_pairs")))
+      .persist()
+    // totals are ROW-LOCAL (opt r08): the skip-gram pair count is
+    // purely positional (i + j <= len for j in 1..W — the oracle's
+    // range predicate), so per doc it is Σ_j max(0, len−j), an exact
+    // integer identity with COUNT(*) over the exploded pairs — the
+    // old totals re-ran the heavy pair-explode subtree (and a second
+    // tokenize pass) just to size-sum it. One cheap scan now; the
+    // oracle keeps stating COUNT(*) over p (same value).
+    val lenC = size(toks).cast("long")
+    val pairCnt = (1 to PmiWindow)
+      .map(j => greatest(lenC - lit(j.toLong), lit(0L)))
+      .reduce(_ + _)
+    val totals = docs.select(lenC.as("l"), pairCnt.as("pc"))
+      .agg(sum(col("l")).cast("long").as("n_tok"),
+        sum(col("pc")).cast("long").as("n_pairs"))
     val scored = cab.filter(col("n_pair") >= PmiMinCount)
       .withColumn("w1", split(col("pair"), " ").getItem(0))
       .withColumn("w2", split(col("pair"), " ").getItem(1))
@@ -1086,6 +1114,11 @@ object TextOps {
         (col("n_pair").cast("double") * col("n_tok").cast("double") * col("n_tok").cast("double")) /
           (col("n_pairs").cast("double") * col("n_a").cast("double") * col("n_b").cast("double"))), 6))
       .select(col("pair"), col("n_pair"), col("pmi"))
+      // persisted (opt r08): cutTop consumes its input TWICE (K-th
+      // score agg + the filter) and this frame's upstream is the
+      // whole pair-explode pyramid; the survivor table itself is the
+      // ≥MinCount slice — vocab²-bounded, far smaller than the corpus
+      .persist()
     // round 8: the rank window's input is pre-cut to the rows that
     // can rank ≤ K (bounded-heap K-th score as a broadcast scalar) —
     // the ≥MinCount survivor table is vocab²-bounded but at a
