@@ -87,7 +87,8 @@ object CorpusOps {
     * bench rep; the hit table is hit-mass-bounded (docs with ≥1 eval
     * collision), not corpus-sized. */
   private val contamHitsCache = graft.SessionRegistry
-    .cache[(SparkSession, String, String, Int), String]()
+    .cacheWithCleanup[(SparkSession, String, String, Int), String](
+      graft.SessionRegistry.deleteDir)
 
   private[graft] def contamHits(spark: SparkSession, dir: String,
       cfg: PipelineConfig = PipelineConfig.default): DataFrame = {
@@ -3010,8 +3011,12 @@ object CorpusOps {
     def gramRows(df: DataFrame, keep: Seq[Column]): DataFrame =
       df.select(keep :+ explode(tagged).as("s"): _*)
         .select(keep ++ Seq(col("s.n").as("n"), explode(col("s.grams")).as("g")): _*)
+    // persisted (opt r08): feeds the per-n gram counts AND the hit
+    // broadcast — unpersisted, the eval n-gram explode ran twice; the
+    // table is eval-suite-bounded
     val ev = gramRows(docs.filter(col("source") === EvalSource), Seq.empty)
       .distinct()
+      .persist()
     val evCounts = ev.groupBy(col("n")).agg(count(lit(1)).as("n_eval_grams"))
     val train = docs.filter(col("source") =!= EvalSource)
     val hits = gramRows(train, Seq(col("doc_id")))

@@ -490,7 +490,11 @@ object Dedup {
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(spark, dir)
+    // persisted (opt r08): the verify step joins the shingle table on
+    // BOTH pair sides — unpersisted, the corpus tokenize+shingle pass
+    // ran twice (the arrays are shuffled by the joins either way; the
+    // persist only dedupes the row-local compute)
+    val docs = shingled(spark, dir).persist()
     val sig = groupedSig(spark, dir)
     // 16 band keys per doc, row-local from the signature array
     val bandCols = bandKeysCol(col("sig"))
@@ -539,7 +543,12 @@ object Dedup {
     * shared by q33 (FNV family) and q199 (oracle-mirrorable poly
     * family): 4×16-bit band bucketing (pigeonhole: Hamming ≤ 3 ⟹ at
     * least one equal band) and an exact Hamming check on candidates. */
-  private def simhashPairsFrom(sigs: DataFrame): DataFrame = {
+  private def simhashPairsFrom(sigsIn: DataFrame): DataFrame = {
+    // persisted (opt r08): the band self-join consumes the signature
+    // frame on BOTH sides — unpersisted, the per-token polynomial
+    // fold over the whole corpus ran twice; (doc_id, sig) is the slim
+    // per-doc projection class (docNll's shape)
+    val sigs = sigsIn.persist()
     val bandCols = array((0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL)).as("key"))

@@ -1186,8 +1186,14 @@ object TextOps {
   def keyness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // persisted (opt r08): cells feeds FOUR consumers (word totals,
+    // source totals, the grand total, and the scored join) —
+    // unpersisted, each re-ran the corpus tokenize+explode+groupBy
+    // pass; the table is (vocab × |sources|)-bounded aggregation
+    // output the shuffle already materialized
     val cells = docs.select(col("source"), explode(toks).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("a"))
+      .persist()
     val wordTot = cells.groupBy(col("w")).agg(sum(col("a")).as("cw"))
     val srcTot = cells.groupBy(col("source")).agg(sum(col("a")).as("ns"))
     val nTot = cells.agg(sum(col("a")).as("n"))

@@ -196,7 +196,8 @@ object WordItemApp {
     * re-derive the whole split+rank+join pyramid per bench rep under
     * the between-rep clearCache; the frame is test-users×K-bounded. */
   private val recScoredCache = graft.SessionRegistry
-    .cache[(SparkSession, String), String]()
+    .cacheWithCleanup[(SparkSession, String), String](
+      graft.SessionRegistry.deleteDir)
 
   private[graft] def recScored(spark: SparkSession, dir: String): DataFrame = {
     val p = recScoredCache.getOrElseUpdate((spark, dir), {
