@@ -822,10 +822,18 @@ object CorpusOps {
     * bigram count → broadcast. */
   private[graft] def bigramModel(model: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val mg = model.select(explode(WordNGrams(toks, 2, distinct = false)).as("g"))
+    // c2 persists and c1 folds out of it (opt r08): c1's count of
+    // first tokens over the raw gram stream == Σ c2 grouped by the
+    // bigram's first token (exact longs), so the model build costs
+    // ONE gram-explode pass instead of two; the persist keeps the
+    // two scoring consumers (threshold pass + batch pass in q96, and
+    // the stream twin) from re-running the model-side corpus scan
+    // per broadcast build. Both tables stay observed-bigram-bounded.
     val c2 = mg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = mg
-      .select(substring_index(col("g"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .persist()
+    val c1 = c2
+      .select(substring_index(col("g"), " ", 1).as("w1"), col("c2"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = model.select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
     (c2, c1, vocab)
   }

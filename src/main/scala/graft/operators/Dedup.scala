@@ -490,11 +490,12 @@ object Dedup {
   }
 
   def minhash(spark: SparkSession, dir: String): DataFrame = {
-    // persisted (opt r08): the verify step joins the shingle table on
-    // BOTH pair sides — unpersisted, the corpus tokenize+shingle pass
-    // ran twice (the arrays are shuffled by the joins either way; the
-    // persist only dedupes the row-local compute)
-    val docs = shingled(spark, dir).persist()
+    // examined, not persisted (opt r08): the verify step joins the
+    // shingle table on both pair sides, but the frame carries the
+    // full shingle-array payload — persisting it materializes
+    // corpus-sized arrays into cache where the re-execution is a
+    // pruned scan + row-local shingling (the labeledEmb rule)
+    val docs = shingled(spark, dir)
     val sig = groupedSig(spark, dir)
     // 16 band keys per doc, row-local from the signature array
     val bandCols = bandKeysCol(col("sig"))

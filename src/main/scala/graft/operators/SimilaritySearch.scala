@@ -776,6 +776,10 @@ object SimilaritySearch {
     * of identically-cast doubles — oracle-gated end to end. */
   def embedDrift(spark: SparkSession, dir: String): DataFrame = {
     def sideStats(pred: Column, p: String): DataFrame = {
+      // examined, not persisted (opt r08): consumed by the centroid
+      // agg and the scatter join, but the frame carries the full
+      // quantized-vector payload — the labeledEmb rule (payload-sized
+      // frames re-scan, only slim/bounded frames persist)
       val side = fixedVectors(
         Tables.embeddings(spark, dir).filter(pred))
       val cent = centroidOf(side)
@@ -888,6 +892,13 @@ object SimilaritySearch {
     * a boundary. */
   private[graft] val ProbeIdBound = 10L
 
+  // Examined, not persisted (opt r08): q209/q210 consume this frame
+  // 3–7×, but it carries the FULL vector payload — at 100 TB a
+  // persist materializes the corpus into cache (write + evict churn)
+  // where the re-executions are column-pruned scans + row-local norm
+  // recompute, and locally the redundant subtrees run concurrently
+  // (probe: persist was ~0.2 s SLOWER warm). Payload-sized frames
+  // re-scan; only slim/bounded frames persist.
   private def labeledEmb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
