@@ -162,6 +162,29 @@ object Bench {
     // masquerade as a speedup; n_wide = queries still >50% spread
     // after adaptive reps (an environment-noise, not code, signal).
     val errs = failures.keys.take(5).map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    // Full per-query detail ALSO lands on disk (r08 verdict item 2):
+    // the ~10 KB detailed stdout line does not survive the driver's
+    // 2000-char tail, which left PERF_r08's per_query comparison
+    // empty. Additions-only: stdout lines above are byte-identical;
+    // this writes the same medians/spreads plus per-rep times to
+    // BENCH_DETAIL.json (latest run) and a cpus-suffixed twin so the
+    // 8-core scaling run does not clobber the 32-core detail.
+    val reps = results.map { case (k, (_, _, rs)) =>
+      s"\"$k\":[${rs.map(t => f"$t%.3f").mkString(",")}]"
+    }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
+        s""""queries":$qs,"spreads":$sp,"reps":$reps,""" +
+        s""""n_queries":${results.size},"n_failed":${failures.size},""" +
+        s""""n_wide":$nWide,"errors":$errs,"sf":"$sfDir"}""" + "\n"
+    try {
+      for (p <- Seq("/root/repo/BENCH_DETAIL.json",
+          s"/root/repo/BENCH_DETAIL_c$cpus.json"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          detail.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed: $e")
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"n_wide":$nWide,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

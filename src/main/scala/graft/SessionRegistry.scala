@@ -100,6 +100,21 @@ object SessionRegistry {
     spark.sparkContext.applicationId + "_s" +
       Integer.toHexString(System.identityHashCode(spark))
 
+  /** Collision-free path component for disk-artifact dirs: the
+    * readable sanitized form of the raw key PLUS a short hash of the
+    * raw bytes. Character sanitization alone is lossy — two distinct
+    * registry keys can map to one /tmp path (e.g. dirs differing only
+    * in '/' vs '_', or multi-part keys whose parts contain the
+    * separator), and the second build would mode-overwrite an
+    * artifact the first key still reads (r08 ADVICE). Multi-part keys
+    * join their raw parts with a separator before calling this. */
+  def pathKey(raw: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8"))
+    raw.replaceAll("[^A-Za-z0-9._-]", "_") + "_h" +
+      md5.take(4).map(b => f"$b%02x").mkString
+  }
+
   /** Recursive delete for tmp artifact dirs (the standard cleanup). */
   def deleteDir(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)

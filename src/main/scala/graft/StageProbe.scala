@@ -19,8 +19,10 @@ object StageProbe {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
       s.split(',').filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        b = b.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => b = b.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry has no '=': '$kv'")
+        }
       }
     }
     val spark = b.getOrCreate()

@@ -299,7 +299,7 @@ object MlOps {
     val path = itemVecsCache.getOrElseUpdate((spark, dir), {
       import org.apache.spark.ml.stat.Summarizer
       val p = s"/tmp/graft_itemvecs_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       val w2v = word2vecModel(spark, dir, 16)
       tokenized(spark, dir)
         .select(col("doc_id"), explode(col("tokens")).as("word"))
@@ -383,7 +383,7 @@ object MlOps {
   def ratings(spark: SparkSession, dir: String): DataFrame = {
     val path = ratingsCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_ratings_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir),
           col("l_orderkey") === col("o_orderkey"))
@@ -1502,7 +1502,7 @@ object MlOps {
       else (0.0, 0.0)
 
     val base = s"/tmp/graft_gcmc_${graft.SessionRegistry.sessionToken(spark)}_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.SessionRegistry.pathKey(dir)
     Seq("bu" -> bu, "bi" -> bi, "pU" -> pU, "qI" -> qI, "convU" -> convU)
       .foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$base/$n") }
     Seq(bu, bi, pU, qI, convU, r).foreach(_.unpersist(blocking = false))
@@ -1685,7 +1685,15 @@ object MlOps {
       .select(col("kind"), col("id"), col("is_cold"),
         size(col("feature")).cast("long").as("n_dims"),
         round(graft.plans.VecExprs.norm(col("feature")), 6).as("l2"),
-        col("feature"))
+        // declared output carries the vector as a deterministic
+        // fixed-6dp CSV string, not a raw array<double>: the driver's
+        // rows comparator sorts output columns and an array column is
+        // unsortable there (r08 verdict item 1). Components are
+        // already round(,6)-ed, so %.6f is the exact decimal repr;
+        // the 10-row frame makes the interpreted transform free.
+        concat_ws(",",
+          transform(col("feature"), x => format_string("%.6f", x)))
+          .as("feature"))
       .orderBy(col("kind"), col("id"))
   }
 

@@ -95,8 +95,8 @@ object CorpusOps {
     val p = contamHitsCache.getOrElseUpdate(
       (spark, dir, cfg.evalSource, cfg.contamN), {
         val path = s"/tmp/graft_contam_hits_${graft.SessionRegistry.sessionToken(spark)}_" +
-          (dir + "_" + cfg.evalSource + "_" + cfg.contamN)
-            .replaceAll("[^A-Za-z0-9._-]", "_")
+          graft.SessionRegistry.pathKey(
+            dir + "|" + cfg.evalSource + "|" + cfg.contamN)
         docGrams(Tables.documents(spark, dir), cfg)
           .join(broadcast(evalGrams(spark, dir, cfg)), Seq("g"))
           .groupBy(col("doc_id"), col("source"))
@@ -807,7 +807,7 @@ object CorpusOps {
   private[graft] def docNll(spark: SparkSession, dir: String): DataFrame = {
     val path = nllCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_docnll_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       val docs = Tables.documents(spark, dir)
       bigramModelNll(docs, docs).write.mode("overwrite").parquet(p)
       p
@@ -899,7 +899,7 @@ object CorpusOps {
   private[graft] def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
     val path = flagsCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_flags_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       writeFlagsArtifact(spark, dir, p)
       p
     })
@@ -988,7 +988,7 @@ object CorpusOps {
       // negative and two corpora with colliding hashCodes would
       // silently share (and cross-clobber) one sink path
       val path = s"/tmp/graft_curated_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       graft.Tables.writePartitionedKeepSchema(funnelFlags(spark, dir)
         .filter(col("sampled"))
         .select(col("doc_id"), col("lang"), col("n_words"), col("source")),
@@ -1383,7 +1383,7 @@ object CorpusOps {
   def curatedAppend(spark: SparkSession, dir: String): DataFrame = {
     val out = appendDirCache.getOrElseUpdate((spark, dir), {
       val path = s"/tmp/graft_curated_append_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       graft.Tables.writePartitionedKeepSchema(funnelFlags(spark, dir)
         .filter(col("sampled") && !batchPredicate())
         .select(col("doc_id"), col("lang"), col("n_words"), col("source")),

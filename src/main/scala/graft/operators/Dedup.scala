@@ -289,7 +289,7 @@ object Dedup {
   def editDedup(spark: SparkSession, dir: String): DataFrame = {
     val path = editPairCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_editpairs_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       editDedupDerive(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
@@ -373,7 +373,7 @@ object Dedup {
   def tfidfCosine(spark: SparkSession, dir: String): DataFrame = {
     val path = cosPairCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_cospairs_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       tfidfCosineDerive(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
@@ -473,7 +473,7 @@ object Dedup {
     // q32/q71/q75's batch twins
     val path = sigCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_sigs_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       val sh = shingled(spark, dir)
         .select(col("doc_id"), explode(col("shingles")).as("sh"))
         .withColumn("x", pmod(xxhash64(col("sh")), lit(minhashP)))
@@ -705,7 +705,7 @@ object Dedup {
     // session even across cache clears (Bench's between-rep hygiene)
     val path = pairCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_pairs_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       jaccard(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
@@ -741,7 +741,7 @@ object Dedup {
     // same disk-artifact discipline as [[jaccardPairs]]
     val path = clusterCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_clusters_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       clusters(spark, dir, smallGraphEdges).write.mode("overwrite").parquet(p)
       p
     })
@@ -1093,7 +1093,7 @@ object Dedup {
   def minhashExact(spark: SparkSession, dir: String): DataFrame = {
     val path = pmhPairCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_pmhpairs_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       minhashExactDerive(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
@@ -1220,7 +1220,7 @@ object Dedup {
     // disk artifact like [[jaccardPairs]] — survives cache clears
     val path = embedPairCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_embpairs_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       embedNearDup(spark, dir).write.mode("overwrite").parquet(p)
       p
     })

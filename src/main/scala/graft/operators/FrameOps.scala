@@ -251,7 +251,7 @@ object FrameOps {
       out: String): DataFrame = {
     val rangedPath = rfmRangedCache.getOrElseUpdate((spark, dir, out), {
       val p = s"/tmp/graft_rfm_${out}_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       slim.repartitionByRange(
         math.max(spark.sparkContext.defaultParallelism / 2, 4), order: _*)
         .withColumn("pid", spark_partition_id())
@@ -282,7 +282,7 @@ object FrameOps {
     val sec = unix_timestamp(date_trunc("second", col("ts")))
     val perUserPath = rfmUserCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_rfm_user_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       Tables.events(spark, dir)
         .groupBy(col("user_id"))
         .agg(

@@ -32,7 +32,7 @@ object GraphOps {
       run: => DataFrame): DataFrame = {
     val path = graphCache.getOrElseUpdate((spark, dir, name), {
       val p = s"/tmp/graft_graph_${name}_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       run.coalesce(1).write.mode("overwrite").parquet(p)
       p
     })

@@ -29,7 +29,7 @@ object Recommend {
   def ratingsExact(spark: SparkSession, dir: String): DataFrame = {
     val path = ratingsExactCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_ratings_exact_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))

@@ -446,7 +446,7 @@ object TextOps {
   def dictionary(spark: SparkSession, dir: String): DataFrame = {
     val rangedPath = vocabRangedCache.getOrElseUpdate((spark, dir), {
       val p = s"/tmp/graft_vocab_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       val docs = Tables.documents(spark, dir)
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val nPart = math.max(spark.sparkContext.defaultParallelism / 2, 4)

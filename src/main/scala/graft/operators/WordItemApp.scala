@@ -202,7 +202,7 @@ object WordItemApp {
   private[graft] def recScored(spark: SparkSession, dir: String): DataFrame = {
     val p = recScoredCache.getOrElseUpdate((spark, dir), {
       val path = s"/tmp/graft_rec_scored_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        graft.SessionRegistry.pathKey(dir)
       recScoredBuild(spark, dir).write.mode("overwrite").parquet(path)
       path
     })

@@ -26,7 +26,7 @@ object Sources {
 
   /** Collision-free /tmp staging dir per (purpose, input dir). */
   private[graft] def stagingDir(purpose: String, dir: String): String =
-    s"/tmp/graft_${purpose}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_${purpose}_" + graft.SessionRegistry.pathKey(dir)
 
   def roundTrip(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.events(spark, dir)

@@ -90,7 +90,7 @@ object ZOrder {
   private[graft] def layouts(spark: SparkSession, dir: String): String =
     layoutCache.getOrElseUpdate((spark, dir), {
       val base = s"/tmp/graft_zorder_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.SessionRegistry.pathKey(dir)
       val (umin, umax, tmin, tmax) = stats(spark, dir)
       val ev = eventsWithSec(spark, dir)
       ev.withColumn("zkey",
@@ -135,7 +135,7 @@ object ZOrder {
   private[graft] def appendedLayout(spark: SparkSession, dir: String): String =
     appendCache.getOrElseUpdate((spark, dir), {
       val base = s"/tmp/graft_zappend_${graft.SessionRegistry.sessionToken(spark)}_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        graft.SessionRegistry.pathKey(dir)
       val ev = eventsWithSec(spark, dir)
       val store = ev.filter(!eventBatchPredicate)
       val batch = ev.filter(eventBatchPredicate)

@@ -14,6 +14,40 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The exact BUILD SUBTREE under each BroadcastExchange, bounded by
+    * the plan tree's indentation — not a fixed successor-line window,
+    * which both fails spuriously when format shifts push the real
+    * build node down and misses offenders past the window (r08
+    * ADVICE). A subtree = the following lines whose tree indent is
+    * strictly deeper than the exchange's. */
+  private def broadcastBuildSides(p: String): Seq[String] = {
+    val lines = p.linesIterator.toSeq
+    def indent(l: String): Int = l.indexWhere(c => !" :+-".contains(c)) match {
+      case -1 => Int.MaxValue // blank/art-only line: belongs to subtree
+      case i => i
+    }
+    lines.zipWithIndex.collect {
+      case (l, i) if l.contains("BroadcastExchange") =>
+        val d = indent(l)
+        val sub = lines.drop(i + 1).takeWhile(x => indent(x) > d)
+        if (sub.isEmpty) "<no build subtree under BroadcastExchange>"
+        else sub.mkString("\n")
+    }
+  }
+
+  /** First non-dressing operator line of a build subtree: Project/
+    * Filter/codegen/exchange wrappers are presentation, the node
+    * under them is what the boundedness asserts are about. */
+  private def firstRealOp(subtree: String): String = {
+    val dressing = Seq("WholeStageCodegen", "InputAdapter", "Project",
+      "Filter", "ColumnarToRow", "Exchange", "AQEShuffleRead",
+      "ShuffleQueryStage", "ReusedExchange", "Sort ")
+    subtree.linesIterator
+      .map(_.dropWhile(c => " :+-".contains(c)).replaceFirst("^\\*\\(\\d+\\) ", ""))
+      .find(op => op.nonEmpty && !dressing.exists(op.startsWith))
+      .getOrElse("<no operator under BroadcastExchange>")
+  }
+
   test("top-revenue join broadcasts the filtered customer side") {
     val p = plan(FrameOps.topRevenue(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
@@ -150,20 +184,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast property then lives in the artifact's BUILD plan,
     // which runs through the same def). Never the raw corpus gram
     // stream (Generate/explode) or a documents scan.
-    val lines = p.linesIterator.toSeq
-    val buildSubs = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("BroadcastExchange") =>
-        // a trailing BroadcastExchange (format shift) must fail the
-        // assertion, not die with IndexOutOfBoundsException
-        lines.slice(i + 1, i + 4).mkString("\n") match {
-          case "" => "<no successor line after BroadcastExchange>"
-          case s => s
-        }
-    }
+    val buildSubs = broadcastBuildSides(p)
     assert(buildSubs.nonEmpty, p)
     buildSubs.foreach { h =>
       assert(h.contains("HashAggregate") || h.contains("graft_contam_hits"),
         s"broadcast build side is neither a bounded aggregate nor the hit artifact: $h")
+      // the WHOLE build subtree (indent-bounded) must not carry the
+      // corpus gram stream
       assert(!h.contains("word_ngrams") && !h.contains("Generate"),
         s"broadcast build side carries the corpus gram stream: $h")
     }
@@ -491,13 +518,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // every broadcast BUILD SIDE must be the bounded group-size
     // aggregate — a plan broadcasting the event log itself would
     // still contain a BHJ and must fail here
-    val lines = p.linesIterator.toSeq
-    val buildHeads = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("BroadcastExchange") =>
-        lines.lift(i + 1).getOrElse("<no successor line after BroadcastExchange>")
-    }
-    assert(buildHeads.nonEmpty, p)
-    buildHeads.foreach(h => assert(h.contains("HashAggregate"),
+    val buildSubs = broadcastBuildSides(p)
+    assert(buildSubs.nonEmpty, p)
+    buildSubs.foreach(h => assert(firstRealOp(h).contains("HashAggregate"),
       s"broadcast build side is not the bounded aggregate: $h"))
   }
 
@@ -558,16 +581,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // every broadcast build side is a bounded aggregate (|labels| rows)
-    val lines = p.linesIterator.toSeq
-    // the build side is Project/Filter dressing over the bounded
-    // aggregate — an Aggregate node must appear within 3 lines
-    val heads = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("BroadcastExchange") =>
-        lines.slice(i + 1, i + 4).mkString("\n")
-    }
-    assert(heads.nonEmpty, p)
-    heads.foreach(h => assert(h.contains("Aggregate"),
+    // every broadcast build side is a bounded aggregate (|labels|
+    // rows): the first non-dressing operator of the indent-bounded
+    // build subtree must be the aggregate itself
+    val buildSubs = broadcastBuildSides(p)
+    assert(buildSubs.nonEmpty, p)
+    buildSubs.foreach(h => assert(firstRealOp(h).contains("Aggregate"),
       s"broadcast build side is not the bounded aggregate:\n$h"))
   }
 

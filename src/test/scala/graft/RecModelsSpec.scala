@@ -240,7 +240,9 @@ class RecModelsSpec extends AnyFunSuite {
 
   test("gcmc feature extraction: warm features are the trained factors, cold are the LS synthesis") {
     // the reference's get_user_feature / get_item_feature(_with_new_
-    // items) surface: replay every roster row from the fit artifacts
+    // items) surface: replay every roster row from the fit artifacts.
+    // The feature column is the fixed-6dp CSV string the driver's
+    // comparator can sort (r09) — decode it here and verify values.
     val out = MlOps.gcmcFeatures(spark, sf).collect()
     assert(out.length == 10) // 4 users + 3 warm + 3 cold items
     val fit = MlOps.gcmcFitFor(spark, sf)
@@ -250,10 +252,36 @@ class RecModelsSpec extends AnyFunSuite {
       .map(r => r.getInt(0).toLong -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     val convM = fit.convU(spark).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    val k = MlOps.GcmcRank
+    val feats = MlOps.gcmcItemFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val biM = fit.bi(spark).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d = MlOps.GcmcFeatDim; val k = MlOps.GcmcRank
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
+    }
+    // replay the q226 least-squares feature map from the same
+    // artifacts — cold rows must be a FUNCTION of the item features
+    val warmIds = (feats.keySet & qI.keySet & biM.keySet).toSeq.sorted
+    val gram = Array.ofDim[Double](d, d)
+    val x = Array.ofDim[Double](k, d)
+    val bb = new Array[Double](d)
+    warmIds.foreach { id =>
+      val fv = feats(id); val qv = qI(id)
+      for (a <- 0 until d; b <- 0 until d) gram(a)(b) += fv(a) * fv(b)
+      for (c <- 0 until k; a <- 0 until d) x(c)(a) += fv(a) * qv(c)
+      for (a <- 0 until d) bb(a) += fv(a) * biM(id)
+    }
+    val wMap = MlOps.solveGram(gram, x :+ bb).take(k)
     out.foreach { r =>
       val (kind, id, isCold) = (r.getString(0), r.getLong(1), r.getBoolean(2))
-      val got = r.getSeq[Double](5).toArray
+      val enc = r.getString(5)
+      // sortable encoding contract: plain string, no whitespace, every
+      // component fixed 6-decimal
+      assert(enc.split(",").forall(_.matches("-?\\d+\\.\\d{6}")),
+        s"feature encoding not fixed-6dp CSV: $enc")
+      val got = enc.split(",").map(_.toDouble)
       assert(r.getLong(3) == got.length)
       kind match {
         case "user" =>
@@ -265,12 +293,18 @@ class RecModelsSpec extends AnyFunSuite {
           assert(got.zip(qI(id)).forall { case (a, b) => math.abs(a - b) <= 1e-6 },
             s"warm item $id feature mismatch")
         case _ =>
-          // cold synthesis is validated end-to-end by the q226 replay
-          // (same wMap); here: right shape, non-degenerate, distinct
-          assert(got.length == k && got.exists(_ != 0.0), s"cold item $id")
+          // cold rows are feature-DEPENDENT: each synthesized factor
+          // must equal W·f of the item's own feature vector
+          val part = id - MlOps.GcmcColdIdOffset
+          val fv = feats(part)
+          val exp = Array.tabulate(k)(c => dot(wMap(c), fv))
+          assert(got.length == k &&
+            got.zip(exp).forall { case (a, b) => math.abs(a - b) <= 2e-6 },
+            s"cold item $id synthesized feature mismatch: " +
+              s"${got.toSeq} vs ${exp.toSeq}")
       }
     }
-    val colds = out.filter(_.getBoolean(2)).map(_.getSeq[Double](5).toSeq)
+    val colds = out.filter(_.getBoolean(2)).map(_.getString(5))
     assert(colds.distinct.length == colds.length, "cold features collapsed")
   }
 

@@ -386,4 +386,73 @@ class SourcesSkewSpec extends AnyFunSuite {
       assert(got == expected, s"as-of $v differs after erasure")
     }
   }
+
+  /** Planted-skew AUDIT→FALLBACK loop (r09, verdict item 6): the gate
+    * corpora never trip q237's salting recommendation hard enough to
+    * exercise the fallback end-to-end, so this corpus is synthetic
+    * and TESTDATA-independent (the NfcIngestSpec pattern, lever
+    * (hh)): one hot user owns 60% of the event log (the celebrity-key
+    * regime), while documents.source stays balanced — BOTH audit
+    * branches are produced, and the flagged family is then actually
+    * joined through Skew.saltedJoin with the spread + parity
+    * properties asserted. The spec fails if the salting fallback is
+    * removed or degenerates to the plain key join. */
+  private lazy val plantedSkewDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_skew_corpus").toString
+    import spark.implicits._
+    val hot = (1 to 3000).map(i => (i.toLong, 7L,
+      if (i % 2 == 0) "click" else "view", i.toLong))
+    val cold = (1 to 2000).map(i => (3000L + i, (i % 40 + 100).toLong,
+      if (i % 2 == 0) "click" else "view", i.toLong))
+    (hot ++ cold).toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .withColumn("props", lit("""{"k": 1}"""))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    (1 to 40).map(i => (i.toLong, s"planted doc number $i", "en", s"src${i % 8}"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q237 audit recommends salting on the planted hot key and the fallback bounds the reducer share") {
+    val audit = FrameOps.skewAudit(spark, plantedSkewDir).collect()
+      .map(r => r.getString(0) ->
+        r.getBoolean(r.fieldIndex("salt_recommended"))).toMap
+    // both verdict branches (lever (hh)): hot family flagged, balanced not
+    assert(audit("events.user_id"),
+      s"planted hot user must trip the salting recommendation: $audit")
+    assert(!audit("documents.source"),
+      s"balanced source family must not trip it: $audit")
+
+    // drive the RECOMMENDED fallback on the flagged family, with the
+    // reduce width pinned so partition counting is meaningful (AQE
+    // coalescing on the shared session could legally fold everything
+    // into one partition at this size)
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val buckets = 8
+    val ev = Tables.events(ns, plantedSkewDir)
+      .select(col("user_id"), col("event_id"))
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("seg", pmod(col("user_id"), lit(3)))
+    val salted = Skew.saltedJoin(ev, dim, "user_id", col("event_id"), buckets)
+    // 1) exact parity with the plain join
+    val got = salted.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("seg")).collect().toSeq
+    val exp = ev.join(dim, Seq("user_id"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("seg")).collect().toSeq
+    assert(got == exp && got.nonEmpty)
+    // 2) the fallback PROPERTY: the hot key's joined rows land in >1
+    // reduce partition — a de-salted join (plain user_id key) puts
+    // every hot row in exactly one partition and must fail here
+    val hotParts = salted.filter(col("user_id") === 7L)
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(hotParts > 1,
+      s"hot key landed in $hotParts partition(s) — salting fallback inert")
+  }
 }
