@@ -67,14 +67,29 @@ object MlOps {
     }
   }
 
+  /** Fit with the INPUT frame cached for the fit's duration (opt
+    * r09): MLlib Word2Vec consumes its input in TWO passes (learnVocab
+    * + the sentence build feeding doFit), so an uncached fit input
+    * re-runs the corpus count + tokenize (+ the interpreted
+    * gram/doc-token augmentation lambdas for the joint fits) once per
+    * pass. The frame is fit-sample-bounded (≤ W2vFitDocCap docs) by
+    * construction and unpersisted as soon as the fit returns — the
+    * trained model holds no reference to it. Model bytes are
+    * UNCHANGED (same rows in, same seed). */
+  private def fitCached[M](input: DataFrame)(fit: DataFrame => M): M = {
+    val cached = input.persist()
+    try fit(cached) finally cached.unpersist()
+  }
+
   private def word2vecModel(spark: SparkSession, dir: String,
       vectorSize: Int): org.apache.spark.ml.feature.Word2VecModel =
     w2vCache.getOrElseUpdate((spark, dir, vectorSize),
-      new Word2Vec()
-        .setInputCol("tokens").setOutputCol("vec")
-        .setVectorSize(vectorSize).setMinCount(5).setSeed(42L)
-        .setNumPartitions(1).setMaxIter(1)
-        .fit(w2vFitInput(spark, dir)))
+      fitCached(w2vFitInput(spark, dir))(
+        new Word2Vec()
+          .setInputCol("tokens").setOutputCol("vec")
+          .setVectorSize(vectorSize).setMinCount(5).setSeed(42L)
+          .setNumPartitions(1).setMaxIter(1)
+          .fit(_)))
 
   /** fastText's capability delta over word2vec (reference
     * train/train_fasttext.py:14 — MLlib ships no fastText, and the
@@ -132,13 +147,14 @@ object MlOps {
   private[graft] def fastTextModel(spark: SparkSession,
       dir: String): org.apache.spark.ml.feature.Word2VecModel =
     ftCache.getOrElseUpdate((spark, dir),
-      new Word2Vec()
-        .setInputCol("tokens").setOutputCol("vec")
-        .setVectorSize(32).setMinCount(5).setSeed(42L)
-        .setNumPartitions(1).setMaxIter(1)
-        .fit(w2vFitInput(spark, dir).select(
+      fitCached(w2vFitInput(spark, dir).select(
           flatten(transform(col("tokens"),
-            w => concat(array(w), ftGrams(w)))).as("tokens"))))
+            w => concat(array(w), ftGrams(w)))).as("tokens")))(
+        new Word2Vec()
+          .setInputCol("tokens").setOutputCol("vec")
+          .setVectorSize(32).setMinCount(5).setSeed(42L)
+          .setNumPartitions(1).setMaxIter(1)
+          .fit(_)))
 
   /** The synthesis parameterized by base-word list — q110 probes the
     * 5 fixed words; MlStreamSpec sweeps a ~40-word vocabulary sample
@@ -214,20 +230,22 @@ object MlOps {
   private[graft] def doc2vecModel(spark: SparkSession,
       dir: String): org.apache.spark.ml.feature.Word2VecModel =
     d2vCache.getOrElseUpdate((spark, dir),
-      new Word2Vec()
-        .setInputCol("tokens").setOutputCol("vec")
-        .setVectorSize(32).setMinCount(5).setSeed(42L)
-        // doc tokens see only their own doc's contexts, so they need
-        // more passes than the corpus-wide word vocab (gensim's
-        // Doc2Vec defaults to 10+ epochs for the same reason); the
-        // fit input is the BOUNDED sample, so extra passes are
-        // sample-sized work, not corpus-sized
-        .setNumPartitions(1).setMaxIter(15).setWindowSize(8)
-        .fit(w2vFitInput(spark, dir).select(
+      fitCached(w2vFitInput(spark, dir).select(
           flatten(transform(col("tokens"), (w, i) =>
             when(pmod(i, lit(D2vStride)) === 0,
               array(concat(lit("@"), col("doc_id")), w))
-              .otherwise(array(w)))).as("tokens"))))
+              .otherwise(array(w)))).as("tokens")))(
+        new Word2Vec()
+          .setInputCol("tokens").setOutputCol("vec")
+          .setVectorSize(32).setMinCount(5).setSeed(42L)
+          // doc tokens see only their own doc's contexts, so they need
+          // more passes than the corpus-wide word vocab (gensim's
+          // Doc2Vec defaults to 10+ epochs for the same reason); the
+          // fit input is the BOUNDED sample, so extra passes are
+          // sample-sized work, not corpus-sized (and the sentence RDD
+          // is cached inside MLlib across iterations)
+          .setNumPartitions(1).setMaxIter(15).setWindowSize(8)
+          .fit(_)))
 
   /** Trained doc vectors: the '@'-namespaced pseudo-token rows of the
     * joint model's vector table — fit-sample-sized by construction. */

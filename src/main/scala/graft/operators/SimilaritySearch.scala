@@ -466,10 +466,21 @@ object SimilaritySearch {
       val emb = embWithNorm(spark, dir)
       val out = graft.sources.Sources.stagingDir("ivfpq_upsert", dir) +
         "_" + graft.SessionRegistry.sessionToken(spark)
-      encodedRows(spark, dir, emb.filter(!isBatchVec)).write
+      // opt r09: encode the corpus ONCE — the row-local cell+code
+      // kernels (and the embeddings scan under them) previously ran
+      // once per split because each write re-derived its own encode
+      // subtree. isBatchVec is row-local on vec_id, so filtering the
+      // ENCODED rows is value-identical to encoding the filtered
+      // rows; the bootstrap write and the separate append COMMIT (the
+      // upsert contract the spec asserts) are unchanged. The encoded
+      // table is the slim (vec_id, codes, cent_id) projection —
+      // persisted only until both commits land.
+      val enc = encodedRows(spark, dir, emb).persist()
+      enc.filter(!isBatchVec).write
         .mode("overwrite").partitionBy("cent_id").parquet(out)
-      encodedRows(spark, dir, emb.filter(isBatchVec)).write
+      enc.filter(isBatchVec).write
         .mode("append").partitionBy("cent_id").parquet(out)
+      enc.unpersist()
       out
     })
     spark.read.parquet(indexDir)

@@ -526,22 +526,29 @@ object TextOps {
     val k1 = 1.2
     val b = 0.75
     val docs = Tables.documents(spark, dir)
-    // both persist (opt r08): dl feeds the corpus stats AND the
-    // contrib join, tf feeds the df rollup AND contrib — unpersisted,
-    // each consumer re-ran its tokenizing corpus scan (4 scans → 2).
-    // dl is the slim per-doc projection (docNll's class); tf is
-    // bounded by the 5-term posting mass.
-    val dl = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).as("dl"))
+    // ONE tokenizing corpus pass (opt r09; was two in r08): dl and
+    // the query-term postings come out of the SAME projection —
+    // explode(filter(toks, isin)) is the same multiset as
+    // explode(toks).filter(isin) — and dl rides the tf groupBy keys
+    // (functionally dependent on doc_id), so the old corpus-keyed
+    // contrib⋈dl join disappears entirely. perDoc persists (2
+    // consumers: stats + tf) — the slim per-doc projection class
+    // (docNll's shape: doc_id + int + the ≤5-term match list); tf
+    // persists (2 consumers: df rollup + contrib) — bounded by the
+    // 5-term posting mass. df folds to count(*) over tf (one row per
+    // (doc, term) ⇒ count == countDistinct(doc_id), the q24 fold).
+    val perDoc = docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).as("dl"),
+      filter(toks, t => t.isin(terms.map(x => x: Any): _*)).as("qt"))
       .persist()
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-      .filter(col("term").isin(terms.map(x => x: Any): _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = perDoc.select(col("doc_id"), col("dl"), explode(col("qt")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
       .persist()
-    val df = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = tf
       .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
       .withColumn("idf",

@@ -108,11 +108,21 @@ object WordItemApp {
 
   /** THE co-click pair rule (q48 + q142 share it): support counts via
     * per-user posting arrays — one shuffle on user, pair explosion
-    * from the sorted item array, never a self-join of the click log. */
+    * from the sorted item array, never a self-join of the click log.
+    *
+    * opt r09: the posting build folds the per-user dedup INTO the
+    * collect — `collect_set` over the raw click stream is exactly
+    * `collect_list` over the DISTINCT (user, item) set (set equality;
+    * sort_array pins the order), so the old distinct → groupBy chain
+    * (TWO shuffles of the click pairs: hash(user, item) then
+    * hash(user)) becomes ONE user-keyed shuffle with map-side partial
+    * set-collect. userItemClicks stays the row-level distinct def for
+    * the consumers that need rows (q142 marginals, recScored split). */
   private[operators] def coClickPairs(spark: SparkSession, dir: String): DataFrame =
-    userItemClicks(spark, dir)
+    clickEvents(spark, dir)
+      .select(col("user_id"), col("item"))
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
       .select(explode(flatten(transform(col("items"), (a, i) =>
         transform(slice(col("items"), i + 2, size(col("items"))),
           b => struct(a.as("item_a"), b.as("item_b")))))).as("p"))
