@@ -595,6 +595,7 @@ object MlOps {
 
   private def qualityClassifierRun(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    // seed-table-bounded; feeds the fit and the holdout transform
     val data = qualitySeed(spark, dir).persist()
     data.count()
     val test = data.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -630,6 +631,7 @@ object MlOps {
 
   private def classifierCalibrationRun(spark: SparkSession,
       dir: String): DataFrame = {
+    // seed-table-bounded; feeds the fit and the holdout transform
     val data = qualitySeed(spark, dir).persist()
     data.count()
     val test = data.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -1458,6 +1460,7 @@ object MlOps {
 
   private def gcmcFitRun(spark: SparkSession, dir: String): GcmcFit = {
     import org.apache.spark.ml.stat.Summarizer
+    // ratings-slice-bounded; every fit stage below re-reads it
     val r = gcmcSliced(spark, dir).persist()
     val train = r.filter(col("slice") < 8) // fit ∪ calibration
     val fit = r.filter(col("slice") < 6)

@@ -1025,6 +1025,11 @@ object CorpusOps {
       .withColumn("sq",
         sqrt(col("n_tokens").cast("double"))
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      // |sources|-bounded aggregate with TWO consumers (the Σ
+      // denominator and the weight join) — unpersisted, the corpus
+      // tokenCount scan ran twice for every mix consumer
+      // (q111/q112/q117/q213/q217; opt r09 sweep)
+      .persist()
     // Σ of DECIMAL(18,6) widens (Spark DECIMAL(28,6), DuckDB (38,6));
     // re-scale to DECIMAL(18,6) BEFORE the double cast in both
     // engines — DuckDB's wide-decimal→double cast can be one ulp off
@@ -1306,6 +1311,11 @@ object CorpusOps {
       .select(col("doc_id"), col("source"),
         md5(Dedup.normText).as("content_hash"),
         TextFns.tokenCount(col("text")).as("n_tok"))
+      // slim digest projection with heavy row-local compute
+      // (NFC-normalize + md5 + tokenCount) consumed by BOTH the
+      // keep-first agg and the semi-join left side — the q89-perDoc
+      // persist class (opt r09 sweep: 2 text scans → 1)
+      .persist()
     val keep = docs.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
     val uniq = docs.join(keep, Seq("content_hash", "doc_id"), "left_semi")
@@ -3143,6 +3153,8 @@ object CorpusOps {
         (graft.plans.RollingHash(col("tok")) % CdcMod === CdcRem).as("anchor"))
       .groupBy(col("source"), col("wlen"), col("anchor"))
       .agg(count(lit(1)).as("c"))
+      // (source × wlen × anchor)-bounded rollup — feeds both the KS
+      // reduction and the anchor-health reduction below
       .persist()
     val ks = T.tokenLenKsFromCounts(
         cube.groupBy(col("source"), col("wlen")).agg(sum(col("c")).as("c")))

@@ -761,6 +761,9 @@ object FrameOps {
   def stableIds(spark: SparkSession, dir: String): DataFrame = {
     val nPart = math.max(spark.sparkContext.defaultParallelism / 2, 4)
     val ranged = rangedCache.getOrElseUpdate((spark, dir),
+      // slim (doc_id, source) range layout — registry-held so the
+      // offsets scan and the ranked read share one materialization;
+      // a clearCache demotes it to re-execution, never to wrong ids
       Tables.documents(spark, dir).select(col("doc_id"), col("source"))
         .repartitionByRange(nPart, col("source"), col("doc_id"))
         .withColumn("pid", spark_partition_id())
@@ -1492,6 +1495,10 @@ object FrameOps {
       val counts = tableOf(table)
         .groupBy(col(key).cast("string").as("k"))
         .agg(count(lit(1)).as("c"))
+        // key-vocabulary-bounded aggregate with TWO consumers (the
+        // stats agg and the top-10 heap) — unpersisted, each family
+        // scanned its base table twice (opt r09 sweep: 6 → 3 scans)
+        .persist()
       val stats = counts.agg(
         count(lit(1)).as("n_keys"),
         sum(col("c")).as("n_rows"),

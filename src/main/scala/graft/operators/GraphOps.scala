@@ -81,6 +81,9 @@ object GraphOps {
       .select(col("item_a").as("src"), col("item_b").as("dst"))
     val sym = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // both pair-graph-bounded (the ≥support co-click graph is orders
+    // of magnitude smaller than the corpus): deg feeds the node-count
+    // scalar + the degree join; edges feeds every PageRank iteration
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val edges = sym.join(deg, Seq("src")).persist()
     val n = deg.count() // one bounded driver scalar (item vocabulary)
@@ -165,6 +168,8 @@ object GraphOps {
     * synthetic 10^5-node graph to pin the adaptive-unit overflow
     * contract. */
   private[graft] def hitsOnEdges(edgeList: DataFrame): DataFrame = {
+    // click-edge-bounded; consumed by the size scalars and every
+    // HITS half-step join
     val edges = edgeList.persist()
     // one action for both side sizes (driver scalars, bounded)
     val sizes = edges.agg(

@@ -335,7 +335,11 @@ object Multimodal {
             FrameFp(id, idx, c.frameFingerprint(payload, off.toInt, nb.toInt))
         }
       }
-    }.toDF().persist()
+    }.toDF()
+      // frame-fingerprint-table-bounded (docs × sampled frames);
+      // feeds the shared-hash rollup AND the join back — the decode
+      // pass must run once
+      .persist()
     val shared = frames.groupBy(col("fhash"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     frames.join(shared, Seq("fhash"))

@@ -235,6 +235,9 @@ object SimilaritySearch {
       import scala.concurrent.duration.Duration
       require(!emb.isEmpty,
         "PQ codebook fit (q67/q69/q74/q225): empty embeddings table")
+      // persisted for the concurrent fits only: the ¼-sampled
+      // sub-vector frame feeds pqM KMeans fits (each is ≥2 passes) —
+      // fit-sample-bounded, unpersisted in the finally below
       val trainSample = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
         .select((0 until pqM).map(j => array_to_vector(
           slice(col("embedding"), j * pqSubDim + 1, pqSubDim)).as(s"sub_$j")): _*)
@@ -646,6 +649,9 @@ object SimilaritySearch {
     val cent = centroidOf(base)
     val d2f = base.join(broadcast(cent), Seq("label"))
       .select(col("label"), col("vec_id"), d2Col.as("d2"))
+      // slim per-vector (label, id, d2) projection — feeds BOTH the
+      // per-label stats agg and the outlier filter below (docNll's
+      // persist class; the 64-wide distance kernel runs once)
       .persist()
     val stats = d2f.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),

@@ -57,8 +57,15 @@ object WordItemApp {
       .filter(col("event_type") === "click")
       .select(col("user_id"), itemFromProps.as("item"))
       .filter(col("item").isNotNull)
+      // slim (user, item) projection with per-row JSON extraction —
+      // consumed by pos, users and items; unpersisted, the event log
+      // was scanned and props-parsed three times (opt r09 sweep)
+      .persist()
     val pos = clicks.groupBy(col("user_id"), col("item"))
       .agg(count(lit(1)).as("n_clicks"))
+      // distinct-pair-bounded aggregate; feeds the negative anti-join
+      // AND the positive stats row
+      .persist()
     val users = clicks.select(col("user_id")).distinct()
     val items = clicks.select(col("item")).distinct()
     // (u·31 + i) % 20 == 0  ⟺  i % 20 == (20 − (u·31 % 20)) % 20
@@ -370,6 +377,9 @@ object WordItemApp {
     * IEEE division of exact longs (lever (c)); empty-side guard via
     * coalesced sums + null rate (lever (q)). */
   def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    // slim click projection (user, item, tsec, event_id) — consumed
+    // by the boundary scalar and the per-granularity audits; bounded
+    // by the click-event mass, cleared by session clearCache
     val ev = clickEvents(spark, dir).persist()
     // one bounded action: the span scalars (null on an empty log —
     // then every coalesced count below is 0 and the rate is null)
