@@ -1025,18 +1025,21 @@ object CorpusOps {
       .withColumn("sq",
         sqrt(col("n_tokens").cast("double"))
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-      // |sources|-bounded aggregate with TWO consumers (the Σ
-      // denominator and the weight join) — unpersisted, the corpus
-      // tokenCount scan ran twice for every mix consumer
-      // (q111/q112/q117/q213/q217; opt r09 sweep)
-      .persist()
     // Σ of DECIMAL(18,6) widens (Spark DECIMAL(28,6), DuckDB (38,6));
     // re-scale to DECIMAL(18,6) BEFORE the double cast in both
     // engines — DuckDB's wide-decimal→double cast can be one ulp off
-    // nearest (the q104 hazard; CLAUDE.md float-parity rules)
-    val tot = per.agg(sum(col("sq"))
-      .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("tot"))
-    per.crossJoin(broadcast(tot))
+    // nearest (the q104 hazard; CLAUDE.md float-parity rules).
+    // The denominator is a WINDOW over the |sources|-bounded table
+    // (lever (g); opt r09) — the old agg + crossJoin consumed `per`
+    // twice, re-running the corpus tokenCount scan for every mix
+    // consumer (q111/q112/q117/q213/q217: 2 corpus scans → 1); the
+    // single-partition window sees |sources| rows.
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("tot", sum(col("sq")).over(all)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
       .withColumn("weight",
         round(col("sq").cast("double") / col("tot").cast("double"), 6))
       .withColumn("token_target",

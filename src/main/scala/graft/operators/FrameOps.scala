@@ -1042,9 +1042,15 @@ object FrameOps {
     val ev = Tables.events(spark, dir)
       .select(floor(unix_timestamp(date_trunc("second", col("ts"))) / 86400L)
         .cast("long").as("day"), col("event_type"))
+    // (days × types)-bounded aggregate; days/types DERIVE from it
+    // (every ev row lands in exactly one counts group, so the
+    // distinct day/type sets are identical) — the old distincts each
+    // re-scanned the event log (opt r09 sweep: 3 scans → 1); three
+    // consumers → persist
     val counts = ev.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
-    val days = ev.select(col("day")).distinct()
-    val types = ev.select(col("event_type")).distinct()
+      .persist()
+    val days = counts.select(col("day")).distinct()
+    val types = counts.select(col("event_type")).distinct()
     val grid = days.crossJoin(broadcast(types))
     val trail = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-7, -1)
@@ -1492,22 +1498,29 @@ object FrameOps {
       case "documents" => Tables.documents(spark, dir)
     }
     val fams = SkewFamilies.map { case (table, key) =>
-      val counts = tableOf(table)
+      // ONE aggregation per family (opt r09: the separate top-10
+      // TakeOrdered consumed the count table a second time — 2 base
+      // scans per family): the top-10 MASS rides the same agg as the
+      // stats through a bounded TopKByKey heap. Ties at the heap
+      // boundary have EQUAL counts, so the top-10 SUM is identical
+      // to the oracle's ORDER BY c DESC, k LIMIT 10 regardless of
+      // which tied key the heap keeps (lever (h): the oracle states
+      // the rank, the plan runs the heap); counts are exact longs
+      // < 2^53, so the ≤10-term double sum is exact.
+      tableOf(table)
         .groupBy(col(key).cast("string").as("k"))
         .agg(count(lit(1)).as("c"))
-        // key-vocabulary-bounded aggregate with TWO consumers (the
-        // stats agg and the top-10 heap) — unpersisted, each family
-        // scanned its base table twice (opt r09 sweep: 6 → 3 scans)
-        .persist()
-      val stats = counts.agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("c")).as("n_rows"),
-        max(col("c")).as("top1_rows"))
-      val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
-        .agg(coalesce(sum(col("c")), lit(0L)).as("top10_rows"))
-      stats.crossJoin(broadcast(top10))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("top1_rows"),
+          graft.plans.TopKByKey.topK(10)(lit(0L), col("c").cast("double"))
+            .as("t"))
         .select(lit(s"$table.$key").as("key_col"),
-          col("n_keys"), col("n_rows"), col("top1_rows"), col("top10_rows"))
+          col("n_keys"), col("n_rows"), col("top1_rows"),
+          coalesce(aggregate(col("t"), lit(0.0d),
+            (a, e) => a + e.getField("score")), lit(0.0d))
+            .cast("long").as("top10_rows"))
     }
     fams.reduce(_ unionByName _)
       .withColumn("top1_share",
